@@ -1,0 +1,11 @@
+"""flutpu.codec — the TPU-native encode path.
+
+Where the reference delegates to off-the-shelf CPU encoders (x264 etc.), this
+framework owns the encoder: colorspace conversion, scaling, 8x8 DCT and
+quantization run as batched JAX/Pallas kernels on the MXU; entropy coding and
+bitstream packing run on the host (C++ fast path in native/bitstream).
+"""
+
+from .base import VideoEncoder
+
+__all__ = ["VideoEncoder"]

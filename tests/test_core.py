@@ -1,0 +1,222 @@
+"""Core dataflow tests: caps, buffers, events, pads, queue, parse_launch,
+harness."""
+
+import threading
+import time
+
+import pytest
+
+from flutpu.core import (Buffer, Caps, EosEvent, Event, EventType,
+                         FlowReturn, Harness, IntRange, MSECOND, Pad,
+                         PadDirection, ProbeReturn, ProbeType, Segment,
+                         State, ValueList, make, parse_launch)
+
+
+class TestCaps:
+    def test_parse(self):
+        c = Caps.from_string("video/x-raw, format=RGB, width=1, height=1, framerate=30/1")
+        assert c.media_type == "video/x-raw"
+        assert c["format"] == "RGB"
+        assert c["width"] == 1
+        assert c["framerate"].numerator == 30
+
+    def test_intersect_fixed(self):
+        a = Caps.from_string("video/x-raw, format=RGB, width=320")
+        b = Caps.from_string("video/x-raw, format=RGB")
+        i = a.intersect(b)
+        assert i is not None and i["width"] == 320
+
+    def test_intersect_disjoint(self):
+        a = Caps.from_string("video/x-raw, format=RGB")
+        b = Caps.from_string("video/x-raw, format=I420")
+        assert a.intersect(b) is None
+
+    def test_intersect_media_type_mismatch(self):
+        assert Caps.new("video/x-h264").intersect(Caps.new("video/x-h265")) is None
+
+    def test_any(self):
+        a = Caps.any()
+        b = Caps.from_string("video/x-raw, format=RGB")
+        assert a.intersect(b) == b
+        assert not a.is_fixed()
+
+    def test_range_and_list(self):
+        a = Caps.new("video/x-raw", width=IntRange(16, 4096))
+        b = Caps.new("video/x-raw", width=1920)
+        assert a.intersect(b)["width"] == 1920
+        c = Caps.new("video/x-raw", format=ValueList(("RGB", "BGRA")))
+        d = Caps.new("video/x-raw", format="BGRA")
+        assert c.intersect(d)["format"] == "BGRA"
+
+    def test_fixate(self):
+        a = Caps.new("video/x-raw", width=IntRange(16, 4096),
+                     format=ValueList(("RGB", "BGRA")))
+        f = a.fixate({"width": 720})
+        assert f.is_fixed() and f["width"] == 720 and f["format"] == "RGB"
+
+    def test_subset(self):
+        sub = Caps.from_string("video/x-raw, format=RGB, width=320")
+        sup = Caps.new("video/x-raw", width=IntRange(16, 4096))
+        assert sub.is_subset(sup)
+        assert not sup.is_subset(sub)
+
+
+class TestSegment:
+    def test_clip_inside(self):
+        seg = Segment(start=0, stop=100)
+        assert seg.clip(10, 5) == (10, 5)
+
+    def test_clip_outside(self):
+        seg = Segment(start=50, stop=100)
+        assert seg.clip(200, 10) is None
+        assert seg.clip(10, 20) is None
+
+    def test_clip_partial(self):
+        seg = Segment(start=50, stop=100)
+        assert seg.clip(40, 20) == (50, 10)
+        assert seg.clip(90, 20) == (90, 10)
+
+
+class TestPads:
+    def test_link_and_push(self):
+        src = Pad("src", PadDirection.SRC)
+        sink = Pad("sink", PadDirection.SINK)
+        got = []
+        sink.chain_function = lambda p, b: (got.append(b), FlowReturn.OK)[1]
+        src.link(sink)
+        assert src.push(Buffer(b"x")) == FlowReturn.OK
+        assert len(got) == 1
+
+    def test_incompatible_link(self):
+        src = Pad("src", PadDirection.SRC,
+                  template_caps=Caps.from_string("video/x-h264"))
+        sink = Pad("sink", PadDirection.SINK,
+                   template_caps=Caps.from_string("video/x-h265"))
+        with pytest.raises(ValueError):
+            src.link(sink)
+
+    def test_sticky_replay_on_link(self):
+        from flutpu.core import CapsEvent
+        src = Pad("src", PadDirection.SRC)
+        caps = Caps.from_string("video/x-raw, format=RGB")
+        src.push_event(CapsEvent(caps))  # unlinked: stored sticky
+        sink = Pad("sink", PadDirection.SINK)
+        seen = []
+        sink.event_function = lambda p, e: (seen.append(e), True)[1]
+        src.link(sink)
+        assert any(e.type == EventType.CAPS for e in seen)
+        assert sink.caps == caps
+
+    def test_probe_drop(self):
+        src = Pad("src", PadDirection.SRC)
+        sink = Pad("sink", PadDirection.SINK)
+        got = []
+        sink.chain_function = lambda p, b: (got.append(b), FlowReturn.OK)[1]
+        src.link(sink)
+        src.add_probe(ProbeType.BUFFER, lambda p, d: ProbeReturn.DROP)
+        assert src.push(Buffer(b"x")) == FlowReturn.OK
+        assert got == []
+
+    def test_probe_remove(self):
+        src = Pad("src", PadDirection.SRC)
+        sink = Pad("sink", PadDirection.SINK)
+        sink.chain_function = lambda p, b: FlowReturn.OK
+        src.link(sink)
+        calls = []
+        def probe(p, d):
+            calls.append(d)
+            return ProbeReturn.REMOVE
+        src.add_probe(ProbeType.BUFFER, probe)
+        src.push(Buffer(b"a"))
+        src.push(Buffer(b"b"))
+        assert len(calls) == 1
+
+    def test_flushing(self):
+        src = Pad("src", PadDirection.SRC)
+        sink = Pad("sink", PadDirection.SINK)
+        sink.chain_function = lambda p, b: FlowReturn.OK
+        src.link(sink)
+        sink.set_flushing(True)
+        assert src.push(Buffer(b"x")) == FlowReturn.FLUSHING
+        sink.set_flushing(False)
+        assert src.push(Buffer(b"x")) == FlowReturn.OK
+
+
+class TestQueue:
+    def test_decouples_thread(self):
+        q = make("queue")
+        q.set_state(State.PLAYING)
+        out = []
+        threads = []
+        sink = Pad("sink", PadDirection.SINK)
+        sink.chain_function = lambda p, b: (
+            out.append(b), threads.append(threading.current_thread()),
+            FlowReturn.OK)[2]
+        q.srcpad.link(sink)
+        for i in range(5):
+            assert q.sinkpad.chain(Buffer(i)) == FlowReturn.OK
+        deadline = time.monotonic() + 5
+        while len(out) < 5 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert [b.data for b in out] == [0, 1, 2, 3, 4]
+        assert all(t is not threading.main_thread() for t in threads)
+        q.set_state(State.NULL)
+
+    def test_eos_passes_through(self):
+        q = make("queue")
+        q.set_state(State.PLAYING)
+        got = threading.Event()
+        sink = Pad("sink", PadDirection.SINK)
+        sink.event_function = lambda p, e: (
+            got.set() if e.type == EventType.EOS else None, True)[1]
+        q.srcpad.link(sink)
+        q.sinkpad.send_event(EosEvent())
+        assert got.wait(5)
+        q.set_state(State.NULL)
+
+
+class TestParseLaunch:
+    def test_simple_chain(self):
+        p = parse_launch("identity name=a ! identity name=b")
+        a, b = p.get_by_name("a"), p.get_by_name("b")
+        assert a.srcpad.peer is b.sinkpad
+
+    def test_props(self):
+        p = parse_launch("identity name=a sleep-time=42 silent=false")
+        a = p.get_by_name("a")
+        assert a.get_property("sleep-time") == 42
+        assert a.get_property("silent") is False
+
+    def test_named_pad_refs_and_forward_refs(self):
+        p = parse_launch(
+            "scenedetector gop-size=2 ! outputselector name=os "
+            "os.src_0 ! identity name=i0 ! col. "
+            "os.src_1 ! identity name=i1 ! col. "
+            "scenecollector name=col")
+        os_el = p.get_by_name("os")
+        col = p.get_by_name("col")
+        assert os_el.get_pad("src_0").peer.element.name == "i0"
+        assert col.get_pad("sink_0").peer.element.name == "i0"
+        assert col.get_pad("sink_1").peer.element.name == "i1"
+
+    def test_unknown_factory(self):
+        with pytest.raises(ValueError):
+            parse_launch("nosuchelement ! identity")
+
+
+class TestHarness:
+    def test_identity_passthrough(self):
+        h = Harness("identity")
+        h.set_src_caps("video/x-raw, format=RGB, width=1, height=1")
+        h.push(Buffer(b"abc", pts=0))
+        out = h.pull()
+        assert out.data == b"abc"
+        h.teardown()
+
+    def test_eos(self):
+        h = Harness("identity")
+        h.push(Buffer(b"abc"))
+        h.push_eos()
+        h.pull()
+        assert h.wait_for_eos(2)
+        h.teardown()

@@ -1,0 +1,172 @@
+"""hype ordered scatter/gather tests — the reference's core invariant suite
+(hype/tests/tests.rs): push NUM_BUFFERS timestamped buffers through any
+scatter/encode/gather topology, pull them back in exactly input pts order,
+including under severe branch latency skew."""
+
+import pytest
+
+from flutpu.core import (Buffer, Caps, Harness, MSECOND, State, make,
+                         parse_launch)
+from flutpu.hype.events import SceneNewEvent
+
+NUM_BUFFERS = 20
+
+CAPS = "video/x-raw, format=RGB, width=1, height=1, framerate=30/1"
+
+
+def run_order_test(pipeline: str, num_buffers: int = NUM_BUFFERS):
+    h = Harness.new_parse(pipeline)
+    h.set_src_caps(CAPS)
+    h.set_sink_caps(CAPS)
+
+    buffers = []
+    for i in range(num_buffers):
+        buf = Buffer(bytes(27), pts=i * MSECOND, duration=1 * MSECOND, offset=i)
+        buffers.append(buf)
+
+    for buf in buffers:
+        assert h.push(buf.copy()).value == "ok"
+    assert h.push_eos()
+
+    for in_buf in buffers:
+        out = h.pull(timeout=15.0)
+        assert out.pts == in_buf.pts, (
+            f"order violated: expected pts={in_buf.pts}, got {out.pts}")
+    h.teardown()
+
+
+def test_one_identity():
+    run_order_test(
+        "scenedetector gop-size=2 "
+        "! outputselector name=os "
+        "! identity "
+        "! scenecollector name=col")
+
+
+def test_identity_two_branches():
+    run_order_test(
+        "scenedetector gop-size=2 "
+        "! outputselector name=os "
+        "os.src_0 ! identity ! col. "
+        "os.src_1 ! identity ! col. "
+        "scenecollector name=col")
+
+
+def test_identity_sleep_skew():
+    # branch 0 sleeps 10ms/buffer, branch 1 sleeps 0.1ms/buffer: branch 1
+    # finishes its scenes long before branch 0 — output must still be ordered
+    run_order_test(
+        "scenedetector gop-size=5 "
+        "! outputselector name=os "
+        "os.src_0 ! identity sleep-time=10000 silent=false ! col. "
+        "os.src_1 ! identity sleep-time=100 silent=false ! col. "
+        "scenecollector name=col")
+
+
+def test_hype_one_encoder():
+    run_order_test("hype gop-size=5 encoder-1=identity")
+
+
+def test_hype_three_encoders():
+    run_order_test(
+        "hype gop-size=5 encoder-1=identity encoder-2=identity "
+        "encoder-3=identity")
+
+
+def test_hype_three_encoders_skewed():
+    run_order_test(
+        "hype gop-size=3 "
+        "encoder-1='identity sleep-time=5000' "
+        "encoder-2='identity sleep-time=50' "
+        "encoder-3='identity sleep-time=500'")
+
+
+def test_incompatible_encoders():
+    """Encoders whose src caps don't intersect must fail the state change
+    (reference hype/tests/tests.rs:133-140 with x264enc+x265enc)."""
+    from flutpu.codec.base import VideoEncoder
+    from flutpu.core import register, FlowReturn
+
+    class EncA(VideoEncoder):
+        FACTORY = "testenc-a"
+        SRC_CAPS = "video/x-codec-a"
+
+        def encode_frame(self, buf, keyframe):
+            return buf
+
+    class EncB(VideoEncoder):
+        FACTORY = "testenc-b"
+        SRC_CAPS = "video/x-codec-b"
+
+        def encode_frame(self, buf, keyframe):
+            return buf
+
+    register(EncA)
+    register(EncB)
+
+    hype = make("hype")
+    hype.set_property("encoder-0", EncA())
+    hype.set_property("encoder-1", EncB())
+    assert hype.set_state(State.PLAYING).name == "FAILURE"
+
+
+def test_scene_events_mark_chunks():
+    """Scene events land only on the branch owning the chunk, with
+    round-robin placement."""
+    p = parse_launch(
+        "scenedetector gop-size=2 ! outputselector name=os "
+        "os.src_0 ! identity name=i0 ! col. "
+        "os.src_1 ! identity name=i1 ! col. "
+        "scenecollector name=col")
+    seen = {0: [], 1: []}
+    col = p.get_by_name("col")
+    for idx in (0, 1):
+        pad = col.get_pad(f"sink_{idx}")
+        orig = pad.event_function
+        def wrap(pad_, ev, _idx=idx, _orig=orig):
+            s = SceneNewEvent.parse(ev)
+            if s is not None:
+                seen[_idx].append(s.gop_index)
+            return _orig(pad_, ev)
+        pad.event_function = wrap
+    h = Harness(p)
+    h.set_src_caps(CAPS)
+    for i in range(8):
+        h.push(Buffer(bytes(3), pts=i * MSECOND, duration=MSECOND, offset=i))
+    h.push_eos()
+    for _ in range(8):
+        h.pull(timeout=10)
+    assert seen[0] == [0, 2]
+    assert seen[1] == [1, 3]
+    h.teardown()
+
+
+def test_forced_keyframe_at_chunk_start():
+    """Each branch receives a ForceKeyUnit before its chunk's first buffer."""
+    p = parse_launch(
+        "scenedetector gop-size=2 ! outputselector name=os "
+        "os.src_0 ! identity name=i0 ! col. "
+        "os.src_1 ! identity name=i1 ! col. "
+        "scenecollector name=col")
+    fku = []
+    i0 = p.get_by_name("i0")
+    orig = i0.sinkpad.event_function
+    def wrap(pad_, ev):
+        if ev.name == "GstForceKeyUnit":
+            fku.append(ev)
+        if orig:
+            return orig(pad_, ev)
+        from flutpu.core.pad import _forward_event
+        return _forward_event(pad_, ev)
+    i0.sinkpad.event_function = wrap
+    h = Harness(p)
+    h.set_src_caps(CAPS)
+    for i in range(8):
+        h.push(Buffer(bytes(3), pts=i * MSECOND, duration=MSECOND, offset=i))
+    h.push_eos()
+    for _ in range(8):
+        h.pull(timeout=10)
+    # branch 0 owns chunks 0 and 2 → at least its non-initial activations
+    # carry a ForceKeyUnit (first chunk may precede any switch)
+    assert len(fku) >= 1
+    h.teardown()
