@@ -7,5 +7,6 @@ bitstream packing run on the host (C++ fast path in native/bitstream).
 """
 
 from .base import VideoEncoder
+from .encoder import TpuJpegEnc
 
-__all__ = ["VideoEncoder"]
+__all__ = ["VideoEncoder", "TpuJpegEnc"]

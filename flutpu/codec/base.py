@@ -53,6 +53,16 @@ class VideoEncoder(Element):
         """Drain internal state at EOS; yield remaining output buffers."""
         return []
 
+    def drain(self) -> None:
+        """Flush any internally batched frames downstream NOW. Called before
+        a serialized custom event (chunk boundary) or EOS is forwarded, so
+        held output cannot be reordered past the event — the hype collector
+        attributes buffers to scenes by arrival order relative to scene
+        events (reference scenecollector contract)."""
+
+    def on_custom_event(self, event: Event) -> None:
+        """Hook: observe custom downstream events (e.g. hype scene-new)."""
+
     # -- plumbing ------------------------------------------------------------
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         keyframe = self._force_key_unit
@@ -68,6 +78,10 @@ class VideoEncoder(Element):
         if event.name == "GstForceKeyUnit":
             self._force_key_unit = True
             return True
+        if event.type == EventType.CUSTOM_DOWNSTREAM:
+            self.drain()  # chunk boundary: held frames must precede the event
+            self.on_custom_event(event)
+            return self.srcpad.push_event(event)
         if event.type == EventType.CAPS:
             self.input_caps = event.caps
             out_caps = self.set_format(event.caps)

@@ -1,0 +1,299 @@
+"""Baseline JPEG / MJPEG encoder — device transforms + host entropy coding.
+
+The TPU-native encode path: a whole GOP of RGB frames is converted, DCT'd,
+quantized and zigzagged in one jitted device program (batched over frames and
+blocks → MXU matmuls); quantized int16 coefficients come back to the host in
+a single transfer and are Huffman-coded into standards-compliant JFIF
+bitstreams (C++ fast path, Python fallback). Output decodes with any JPEG
+decoder — this is the interop-verifiable half of the codec (the GOP codec
+with inter frames is flutpu.codec.fvc).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import io
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import native
+from . import jpeg_tables as T
+from .ops.colorspace import rgb_to_i420
+from .ops.dct import plane_dct
+from .ops.quant import (CHROMA_QTABLE, LUMA_QTABLE, quantize, scale_qtable,
+                        zigzag_flatten, zigzag_order)
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ----------------------------------------------------------------------------
+# device program
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("pad_h", "pad_w", "subsample"))
+def encode_gop_to_coefs(frames: jax.Array, qy: jax.Array, qc: jax.Array,
+                        pad_h: int, pad_w: int, subsample: bool = True):
+    """(F, H, W, 3) uint8 RGB → zigzagged quantized coefficients.
+
+    Returns (y, cb, cr) int16 arrays of shape (F, BH, BW, 64). The whole GOP
+    is one device program: colorspace convert, (optional) 4:2:0 subsample,
+    level shift, 8x8 DCT as batched matmuls, quantize, zigzag gather.
+    """
+    f, h, w, _ = frames.shape
+    x = frames.astype(jnp.float32)
+    if pad_h != h or pad_w != w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h - h), (0, pad_w - w), (0, 0)),
+                    mode="edge")
+    if subsample:
+        y, cb, cr = rgb_to_i420(x)
+    else:
+        from .ops.colorspace import rgb_to_ycbcr
+        ycc = rgb_to_ycbcr(x)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+
+    def q(plane, qtab):
+        coefs = plane_dct(plane - 128.0)
+        return zigzag_flatten(quantize(coefs, qtab)).astype(jnp.int16)
+
+    return q(y, qy), q(cb, qc), q(cr, qc)
+
+
+# ----------------------------------------------------------------------------
+# host: headers
+# ----------------------------------------------------------------------------
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
+
+
+def _dqt(qy: np.ndarray, qc: np.ndarray) -> bytes:
+    zz = zigzag_order(8)
+    payload = b""
+    for tid, tab in ((0, qy), (1, qc)):
+        payload += bytes([tid]) + bytes(int(v) for v in tab.flatten()[zz])
+    return _marker(0xDB, payload)
+
+
+def _sof0(h: int, w: int, subsample: bool) -> bytes:
+    y_sampling = 0x22 if subsample else 0x11
+    comps = [(1, y_sampling, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    payload = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, samp, tq in comps:
+        payload += struct.pack(">BBB", cid, samp, tq)
+    return _marker(0xC0, payload)
+
+
+def _dht() -> bytes:
+    payload = b""
+    for tc_th, bits, vals in (
+            (0x00, T.DC_LUMA_BITS, T.DC_LUMA_VALS),
+            (0x10, T.AC_LUMA_BITS, T.AC_LUMA_VALS),
+            (0x01, T.DC_CHROMA_BITS, T.DC_CHROMA_VALS),
+            (0x11, T.AC_CHROMA_BITS, T.AC_CHROMA_VALS)):
+        payload += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return _marker(0xC4, payload)
+
+
+def _sos() -> bytes:
+    payload = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return _marker(0xDA, payload)
+
+
+_APP0 = _marker(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+
+
+def jpeg_headers(h: int, w: int, qy: np.ndarray, qc: np.ndarray,
+                 subsample: bool) -> bytes:
+    return (b"\xff\xd8" + _APP0 + _dqt(qy, qc) + _sof0(h, w, subsample)
+            + _dht() + _sos())
+
+
+# ----------------------------------------------------------------------------
+# host: entropy coding
+# ----------------------------------------------------------------------------
+
+def _encode_scan_python(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                        subsample: bool) -> bytes:
+    """Pure-Python fallback scan encoder (MCU-interleaved, DC-predicted)."""
+    tabs = T.code_tables()
+    dcl, acl = tabs["dc_luma"], tabs["ac_luma"]
+    dcc, acc = tabs["dc_chroma"], tabs["ac_chroma"]
+    out = bytearray()
+    acc_bits = 0
+    nbits = 0
+
+    def put(code: int, length: int):
+        nonlocal acc_bits, nbits
+        acc_bits = (acc_bits << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc_bits >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        acc_bits &= (1 << nbits) - 1
+
+    def block(z: np.ndarray, pred: int, dct_tab, act_tab) -> int:
+        dc = int(z[0])
+        diff = dc - pred
+        s = abs(diff).bit_length()
+        c, l = dct_tab[s]
+        put(c, l)
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(z[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, l = act_tab[0xF0]
+                put(c, l)
+                run -= 16
+            sz = abs(v).bit_length()
+            c, l = act_tab[(run << 4) | sz]
+            put(c, l)
+            put(v if v >= 0 else v + (1 << sz) - 1, sz)
+            run = 0
+        if run:
+            c, l = act_tab[0x00]
+            put(c, l)
+        return dc
+
+    py = pcb = pcr = 0
+    ybh, ybw = y.shape[:2]
+    if subsample:
+        for my in range(ybh // 2):
+            for mx in range(ybw // 2):
+                for sy in range(2):
+                    for sx in range(2):
+                        py = block(y[2 * my + sy, 2 * mx + sx], py, dcl, acl)
+                pcb = block(cb[my, mx], pcb, dcc, acc)
+                pcr = block(cr[my, mx], pcr, dcc, acc)
+    else:
+        for by in range(ybh):
+            for bx in range(ybw):
+                py = block(y[by, bx], py, dcl, acl)
+                pcb = block(cb[by, bx], pcb, dcc, acc)
+                pcr = block(cr[by, bx], pcr, dcc, acc)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)
+    return bytes(out)
+
+
+@functools.lru_cache()
+def _native_tables():
+    arrs = T.code_arrays()
+    out = {}
+    for name, (codes, lengths) in arrs.items():
+        out[name] = (
+            np.ascontiguousarray(codes),
+            np.ascontiguousarray(lengths),
+        )
+    return out
+
+
+def _encode_scan_native(lib, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                        subsample: bool) -> Optional[bytes]:
+    tabs = _native_tables()
+    ybh, ybw = y.shape[:2]
+    cbh, cbw = cb.shape[:2]
+    cap = y.nbytes + cb.nbytes + cr.nbytes + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    c = ctypes
+
+    def i16p(a):
+        return a.ctypes.data_as(c.POINTER(c.c_int16))
+
+    def tp(name):
+        codes, lengths = tabs[name]
+        return (codes.ctypes.data_as(c.POINTER(c.c_uint32)),
+                lengths.ctypes.data_as(c.POINTER(c.c_uint8)))
+
+    dcl = tp("dc_luma"); acl = tp("ac_luma")
+    dcc = tp("dc_chroma"); acc = tp("ac_chroma")
+    n = lib.flu_jpeg_encode_scan(
+        i16p(y), ybw, ybh, i16p(cb), i16p(cr), cbw, cbh,
+        1 if subsample else 0, 3,
+        dcl[0], dcl[1], acl[0], acl[1], dcc[0], dcc[1], acc[0], acc[1],
+        out.ctypes.data_as(c.POINTER(c.c_uint8)), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def encode_scan(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                subsample: bool) -> bytes:
+    """Entropy-code one frame's coefficient planes ((BH,BW,64) int16 each)."""
+    y = np.ascontiguousarray(y, dtype=np.int16)
+    cb = np.ascontiguousarray(cb, dtype=np.int16)
+    cr = np.ascontiguousarray(cr, dtype=np.int16)
+    lib = native.get_lib()
+    if lib is not None:
+        data = _encode_scan_native(lib, y, cb, cr, subsample)
+        if data is not None:
+            return data
+    return _encode_scan_python(y, cb, cr, subsample)
+
+
+# ----------------------------------------------------------------------------
+# public encoder
+# ----------------------------------------------------------------------------
+
+class JpegEncoder:
+    """Stateless-per-GOP JPEG encoder: device transforms + host scans."""
+
+    def __init__(self, quality: int = 85, subsample: bool = True):
+        self.quality = quality
+        self.subsample = subsample
+        self.qy = scale_qtable(LUMA_QTABLE, quality)
+        self.qc = scale_qtable(CHROMA_QTABLE, quality)
+        self._qy_dev = jnp.asarray(self.qy)
+        self._qc_dev = jnp.asarray(self.qc)
+
+    def encode_gop(self, frames: np.ndarray) -> List[bytes]:
+        """(F, H, W, 3) uint8 RGB → one JFIF bytestream per frame."""
+        f, h, w, _ = frames.shape
+        mult = 16 if self.subsample else 8
+        ph, pw = _pad_to(h, mult), _pad_to(w, mult)
+        yq, cbq, crq = encode_gop_to_coefs(
+            jnp.asarray(frames), self._qy_dev, self._qc_dev,
+            pad_h=ph, pad_w=pw, subsample=self.subsample)
+        # one host transfer per GOP
+        yq = np.asarray(yq)
+        cbq = np.asarray(cbq)
+        crq = np.asarray(crq)
+        hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
+        out = []
+        for i in range(f):
+            scan = encode_scan(yq[i], cbq[i], crq[i], self.subsample)
+            out.append(hdr + scan + b"\xff\xd9")
+        return out
+
+    def encode_frame(self, frame: np.ndarray) -> bytes:
+        return self.encode_gop(frame[None])[0]
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode with an independent decoder (PIL) — interop check for tests."""
+    from PIL import Image
+    img = Image.open(io.BytesIO(data))
+    return np.asarray(img.convert("RGB"))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)

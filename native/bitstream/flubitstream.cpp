@@ -1,0 +1,191 @@
+// flubitstream — host-side entropy coding for the TPU codec path.
+//
+// The device (JAX/Pallas) produces zigzagged, quantized DCT coefficients as
+// int16 arrays; this module turns them into standard JPEG entropy-coded
+// scans (Huffman, byte-stuffed) and FVC (flu video codec) frame payloads.
+// Entropy coding is inherently serial per scan, so it lives on the host in
+// C++ — the TPU-native analog of the reference's native encoder delegates.
+//
+// Built as a plain C ABI shared library; Python binds via ctypes
+// (flutpu/native.py). No GIL interaction: pure buffers in/out, safe to call
+// from multiple Python threads concurrently (one encoder state per call).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+namespace {
+
+struct BitWriter {
+    uint8_t* out;
+    long cap;
+    long pos;
+    uint64_t acc;   // bits accumulate high-to-low
+    int nbits;
+    bool overflow;
+    bool stuff;     // JPEG 0xFF00 byte stuffing
+
+    BitWriter(uint8_t* o, long c, bool stuff_) :
+        out(o), cap(c), pos(0), acc(0), nbits(0), overflow(false), stuff(stuff_) {}
+
+    inline void put_byte(uint8_t b) {
+        if (pos >= cap) { overflow = true; return; }
+        out[pos++] = b;
+        if (stuff && b == 0xFF) {
+            if (pos >= cap) { overflow = true; return; }
+            out[pos++] = 0x00;
+        }
+    }
+
+    inline void put_bits(uint32_t code, int len) {
+        // len <= 26 guaranteed by callers (16-bit huffman + up to 16 extra
+        // written separately)
+        acc = (acc << len) | (uint64_t)(code & ((1u << len) - 1));
+        nbits += len;
+        while (nbits >= 8) {
+            nbits -= 8;
+            put_byte((uint8_t)((acc >> nbits) & 0xFF));
+        }
+    }
+
+    inline void flush_ones() {
+        // pad final partial byte with 1-bits (JPEG convention)
+        if (nbits > 0) {
+            int pad = 8 - nbits;
+            put_bits((1u << pad) - 1, pad);
+        }
+    }
+};
+
+struct HuffTable {
+    uint32_t code[256];
+    uint8_t len[256];
+};
+
+inline int magnitude(int v) {
+    unsigned a = (unsigned)(v < 0 ? -v : v);
+    int n = 0;
+    while (a) { n++; a >>= 1; }
+    return n;
+}
+
+// Encode one 64-coef zigzagged block. Returns new DC predictor.
+inline int encode_block(BitWriter& bw, const int16_t* z, int pred,
+                        const HuffTable& dc, const HuffTable& ac) {
+    int dcval = z[0];
+    int diff = dcval - pred;
+    int s = magnitude(diff);
+    bw.put_bits(dc.code[s], dc.len[s]);
+    if (s) {
+        int bits = diff < 0 ? diff + ((1 << s) - 1) : diff;
+        bw.put_bits((uint32_t)bits, s);
+    }
+    int run = 0;
+    for (int k = 1; k < 64; k++) {
+        int v = z[k];
+        if (v == 0) { run++; continue; }
+        while (run > 15) {
+            bw.put_bits(ac.code[0xF0], ac.len[0xF0]);  // ZRL
+            run -= 16;
+        }
+        int sz = magnitude(v);
+        int sym = (run << 4) | sz;
+        bw.put_bits(ac.code[sym], ac.len[sym]);
+        int bits = v < 0 ? v + ((1 << sz) - 1) : v;
+        bw.put_bits((uint32_t)bits, sz);
+        run = 0;
+    }
+    if (run > 0) {
+        bw.put_bits(ac.code[0x00], ac.len[0x00]);  // EOB
+    }
+    return dcval;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode a baseline JPEG entropy scan.
+//   y:  ybh*ybw blocks of 64 int16 (zigzag order, quantized)
+//   cb/cr: cbh*cbw blocks each (nullable when ncomp==1)
+//   subsample: 1 = 4:2:0 (ybw==2*cbw, ybh==2*cbh, MCU = 4Y+Cb+Cr)
+//              0 = 4:4:4 (MCU = Y+Cb+Cr)
+//   tables: dc_luma/ac_luma/dc_chroma/ac_chroma as (code[256], len[256])
+// Returns bytes written, or -1 on overflow.
+long flu_jpeg_encode_scan(
+    const int16_t* y, int ybw, int ybh,
+    const int16_t* cb, const int16_t* cr, int cbw, int cbh,
+    int subsample, int ncomp,
+    const uint32_t* dcl_code, const uint8_t* dcl_len,
+    const uint32_t* acl_code, const uint8_t* acl_len,
+    const uint32_t* dcc_code, const uint8_t* dcc_len,
+    const uint32_t* acc_code, const uint8_t* acc_len,
+    uint8_t* out, long out_cap) {
+
+    HuffTable dcl, acl, dcc, acc;
+    memcpy(dcl.code, dcl_code, sizeof(dcl.code));
+    memcpy(dcl.len, dcl_len, sizeof(dcl.len));
+    memcpy(acl.code, acl_code, sizeof(acl.code));
+    memcpy(acl.len, acl_len, sizeof(acl.len));
+    memcpy(dcc.code, dcc_code, sizeof(dcc.code));
+    memcpy(dcc.len, dcc_len, sizeof(dcc.len));
+    memcpy(acc.code, acc_code, sizeof(acc.code));
+    memcpy(acc.len, acc_len, sizeof(acc.len));
+
+    BitWriter bw(out, out_cap, /*stuff=*/true);
+    int pred_y = 0, pred_cb = 0, pred_cr = 0;
+
+    if (ncomp == 1) {
+        for (int by = 0; by < ybh; by++)
+            for (int bx = 0; bx < ybw; bx++)
+                pred_y = encode_block(bw, y + ((long)by * ybw + bx) * 64,
+                                      pred_y, dcl, acl);
+    } else if (subsample) {
+        int mh = ybh / 2, mw = ybw / 2;
+        for (int my = 0; my < mh; my++) {
+            for (int mx = 0; mx < mw; mx++) {
+                for (int sy = 0; sy < 2; sy++)
+                    for (int sx = 0; sx < 2; sx++) {
+                        long idx = ((long)(2 * my + sy) * ybw + (2 * mx + sx)) * 64;
+                        pred_y = encode_block(bw, y + idx, pred_y, dcl, acl);
+                    }
+                long cidx = ((long)my * cbw + mx) * 64;
+                pred_cb = encode_block(bw, cb + cidx, pred_cb, dcc, acc);
+                pred_cr = encode_block(bw, cr + cidx, pred_cr, dcc, acc);
+            }
+        }
+    } else {
+        for (int by = 0; by < ybh; by++) {
+            for (int bx = 0; bx < ybw; bx++) {
+                long idx = ((long)by * ybw + bx) * 64;
+                pred_y = encode_block(bw, y + idx, pred_y, dcl, acl);
+                pred_cb = encode_block(bw, cb + idx, pred_cb, dcc, acc);
+                pred_cr = encode_block(bw, cr + idx, pred_cr, dcc, acc);
+            }
+        }
+    }
+    bw.flush_ones();
+    return bw.overflow ? -1 : bw.pos;
+}
+
+// FVC plane payload: same Huffman machinery without byte stuffing, plane
+// encoded block-row-major with DC prediction within the plane.
+long flu_fvc_encode_plane(
+    const int16_t* blocks, int bw_, int bh_,
+    const uint32_t* dc_code, const uint8_t* dc_len,
+    const uint32_t* ac_code, const uint8_t* ac_len,
+    uint8_t* out, long out_cap) {
+    HuffTable dc, ac;
+    memcpy(dc.code, dc_code, sizeof(dc.code));
+    memcpy(dc.len, dc_len, sizeof(dc.len));
+    memcpy(ac.code, ac_code, sizeof(ac.code));
+    memcpy(ac.len, ac_len, sizeof(ac.len));
+    BitWriter w(out, out_cap, /*stuff=*/false);
+    int pred = 0;
+    for (long i = 0; i < (long)bw_ * bh_; i++)
+        pred = encode_block(w, blocks + i * 64, pred, dc, ac);
+    w.flush_ones();
+    return w.overflow ? -1 : w.pos;
+}
+
+}  // extern "C"

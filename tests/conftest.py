@@ -1,14 +1,23 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh so
 multi-chip sharding paths are exercised without TPU hardware (the driver
-dry-runs the real multi-chip path separately via __graft_entry__)."""
+dry-runs the real multi-chip path separately via __graft_entry__).
+
+Note: this image's sitecustomize pre-imports jax and registers the axon TPU
+plugin before conftest runs, so setting JAX_PLATFORMS in os.environ here is
+too late — jax.config.update is the only reliable override.
+"""
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,75 @@
+"""tpujpegenc element tests: the TPU encode path inside real pipelines —
+the end-to-end slice (SURVEY §7.3/7.4): source → GOP scatter → per-branch
+TPU encode → ordered gather → decodable bitstreams."""
+
+import numpy as np
+import pytest
+
+from flutpu.core import (Buffer, Caps, Harness, MSECOND, SECOND, State,
+                         parse_launch)
+from flutpu.core.elements import make_test_frame
+from flutpu.codec.jpeg import decode_jpeg, psnr
+
+CAPS = "video/x-raw, format=RGB, width=64, height=48, framerate=30/1"
+
+
+def push_frames(h, n, w=64, hh=48):
+    frames = []
+    for i in range(n):
+        f = make_test_frame("gradient", w, hh, i)
+        frames.append(f)
+        h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+    return frames
+
+
+def test_encoder_standalone():
+    h = Harness("tpujpegenc quality=90 batch-frames=4")
+    h.set_src_caps(CAPS)
+    frames = push_frames(h, 6)
+    h.push_eos()
+    outs = [h.pull(timeout=20) for _ in range(6)]
+    assert h.wait_for_eos(5)
+    for i, out in enumerate(outs):
+        assert out.pts == i * MSECOND
+        img = decode_jpeg(out.data)
+        assert psnr(frames[i], img) > 30
+    h.teardown()
+
+
+def test_encoder_caps_negotiation():
+    h = Harness("tpujpegenc")
+    h.set_src_caps(CAPS)
+    push_frames(h, 1)
+    h.push_eos()
+    h.pull(timeout=20)
+    caps_events = [e for e in h.events_received() if e.type.value == "caps"]
+    assert caps_events, "no caps event reached the sink"
+    caps = caps_events[-1].caps
+    assert caps.media_type == "image/jpeg"
+    assert caps["width"] == 64 and caps["height"] == 48
+
+
+def test_hype_with_tpu_encoders():
+    """The minimum end-to-end slice: GOP scatter → parallel TPU encode →
+    ordered gather; outputs must be in-order, decodable, faithful."""
+    h = Harness("hype gop-size=4 encoder-1=tpujpegenc encoder-2=tpujpegenc")
+    h.set_src_caps(CAPS)
+    frames = push_frames(h, 12)
+    h.push_eos()
+    outs = [h.pull(timeout=30) for _ in range(12)]
+    for i, out in enumerate(outs):
+        assert out.pts == i * MSECOND, f"order broken at {i}"
+        img = decode_jpeg(out.data)
+        assert psnr(frames[i], img) > 30, f"frame {i} corrupt"
+    h.teardown()
+
+
+def test_hype_tpu_encoders_partial_last_chunk():
+    h = Harness("hype gop-size=5 encoder-1=tpujpegenc encoder-2=tpujpegenc")
+    h.set_src_caps(CAPS)
+    frames = push_frames(h, 7)  # 5 + partial 2
+    h.push_eos()
+    outs = [h.pull(timeout=30) for _ in range(7)]
+    assert [o.pts for o in outs] == [i * MSECOND for i in range(7)]
+    assert psnr(frames[6], decode_jpeg(outs[6].data)) > 30
+    h.teardown()
