@@ -14,6 +14,7 @@ from .scenedetector import SceneDetector
 from .outputselector import OutputSelector
 from .scenecollector import SceneCollector
 from .hypebin import Hype
+from .tpu import TpuHype
 
 __all__ = ["SceneNewEvent", "SCENE_NEW_EVENT_NAME", "SceneDetector",
-           "OutputSelector", "SceneCollector", "Hype"]
+           "OutputSelector", "SceneCollector", "Hype", "TpuHype"]

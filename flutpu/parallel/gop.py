@@ -1,0 +1,66 @@
+"""Sharded GOP encode — the multi-chip encode step.
+
+``encode_chunks_sharded`` is the framework's SPMD program: a batch of C GOP
+chunks (one per chip along the ``chunk`` mesh axis, optionally row-striped
+along ``spatial``) goes through convert → 4:2:0 → DCT → quantize → zigzag as
+one jitted shard_map. No collectives are needed for the encode itself —
+chunk independence is the design (forced keyframes at chunk starts, see
+flutpu.hype) — so the program scales linearly over ICI and wall-clock equals
+the slowest chunk, matching the reference's structural property across chips
+instead of threads (reference hype/src/outputselector round-robin scatter).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..codec.ops.colorspace import rgb_to_i420
+from ..codec.ops.dct import plane_dct
+from ..codec.ops.quant import quantize, zigzag_flatten
+
+
+def _encode_block(frames: jax.Array, qy: jax.Array, qc: jax.Array):
+    """Local (per-shard) encode: (..., H, W, 3) uint8 → zigzagged int16
+    coefficient planes. H, W must be multiples of 16."""
+    x = frames.astype(jnp.float32)
+    y, cb, cr = rgb_to_i420(x)
+
+    def q(plane, qtab):
+        return zigzag_flatten(quantize(plane_dct(plane - 128.0), qtab)).astype(jnp.int16)
+
+    return q(y, qy), q(cb, qc), q(cr, qc)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "spatial"))
+def encode_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
+                          mesh: Mesh, spatial: bool = False):
+    """(C, F, H, W, 3) uint8 → (y, cb, cr) int16 (C, F, BH, BW, 64).
+
+    C is sharded over the ``chunk`` mesh axis; with ``spatial`` True, H is
+    additionally striped over the ``spatial`` axis (stripe height must stay a
+    multiple of 16 so 4:2:0 macroblocks remain shard-local → zero halo).
+    """
+    if spatial:
+        in_spec = P("chunk", None, "spatial", None, None)
+        out_spec = (P("chunk", None, "spatial"),) * 3
+    else:
+        in_spec = P("chunk", None, None, None, None)
+        out_spec = (P("chunk", None, None),) * 3
+
+    fn = shard_map(
+        _encode_block, mesh=mesh,
+        in_specs=(in_spec, P(), P()),
+        out_specs=out_spec,
+        check_rep=False)
+    return fn(frames, qy, qc)
+
+
+def encode_chunks_single(frames: jax.Array, qy: jax.Array, qc: jax.Array):
+    """Unsharded variant (single chip / tests)."""
+    return jax.jit(_encode_block)(frames, qy, qc)
