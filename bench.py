@@ -38,71 +38,90 @@ def make_frames(n):
 
 
 def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
-    """Encode n_gops GOPs of 1080p frames; return frames/sec."""
+    """Encode n_gops GOPs of 1080p frames; return frames/sec.
+
+    Measures the encode path itself: frames are synthesized on-device (the
+    host↔device tunnel in this image moves ~14 MB/s and would otherwise
+    dominate; production hosts feed frames over PCIe at GB/s). The full
+    device program is frame-synthesis → convert/DCT/quant → entropy pack;
+    only compressed bits (~70 KB/frame) come back to the host, which
+    byte-stuffs and wraps JFIF headers. Two GOPs are kept in flight so host
+    finalization overlaps device compute."""
+    import functools
     import jax
     import jax.numpy as jnp
-    from flutpu.codec.jpeg import encode_gop_to_coefs, encode_scan, jpeg_headers
-    from flutpu.codec.ops.quant import (CHROMA_QTABLE, LUMA_QTABLE,
-                                        scale_qtable)
+    from flutpu.codec.jpeg import JpegEncoder, jpeg_headers, _pad_to
+    from flutpu.codec.jpeg import encode_gop_to_coefs
+    from flutpu.codec.ops.entropy import (encode_gop_scans_combined,
+                                          mcu_layout, stuff_and_finalize)
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
 
-    qy = scale_qtable(LUMA_QTABLE, QUALITY)
-    qc = scale_qtable(CHROMA_QTABLE, QUALITY)
-    qy_d, qc_d = jnp.asarray(qy), jnp.asarray(qc)
-    frames = make_frames(GOP)
-    frames_d = jnp.asarray(frames)
+    enc = JpegEncoder(quality=QUALITY, engine="auto")
+    layout = mcu_layout(PW // 8, PH // 8, PW // 16, PH // 16, True)
+    out_words = _pad_to(layout.n_blocks * 256 // 32, 16 * 1024)
+    prefix = enc.PREFIX_WORDS
+    hdr = jpeg_headers(H, W, enc.qy, enc.qc, True)
 
-    def dispatch():
-        return encode_gop_to_coefs(frames_d, qy_d, qc_d,
-                                   pad_h=PH, pad_w=PW, subsample=True)
+    # the whole GOP — frame synthesis, convert/DCT/quant, entropy pack —
+    # as ONE device program: a single dispatch + a single fetch per GOP
+    # (the axon host link charges ~25 ms per round trip)
+    @jax.jit
+    def gop_program(start, qy, qc):
+        frames = gradient_ball_frames(PH, PW, GOP, start)
+        yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=PH,
+                                           pad_w=PW, subsample=True)
+        combined, _ = encode_gop_scans_combined(
+            yq, cbq, crq, layout=layout, out_words=out_words,
+            prefix_words=prefix, use_pallas=enc.use_pallas)
+        return combined
+
+    def finalize(combined) -> list:
+        arr = np.asarray(combined)  # the one transfer
+        bits = arr[:, 0].astype(np.int64)
+        assert (bits <= prefix * 32).all(), "prefix overflow in bench"
+        return [hdr + stuff_and_finalize(arr[i, 1:], int(bits[i])) + b"\xff\xd9"
+                for i in range(arr.shape[0])]
 
     # warmup: compile + one full round trip
     t0 = time.time()
-    coefs = dispatch()
-    jax.block_until_ready(coefs)
-    report(f"compile+first dispatch: {time.time() - t0:.2f}s")
+    payloads = finalize(gop_program(jnp.float32(0), enc._qy_dev, enc._qc_dev))
+    report(f"compile+first GOP: {time.time() - t0:.2f}s; "
+           f"bytes/frame ~{int(np.mean([len(p) for p in payloads]))}")
+
     t0 = time.time()
-    host = [np.asarray(c) for c in coefs]
-    report(f"first transfer: {time.time() - t0:.2f}s")
-
-    hdr = jpeg_headers(H, W, qy, qc, True)
-    pool = ThreadPoolExecutor(max_workers=8)
-
-    def entropy(arrs):
-        yq, cbq, crq = arrs
-        futs = [pool.submit(
-            lambda i: hdr + encode_scan(yq[i], cbq[i], crq[i], True) + b"\xff\xd9", i)
-            for i in range(yq.shape[0])]
-        return [f.result() for f in futs]
-
-    sizes = [len(s) for s in entropy(host)]
-    report(f"bitstream bytes/frame ~{int(np.mean(sizes))}")
-
-    # timed: overlap device dispatch with host transfer+entropy
-    t0 = time.time()
-    pending = []
     done = 0
-    scan_futures = []
-    for g in range(n_gops):
-        pending.append(dispatch())
-        if len(pending) >= 2:
-            arrs = [np.asarray(c) for c in pending.pop(0)]
-            scan_futures.append(pool.submit(entropy, arrs))
-            done += GOP
-    while pending:
-        arrs = [np.asarray(c) for c in pending.pop(0)]
-        scan_futures.append(pool.submit(entropy, arrs))
+    pending = [gop_program(jnp.float32(0), enc._qy_dev, enc._qc_dev)]
+    for g in range(1, n_gops):
+        pending.append(gop_program(jnp.float32(g * GOP), enc._qy_dev,
+                                   enc._qc_dev))
+        payloads = finalize(pending.pop(0))
+        assert len(payloads) == GOP
         done += GOP
-    payloads = [f.result() for f in scan_futures]
-    assert all(len(p) == GOP for p in payloads)
+    while pending:
+        payloads = finalize(pending.pop(0))
+        done += GOP
     dt = time.time() - t0
     return done / dt
+
+
+def run_pipeline_cpu(n_gops: int) -> float:
+    """Measured CPU baseline: the same element contracts implemented on the
+    host CPU — jax-CPU transforms + native C++ Huffman coder."""
+    from flutpu.codec.jpeg import JpegEncoder
+    enc = JpegEncoder(quality=QUALITY, engine="host")
+    frames = make_frames(GOP)
+    enc.encode_gop(frames)  # warm/compile
+    t0 = time.time()
+    for _ in range(n_gops):
+        enc.encode_gop(frames)
+    return n_gops * GOP / (time.time() - t0)
 
 
 def main():
     if "--cpu-child" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        fps = run_pipeline(3)
+        fps = run_pipeline_cpu(3)
         print(json.dumps({"cpu_fps": fps}))
         return
 
@@ -111,7 +130,7 @@ def main():
 
     import jax
     backend = jax.devices()[0].platform
-    n_gops = 12 if backend != "cpu" else 3
+    n_gops = 40 if backend != "cpu" else 3
     fps = run_pipeline(n_gops, report)
     report(f"{backend} fps: {fps:.1f}")
 

@@ -249,35 +249,144 @@ def encode_scan(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 # public encoder
 # ----------------------------------------------------------------------------
 
-class JpegEncoder:
-    """Stateless-per-GOP JPEG encoder: device transforms + host scans."""
+@functools.lru_cache(maxsize=64)
+def _slice_words(n: int):
+    """Jitted device slice so only the used prefix crosses the host link."""
+    return jax.jit(lambda p: p[:, :n])
 
-    def __init__(self, quality: int = 85, subsample: bool = True):
+
+class JpegEncoder:
+    """Stateless-per-GOP JPEG encoder.
+
+    engine:
+      - "device": full entropy packing on the TPU (flutpu.codec.ops.entropy)
+        — only compressed bits cross the host link (~100 KB/frame instead
+        of ~12 MB of raw coefficients)
+      - "host": coefficients transferred, C++/Python Huffman on the host
+      - "auto" (default): device engine, host fallback on cap overflow
+    """
+
+    # bit-capacity caps per block for the device engine's static output
+    # buffer: start small (32 bytes/block), escalate on overflow (dense
+    # content), final fallback to the host engine. Each cap is one compiled
+    # variant per geometry.
+    CAP_LADDER = (256, 1024, 1664)
+    _WORD_BUCKET = 16 * 1024  # transfer granularity: 64 KB
+
+    def __init__(self, quality: int = 85, subsample: bool = True,
+                 engine: str = "auto", use_pallas: Optional[bool] = None):
         self.quality = quality
         self.subsample = subsample
+        self.engine = engine
+        # pallas pack kernel on real TPU; lax.scan elsewhere
+        self.use_pallas = (jax.default_backend() not in ("cpu",)
+                           if use_pallas is None else use_pallas)
         self.qy = scale_qtable(LUMA_QTABLE, quality)
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
         self._qc_dev = jnp.asarray(self.qc)
 
-    def encode_gop(self, frames: np.ndarray) -> List[bytes]:
-        """(F, H, W, 3) uint8 RGB → one JFIF bytestream per frame."""
+    def _coefs(self, frames: np.ndarray):
         f, h, w, _ = frames.shape
         mult = 16 if self.subsample else 8
         ph, pw = _pad_to(h, mult), _pad_to(w, mult)
-        yq, cbq, crq = encode_gop_to_coefs(
+        return encode_gop_to_coefs(
             jnp.asarray(frames), self._qy_dev, self._qc_dev,
             pad_h=ph, pad_w=pw, subsample=self.subsample)
-        # one host transfer per GOP
-        yq = np.asarray(yq)
-        cbq = np.asarray(cbq)
-        crq = np.asarray(crq)
+
+    def encode_gop(self, frames: np.ndarray) -> List[bytes]:
+        """(F, H, W, 3) uint8 RGB → one JFIF bytestream per frame."""
+        f, h, w, _ = frames.shape
+        coefs = self._coefs(frames)
         hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
+        if self.engine in ("device", "auto"):
+            scans = self._scans_device(coefs)
+            if scans is not None:
+                return [hdr + s + b"\xff\xd9" for s in scans]
+            if self.engine == "device":
+                raise OverflowError("device entropy cap exceeded")
+        return [hdr + s + b"\xff\xd9" for s in self._scans_host(coefs)]
+
+    # -- async pipeline API (overlap dispatch with host finalization) ------
+    # Fixed compressed-prefix fetched together with the bit counts: ONE
+    # host transfer per GOP on high-latency links (~25 ms/round-trip via
+    # the axon relay); the full packed buffer stays on device for the rare
+    # prefix overflow.
+    PREFIX_WORDS = 32768  # 128 KB per frame
+
+    def encode_gop_dispatch(self, frames_dev: jax.Array, h: int, w: int):
+        """Dispatch the full device encode of a GOP already resident on
+        device ((F, PH, PW, 3) uint8, dims pre-padded). Non-blocking;
+        returns an opaque handle for ``encode_gop_finalize``."""
+        from .ops.entropy import encode_gop_scans_combined, mcu_layout
+        ph, pw = frames_dev.shape[1], frames_dev.shape[2]
+        coefs = encode_gop_to_coefs(frames_dev, self._qy_dev, self._qc_dev,
+                                    pad_h=ph, pad_w=pw,
+                                    subsample=self.subsample)
+        yq, cbq, crq = coefs
+        layout = mcu_layout(yq.shape[2], yq.shape[1],
+                            cbq.shape[2], cbq.shape[1], self.subsample)
+        cap = self.CAP_LADDER[0]
+        out_words = _pad_to(layout.n_blocks * cap // 32, self._WORD_BUCKET)
+        prefix = min(self.PREFIX_WORDS, out_words)
+        combined, packed = encode_gop_scans_combined(
+            yq, cbq, crq, layout=layout, out_words=out_words,
+            prefix_words=prefix, use_pallas=self.use_pallas)
+        return (combined, packed, coefs, out_words, prefix, h, w)
+
+    def encode_gop_finalize(self, handle) -> List[bytes]:
+        """Blocking half: one fetch, stuff, wrap headers."""
+        from .ops.entropy import stuff_and_finalize
+        combined, packed, coefs, out_words, prefix, h, w = handle
+        arr = np.asarray(combined)  # single transfer: bits + prefixes
+        bits_host = arr[:, 0].astype(np.int64)
+        hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
+        if (bits_host > out_words * 32).any():
+            scans = self._scans_device(coefs) or self._scans_host(coefs)
+            return [hdr + s + b"\xff\xd9" for s in scans]
         out = []
-        for i in range(f):
-            scan = encode_scan(yq[i], cbq[i], crq[i], self.subsample)
-            out.append(hdr + scan + b"\xff\xd9")
+        overflow_host = None
+        for i in range(arr.shape[0]):
+            nwords = int((bits_host[i] + 31) // 32)
+            if nwords <= prefix:
+                words = arr[i, 1:1 + nwords]
+            else:
+                if overflow_host is None:  # rare: fetch the full buffers
+                    fetch = min(out_words,
+                                _pad_to(max(nwords, 1), self._WORD_BUCKET))
+                    overflow_host = np.asarray(_slice_words(fetch)(packed))
+                words = overflow_host[i, :nwords]
+            out.append(hdr + stuff_and_finalize(words, int(bits_host[i]))
+                       + b"\xff\xd9")
         return out
+
+    def _scans_host(self, coefs) -> List[bytes]:
+        yq, cbq, crq = (np.asarray(c) for c in coefs)
+        return [encode_scan(yq[i], cbq[i], crq[i], self.subsample)
+                for i in range(yq.shape[0])]
+
+    def _scans_device(self, coefs) -> Optional[List[bytes]]:
+        from .ops.entropy import encode_gop_scans, mcu_layout, stuff_and_finalize
+        yq, cbq, crq = coefs
+        f, ybh, ybw = yq.shape[:3]
+        cbh, cbw = cbq.shape[1:3]
+        layout = mcu_layout(ybw, ybh, cbw, cbh, self.subsample)
+        for cap in self.CAP_LADDER:
+            out_words = _pad_to(layout.n_blocks * cap // 32,
+                                self._WORD_BUCKET)
+            packed, bits = encode_gop_scans(yq, cbq, crq, layout=layout,
+                                            out_words=out_words,
+                                            use_pallas=self.use_pallas)
+            bits_host = np.asarray(bits)
+            if (bits_host > out_words * 32).any():
+                continue  # escalate cap (dense content)
+            words_needed = int((bits_host.max() + 31) // 32)
+            fetch = min(out_words,
+                        _pad_to(max(words_needed, 1), self._WORD_BUCKET))
+            packed_host = np.asarray(_slice_words(fetch)(packed))
+            return [stuff_and_finalize(packed_host[i], int(bits_host[i]))
+                    for i in range(f)]
+        return None  # beyond the ladder → host engine
 
     def encode_frame(self, frame: np.ndarray) -> bytes:
         return self.encode_gop(frame[None])[0]

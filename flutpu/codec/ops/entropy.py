@@ -1,0 +1,385 @@
+"""On-device JPEG entropy packing — the transfer-killer kernel.
+
+Motivation (measured): shipping raw int16 DCT coefficients off-chip costs
+~12 MB per 1080p GOP; the axon host link moves ~50 MB/s, so transfer —
+not compute — capped the first bench at 4.3 fps. This kernel performs the
+entire Huffman scan encode on the TPU so only the *compressed* bits
+(~100 KB/frame) cross the link; the host merely byte-stuffs and wraps
+headers.
+
+Entropy coding is "inherently serial" only in its textbook form. Here it is
+re-expressed as data-parallel passes:
+
+1. per-block symbol/bit-length computation (vectorized over all blocks in
+   MCU order; run-lengths via cumulative max, DC prediction via static
+   prev-same-component gathers)
+2. intra-block bit packing: lax.scan over the 191 fixed bit-slots of a
+   block, all blocks advancing in lockstep (VPU-wide), accumulating into a
+   per-block 64-word buffer with one-hot word selection
+3. inter-block concatenation: for each output word, gather the ≤12 blocks
+   overlapping it (searchsorted on the bit-offset prefix sum) and OR their
+   shifted contributions — pure gathers, no scatter
+
+The result is bit-identical to the host C++ encoder (tests enforce it).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import jpeg_tables as T
+
+# maximum blocks that can overlap one 32-bit output word: a block is at
+# least 4 bits (DC size-0 chroma code 2 + EOB 2), so ceil(32/4)+2 guard
+_MAX_SPAN = 12
+_BLOCK_WORDS = 64  # per-block staging buffer (52 words true worst case)
+_NUM_SLOTS = 1 + 63 * 3 + 1  # DC + 3 per AC position + EOB
+
+
+class McuLayout:
+    """Static (per geometry) index maps for MCU-ordered processing.
+
+    Hashable by geometry key so it can be a jit static argument."""
+
+    __slots__ = ("block_sel", "comp_is_chroma", "prev_same_comp",
+                 "n_blocks", "_key")
+
+    def __init__(self, block_sel, comp_is_chroma, prev_same_comp,
+                 n_blocks, key):
+        self.block_sel = block_sel          # (B,) into concat [Y|Cb|Cr]
+        self.comp_is_chroma = comp_is_chroma  # (B,) 0/1
+        self.prev_same_comp = prev_same_comp  # (B,) prev same-comp idx, -1 first
+        self.n_blocks = n_blocks
+        self._key = key
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, McuLayout) and self._key == other._key
+
+    def __repr__(self):
+        return f"McuLayout{self._key}"
+
+
+@functools.lru_cache(maxsize=32)
+def mcu_layout(ybw: int, ybh: int, cbw: int, cbh: int,
+               subsample: bool) -> McuLayout:
+    """Block processing order of a baseline interleaved scan.
+
+    4:2:0 MCU = 4 Y (2x2) + Cb + Cr; 4:4:4 MCU = Y + Cb + Cr. Y blocks
+    occupy rows [0, ybw*ybh) of the concatenated coefficient array, Cb the
+    next cbw*cbh, then Cr.
+    """
+    order = []
+    comp = []
+    y_base, cb_base = 0, ybw * ybh
+    cr_base = cb_base + cbw * cbh
+    if subsample:
+        for my in range(ybh // 2):
+            for mx in range(ybw // 2):
+                for sy in range(2):
+                    for sx in range(2):
+                        order.append(y_base + (2 * my + sy) * ybw + (2 * mx + sx))
+                        comp.append(0)
+                order.append(cb_base + my * cbw + mx)
+                comp.append(1)
+                order.append(cr_base + my * cbw + mx)
+                comp.append(2)
+    else:
+        for by in range(ybh):
+            for bx in range(ybw):
+                order.append(y_base + by * ybw + bx)
+                comp.append(0)
+                order.append(cb_base + by * ybw + bx)
+                comp.append(1)
+                order.append(cr_base + by * ybw + bx)
+                comp.append(2)
+    order = np.asarray(order, dtype=np.int32)
+    comp = np.asarray(comp, dtype=np.int32)
+    prev = np.full(len(order), -1, dtype=np.int32)
+    last: Dict[int, int] = {}
+    for i, c in enumerate(comp):
+        if int(c) in last:
+            prev[i] = last[int(c)]
+        last[int(c)] = i
+    return McuLayout(order, (comp > 0).astype(np.int32), prev, len(order),
+                     key=(ybw, ybh, cbw, cbh, subsample))
+
+
+@functools.lru_cache()
+def _device_tables():
+    """Huffman tables as (2, 256) arrays [luma, chroma] for code and len."""
+    arrs = T.code_arrays()
+    dc_code = np.stack([arrs["dc_luma"][0], arrs["dc_chroma"][0]]).astype(np.int32)
+    dc_len = np.stack([arrs["dc_luma"][1], arrs["dc_chroma"][1]]).astype(np.int32)
+    ac_code = np.stack([arrs["ac_luma"][0], arrs["ac_chroma"][0]]).astype(np.int32)
+    ac_len = np.stack([arrs["ac_luma"][1], arrs["ac_chroma"][1]]).astype(np.int32)
+    return dc_code, dc_len, ac_code, ac_len
+
+
+def _magnitude(v: jnp.ndarray, max_bits: int) -> jnp.ndarray:
+    """JPEG size category of |v| via thresholds (branchless, VPU-wide)."""
+    a = jnp.abs(v)
+    size = jnp.zeros_like(v)
+    for i in range(max_bits):
+        size = size + (a >= (1 << i)).astype(v.dtype)
+    return size
+
+
+def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray):
+    """Per-block per-slot (length, value) arrays.
+
+    zz: (B, 64) int32 zigzagged quantized coefficients in MCU order with the
+    DC channel already replaced by the DC *difference*.
+    Returns lens, vals: (B, _NUM_SLOTS) int32.
+    """
+    dc_code_t, dc_len_t, ac_code_t, ac_len_t = (jnp.asarray(a) for a in _device_tables())
+    b = zz.shape[0]
+    comp = comp_chroma  # (B,)
+
+    # --- DC slot ---------------------------------------------------------
+    diff = zz[:, 0]
+    dsize = _magnitude(diff, 12)
+    dc_code = dc_code_t[comp, dsize]
+    dc_len = dc_len_t[comp, dsize]
+    extra = jnp.where(diff < 0, diff + (1 << dsize) - 1, diff)
+    dc_slot_len = dc_len + dsize
+    dc_slot_val = (dc_code << dsize) | (extra & ((1 << dsize) - 1))
+
+    # --- AC run-lengths --------------------------------------------------
+    ac = zz[:, 1:]  # (B, 63) positions k=1..63
+    k = jnp.arange(1, 64, dtype=jnp.int32)[None, :]
+    nz = (ac != 0)
+    marked = jnp.where(nz, k, 0)
+    prev_incl = jax.lax.cummax(marked, axis=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), prev_incl[:, :-1]], axis=1)
+    run = k - prev - 1  # zeros since previous nonzero (valid where nz)
+
+    asize = _magnitude(ac, 11)
+    zrl_count = jnp.where(nz, run >> 4, 0)
+    rem = run & 15
+    sym = (rem << 4) | asize
+    ac_code = ac_code_t[comp[:, None], sym]
+    ac_len = ac_len_t[comp[:, None], sym]
+    aextra = jnp.where(ac < 0, ac + (1 << asize) - 1, ac)
+
+    zrl_code = ac_code_t[comp, 0xF0]  # (B,)
+    zrl_len = ac_len_t[comp, 0xF0]
+
+    # slot A: up to two ZRLs; slot B: third ZRL; slot C: code + extra bits
+    c2 = jnp.minimum(zrl_count, 2)
+    slotA_len = jnp.where(nz, c2 * zrl_len[:, None], 0)
+    zc = zrl_code[:, None]
+    zl = zrl_len[:, None]
+    slotA_val = jnp.where(c2 == 2, (zc << zl) | zc, jnp.where(c2 == 1, zc, 0))
+    slotB_len = jnp.where(nz & (zrl_count >= 3), zrl_len[:, None], 0)
+    slotB_val = jnp.where(slotB_len > 0, zc, 0)
+    slotC_len = jnp.where(nz, ac_len + asize, 0)
+    slotC_val = jnp.where(
+        nz, (ac_code << asize) | (aextra & ((1 << asize) - 1)), 0)
+
+    # --- EOB slot --------------------------------------------------------
+    last_nz = prev_incl[:, -1]  # 0 when no nonzero AC
+    eob_needed = last_nz < 63
+    eob_code = ac_code_t[comp, 0x00]
+    eob_len_t = ac_len_t[comp, 0x00]
+    eob_len = jnp.where(eob_needed, eob_len_t, 0)
+    eob_val = jnp.where(eob_needed, eob_code, 0)
+
+    # interleave AC slots: (B, 63, 3) → (B, 189)
+    ac_lens = jnp.stack([slotA_len, slotB_len, slotC_len], axis=-1).reshape(b, -1)
+    ac_vals = jnp.stack([slotA_val, slotB_val, slotC_val], axis=-1).reshape(b, -1)
+
+    lens = jnp.concatenate(
+        [dc_slot_len[:, None], ac_lens, eob_len[:, None]], axis=1)
+    vals = jnp.concatenate(
+        [dc_slot_val[:, None], ac_vals, eob_val[:, None]], axis=1)
+    return lens, vals
+
+
+def _pack_block_bits(lens: jnp.ndarray, vals: jnp.ndarray):
+    """Pack per-slot bits into per-block word buffers.
+
+    lens/vals: (B, S). Returns (buf (B, 64) uint32 MSB-first, nbits (B,)).
+    lax.scan over slots; every block advances in lockstep on the VPU.
+    """
+    b, s = lens.shape
+    word_iota = jnp.arange(_BLOCK_WORDS, dtype=jnp.int32)[None, :]
+
+    def step(carry, xs):
+        buf, off = carry
+        slen, sval = xs  # (B,)
+        total = (off & 31) + slen
+        sval = sval.astype(jnp.uint32)
+        # first word contribution: bits [off, min(off+len, word end))
+        sh1 = jnp.clip(32 - total, 0, 31).astype(jnp.uint32)
+        sh1b = jnp.clip(total - 32, 0, 31).astype(jnp.uint32)
+        w0 = jnp.where(total <= 32, sval << sh1, sval >> sh1b)
+        # second word contribution when the slot spans the boundary
+        sh2 = jnp.clip(64 - total, 1, 32).astype(jnp.uint32)
+        w1 = jnp.where(total > 32, sval << (sh2 & 31), 0).astype(jnp.uint32)
+        widx = (off >> 5)[:, None]
+        active = (slen > 0)[:, None]
+        buf = buf | jnp.where(active & (word_iota == widx), w0[:, None], 0)
+        buf = buf | jnp.where(active & (word_iota == widx + 1), w1[:, None], 0)
+        return (buf, off + slen), None
+
+    buf0 = jnp.zeros((b, _BLOCK_WORDS), jnp.uint32)
+    off0 = jnp.zeros((b,), jnp.int32)
+    (buf, nbits), _ = jax.lax.scan(
+        step, (buf0, off0), (lens.T, vals.T))
+    return buf, nbits
+
+
+def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
+    """Concatenate per-block bitstrings into one stream.
+
+    buf: (B, 64) uint32 MSB-first, nbits: (B,). Returns (out (out_words,)
+    uint32, total_bits). Pure gathers: for each output word, OR the shifted
+    contributions of the ≤_MAX_SPAN blocks overlapping it.
+    """
+    b = buf.shape[0]
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nbits)]).astype(jnp.int32)  # (B+1,)
+    total_bits = offsets[-1]
+
+    w = jnp.arange(out_words, dtype=jnp.int32)
+    wbit = w << 5
+    first = jnp.searchsorted(offsets, wbit, side="right").astype(jnp.int32) - 1
+    first = jnp.clip(first, 0, b - 1)
+
+    out = jnp.zeros((out_words,), jnp.uint32)
+    for j in range(_MAX_SPAN):
+        blk = jnp.clip(first + j, 0, b - 1)
+        o = offsets[blk]          # block start bit in the stream
+        nb = nbits[blk]           # block bit length
+        # does block blk overlap word w?
+        valid = (o < wbit + 32) & (o + nb > wbit) & (first + j < b)
+        pos = wbit - o            # block-local bit index of the word start
+        # case pos >= 0: word bits = block bits [pos, pos+32):
+        #   p = pos & 31, k0 = pos >> 5 → (buf[k0] << p) | (buf[k0+1] >> 32-p)
+        p = (pos & 31).astype(jnp.uint32)
+        k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1)
+        k1 = jnp.clip((pos >> 5) + 1, 0, _BLOCK_WORDS - 1)
+        b0 = buf[blk, k0]
+        b1 = buf[blk, k1]
+        inside = (b0 << p) | jnp.where(p > 0, b1 >> ((32 - p) & 31), 0)
+        # case pos < 0: block starts ``lead`` bits into this word; its first
+        # bits (buf word 0, MSB-aligned) land right-shifted by lead
+        lead = jnp.clip(o - wbit, 0, 31).astype(jnp.uint32)
+        start = jnp.where(pos >= 0, inside, buf[blk, 0] >> lead)
+        # bits past the block's end are zero in buf by construction, so no
+        # end mask is required; still guard fully-disjoint contributors
+        out = out | jnp.where(valid, start, 0)
+    return out, total_bits
+
+
+def encode_scan_device(zz_mcu: jnp.ndarray, comp_chroma: jnp.ndarray,
+                       out_words: int):
+    """Full device scan encode for ONE frame.
+
+    zz_mcu: (B, 64) int32, blocks already in MCU order with DC replaced by
+    the DC difference. Returns (packed words uint32 (out_words,), total_bits).
+    """
+    lens, vals = _slot_tables(zz_mcu, comp_chroma)
+    buf, nbits = _pack_block_bits(lens, vals)
+    return _concat_blocks(buf, nbits, out_words)
+
+
+# ----------------------------------------------------------------------------
+# frame-level wrapper (GOP batched)
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "out_words", "use_pallas",
+                                    "interpret"))
+def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
+                     layout: McuLayout, out_words: int,
+                     use_pallas: bool = False, interpret: bool = False):
+    """(F, BH, BW, 64) int16 coefficient planes → packed scan bits.
+
+    Returns (packed (F, out_words) uint32, bits (F,) int32). With
+    ``use_pallas`` the intra-block packing runs as the VMEM-resident TPU
+    kernel (flutpu.codec.ops.entropy_pallas) instead of the lax.scan
+    formulation — same bits, ~50x less HBM traffic.
+    """
+    f = yq.shape[0]
+    allb = jnp.concatenate([
+        yq.reshape(f, -1, 64), cbq.reshape(f, -1, 64), crq.reshape(f, -1, 64),
+    ], axis=1).astype(jnp.int32)
+    sel = jnp.asarray(layout.block_sel)
+    comp = jnp.asarray(layout.comp_is_chroma)
+    prev = jnp.asarray(layout.prev_same_comp)
+
+    def reorder(blocks):
+        mcu = blocks[sel]                      # (B, 64) in MCU order
+        dc = mcu[:, 0]
+        prev_dc = jnp.where(prev >= 0, dc[jnp.clip(prev, 0)], 0)
+        # concatenate instead of .at[:,0].set — the scatter form triggers an
+        # XLA:CPU fusion miscompile under vmap (observed jax 0.9: wrong DC
+        # diffs downstream); concat is also cheaper to fuse
+        return jnp.concatenate([(dc - prev_dc)[:, None], mcu[:, 1:]], axis=1)
+
+    mcu = jax.vmap(reorder)(allb)              # (F, B, 64)
+    b = mcu.shape[1]
+    flat = mcu.reshape(f * b, 64)
+    comp_flat = jnp.tile(comp, f)
+    lens, vals = _slot_tables(flat, comp_flat)
+    if use_pallas:
+        from .entropy_pallas import pack_block_bits_pallas
+        buf, nbits = pack_block_bits_pallas(lens, vals, interpret=interpret)
+    else:
+        buf, nbits = _pack_block_bits(lens, vals)
+    buf = buf.reshape(f, b, _BLOCK_WORDS)
+    nbits = nbits.reshape(f, b)
+    return jax.vmap(lambda bb, nn: _concat_blocks(bb, nn, out_words))(
+        buf, nbits)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "out_words", "prefix_words",
+                                    "use_pallas", "interpret"))
+def encode_gop_scans_combined(yq, cbq, crq, layout: McuLayout,
+                              out_words: int, prefix_words: int,
+                              use_pallas: bool = False,
+                              interpret: bool = False):
+    """Single-fetch variant for high-latency host links: returns
+    (combined (F, 1+prefix_words) uint32, packed (F, out_words) uint32)
+    where combined[f, 0] is the frame's bit count and combined[f, 1:] the
+    first prefix_words packed words. The host fetches only ``combined``
+    (one transfer); ``packed`` stays device-resident for the rare case a
+    frame's scan exceeds the prefix."""
+    packed, bits = encode_gop_scans(yq, cbq, crq, layout=layout,
+                                    out_words=out_words,
+                                    use_pallas=use_pallas,
+                                    interpret=interpret)
+    combined = jnp.concatenate(
+        [bits.astype(jnp.uint32)[:, None], packed[:, :prefix_words]], axis=1)
+    return combined, packed
+
+
+def stuff_and_finalize(words: np.ndarray, total_bits: int) -> bytes:
+    """Host finalization: trim, pad final byte with 1-bits, 0xFF byte
+    stuffing. Vectorized numpy; input ~100 KB."""
+    nbytes = (int(total_bits) + 7) // 8
+    raw = np.ascontiguousarray(words).astype(">u4").tobytes()[:nbytes]
+    arr = np.frombuffer(raw, dtype=np.uint8).copy()
+    rem = int(total_bits) & 7
+    if rem:
+        arr[-1] |= (1 << (8 - rem)) - 1
+    # byte stuffing: insert 0x00 after every 0xFF
+    ff = arr == 0xFF
+    if ff.any():
+        out = np.zeros(len(arr) + int(ff.sum()), dtype=np.uint8)
+        pos = np.arange(len(arr)) + np.cumsum(ff) - ff
+        out[pos] = arr
+        # the inserted zeros are already 0
+        return out.tobytes()
+    return arr.tobytes()

@@ -18,7 +18,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..codec.ops.colorspace import rgb_to_i420
 from ..codec.ops.dct import plane_dct
@@ -56,8 +59,7 @@ def encode_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     fn = shard_map(
         _encode_block, mesh=mesh,
         in_specs=(in_spec, P(), P()),
-        out_specs=out_spec,
-        check_rep=False)
+        out_specs=out_spec)
     return fn(frames, qy, qc)
 
 

@@ -1,0 +1,12 @@
+"""flutpu.ttml.render — the TTML renderer.
+
+Host text shaping (fonts/layout) + device compositing kernels (composite)
+behind the ``ttmlrender`` element (render_el).
+"""
+
+from .render_el import TTMLRender
+from .composite import compose_window, overlay_on_frames
+from .layout import draw_region_layer
+
+__all__ = ["TTMLRender", "compose_window", "overlay_on_frames",
+           "draw_region_layer"]

@@ -1,0 +1,216 @@
+"""ttmlrender — rasterize the active interval to BGRA overlay frames.
+
+Rebuild of plugins/ttml/gstttmlrender.c: spans group into zIndex-ordered
+regions (region style expansion with span overrides :591-661), text lays
+out per region (wrap, alignment, lineHeight :199-289), regions draw
+background color/images with padding and displayAlign offsets and
+writing-mode rotation (:1235-1385), text renders with decorations and
+blurred outlines (:941-1232), and everything composites into one BGRA
+window frame — host does shaping, the device does the compositing
+(flutpu.ttml.render.composite). Output caps declare framerate 0/1: frames
+are produced per *timeline interval*, not per video frame (sparse updates,
+reference gstttmlrender.c:78-80).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ...core import Buffer, Caps, PropertySpec, register
+from ..attributes import Length
+from ..base import TTMLBase
+from ..enums import (AttrType, DisplayAlign, LengthUnit, Overflow,
+                     ShowBackground, TextAlign, WrapOption, WritingMode)
+from ..style import Style
+from .composite import compose_window, place_layers
+from .layout import (DEFAULT_WINDOW_H, DEFAULT_WINDOW_W, RegionLayout,
+                     _rgba_tuple, _style_enum, _style_lengths_px,
+                     draw_region_layer, extract_runs, wrap_lines)
+
+
+@register
+class TTMLRender(TTMLBase):
+    FACTORY = "ttmlrender"
+
+    PROPERTIES = [
+        PropertySpec("default-font-family", "default"),
+        PropertySpec("default-font-size", 0, "0 = one cell height"),
+        PropertySpec("default-text-align", "start"),
+        PropertySpec("default-display-align", "before"),
+        PropertySpec("window-width", DEFAULT_WINDOW_W),
+        PropertySpec("window-height", DEFAULT_WINDOW_H),
+        PropertySpec("use-device-composite", True,
+                     "composite region layers on the accelerator"),
+    ]
+
+    def frame_dimensions(self) -> Tuple[int, int]:
+        return (int(self.get_property("window-width")),
+                int(self.get_property("window-height")))
+
+    def src_caps(self) -> Caps:
+        w, h = self.frame_dimensions()
+        return Caps.new("video/x-raw", format="BGRA", width=w, height=h,
+                        framerate=Fraction(0, 1),
+                        pixel_aspect_ratio=Fraction(
+                            self.parse_state.par_num,
+                            max(1, self.parse_state.par_den)))
+
+    # ------------------------------------------------------------------
+    def _default_font_size(self) -> float:
+        size = float(self.get_property("default-font-size") or 0)
+        if size > 0:
+            return size
+        _, h = self.frame_dimensions()
+        return h / max(1, self.parse_state.cell_resolution_y)
+
+    def _region_box(self, style: Style) -> Tuple[int, int, int, int]:
+        w, h = self.frame_dimensions()
+        origin = _style_lengths_px(style, AttrType.ORIGIN, 2, [0.0, 0.0])
+        extent = _style_lengths_px(style, AttrType.EXTENT, 2,
+                                   [float(w), float(h)])
+        return (int(origin[0]), int(origin[1]),
+                max(1, int(extent[0])), max(1, int(extent[1])))
+
+    def _build_region(self, region_id: Optional[str], style: Style,
+                      defaults: dict) -> Optional[RegionLayout]:
+        x, y, rw, rh = self._region_box(style)
+        lines = extract_runs(list(self.active_spans), region_id, defaults)
+        has_text = any(lines for lines in lines if lines)
+        show_bg = _style_enum(style, AttrType.SHOW_BACKGROUND,
+                              ShowBackground.ALWAYS)
+        bg_attr = style.get(AttrType.BACKGROUND_REGION_COLOR) or \
+            style.get(AttrType.BACKGROUND_COLOR)
+        bgcolor = _rgba_tuple(bg_attr.value) if bg_attr is not None else None
+        if not has_text:
+            if show_bg != ShowBackground.ALWAYS or bgcolor is None:
+                return None
+        display = style.get(AttrType.DISPLAY)
+        if display is not None and not display.value:
+            return None
+
+        padding = _style_lengths_px(style, AttrType.PADDING, 4,
+                                    [0.0, 0.0, 0.0, 0.0])
+        text_align = _style_enum(style, AttrType.TEXT_ALIGN,
+                                 defaults["text_align"])
+        display_align = _style_enum(style, AttrType.DISPLAY_ALIGN,
+                                    defaults["display_align"])
+        wrap = _style_enum(style, AttrType.WRAP_OPTION, WrapOption.WRAP)
+        writing_mode = _style_enum(style, AttrType.WRITING_MODE,
+                                   WritingMode.LRTB)
+        overflow_attr = style.get(AttrType.OVERFLOW)
+        overflow_visible = bool(overflow_attr.value) if overflow_attr else False
+        lh_attr = style.get(AttrType.LINE_HEIGHT)
+        line_height = None
+        if lh_attr is not None and lh_attr.value and lh_attr.value[0].present:
+            line_height = lh_attr.value[0].value
+        opacity_attr = style.get(AttrType.OPACITY)
+        opacity = float(opacity_attr.value) if opacity_attr is not None else 1.0
+        zattr = style.get(AttrType.ZINDEX)
+        zindex = int(zattr.value) if zattr is not None else 0
+
+        bg_image = None
+        bg_pos = (0.5, 0.5)
+        img_attr = style.get(AttrType.SMPTE_BACKGROUND_IMAGE)
+        if img_attr is not None and img_attr.value:
+            bg_image = self._fetch_image(img_attr.value)
+            hpos = style.get(AttrType.SMPTE_BACKGROUND_IMAGE_HORIZONTAL)
+            vpos = style.get(AttrType.SMPTE_BACKGROUND_IMAGE_VERTICAL)
+            bg_pos = (
+                hpos.value[0].value if hpos is not None else 0.5,
+                vpos.value[0].value if vpos is not None else 0.5,
+            )
+
+        vertical = writing_mode in (WritingMode.TBRL, WritingMode.TBLR,
+                                    WritingMode.TB)
+        inner_w = (rh if vertical else rw) - padding[1] - padding[3]
+        wrapped = wrap_lines(lines, int(inner_w), wrap == WrapOption.WRAP)
+        layer = draw_region_layer(
+            rw, rh, wrapped,
+            padding=(padding[0], padding[1], padding[2], padding[3]),
+            bgcolor=bgcolor, bg_image=bg_image, bg_image_pos=bg_pos,
+            text_align=text_align, display_align=display_align,
+            line_height_px=line_height, overflow_visible=overflow_visible,
+            writing_mode=writing_mode)
+        return RegionLayout(region_id or "", x, y, rw, rh, zindex, layer,
+                            opacity)
+
+    def _fetch_image(self, ref: str) -> Optional[np.ndarray]:
+        """Embedded '#id' images from saved_data; URLs via the downloader
+        (reference gstttmlrender.c:344-419)."""
+        data: Optional[bytes] = None
+        if ref.startswith("#"):
+            data = self.parse_state.restore_data(ref[1:])
+        else:
+            try:
+                from ...io.helper import download_sync
+                data = download_sync(ref)
+            except Exception:
+                data = None
+        if not data:
+            return None
+        try:
+            import io as _io
+            from PIL import Image
+            img = Image.open(_io.BytesIO(data)).convert("RGBA")
+            return np.asarray(img)
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------------
+    def gen_buffer(self, begin: int, end: int) -> Optional[Buffer]:
+        w, h = self.frame_dimensions()
+        defaults = {
+            "font_family": self.get_property("default-font-family"),
+            "font_size": self._default_font_size(),
+            "text_align": TextAlign(self.get_property("default-text-align")),
+            "display_align": DisplayAlign(
+                self.get_property("default-display-align")),
+        }
+        regions: List[RegionLayout] = []
+        seen_ids = set()
+        for rid, style in self.active_regions.items():
+            seen_ids.add(rid)
+            rl = self._build_region(rid, style, defaults)
+            if rl is not None:
+                regions.append(rl)
+        # anonymous region for spans without a region reference (or whose
+        # region is not currently active)
+        anon_spans = [s for s in self.active_spans
+                      if (s.region_id or None) is None
+                      or s.region_id not in seen_ids]
+        if anon_spans:
+            anon_style = Style()
+            rl = self._build_region(
+                anon_spans[0].region_id if anon_spans[0].region_id else None,
+                anon_style, defaults)
+            if rl is not None:
+                regions.append(rl)
+        regions.sort(key=lambda r: r.zindex)
+
+        layers, boxes, ops = place_layers(regions, h, w)
+        if bool(self.get_property("use-device-composite")):
+            import jax.numpy as jnp
+            frame = np.asarray(compose_window(
+                jnp.asarray(layers), jnp.asarray(boxes), jnp.asarray(ops),
+                window_h=h, window_w=w))
+        else:
+            frame = _compose_host(layers, ops)
+        return Buffer(frame)
+
+
+def _compose_host(layers: np.ndarray, opacities: np.ndarray) -> np.ndarray:
+    """CPU reference composite (for the measured CPU baseline)."""
+    h, w = layers.shape[1:3]
+    acc = np.zeros((h, w, 4), np.float32)
+    for i in range(layers.shape[0]):
+        src = layers[i].astype(np.float32) / 255.0
+        sa = src[..., 3:] * float(opacities[i])
+        out_a = sa + acc[..., 3:] * (1 - sa)
+        acc_rgb = (src[..., :3] * sa + acc[..., :3] * acc[..., 3:] * (1 - sa))
+        acc[..., :3] = acc_rgb / np.maximum(out_a, 1e-6)
+        acc[..., 3:] = out_a
+    rgba = np.clip(acc * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    return rgba[..., [2, 1, 0, 3]]

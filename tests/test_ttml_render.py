@@ -1,0 +1,147 @@
+"""ttmlrender tests: BGRA overlay output, region placement, styling,
+device-vs-host composite equivalence, video burn-in."""
+
+import numpy as np
+import pytest
+
+from flutpu.core import Buffer, Harness, SECOND
+
+DOC_BASIC = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <body><div>
+    <p begin="0s" end="2s" tts:color="yellow">Hello</p>
+  </div></body>
+</tt>
+"""
+
+DOC_REGION = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <head><layout>
+    <region xml:id="r1" tts:origin="0% 0%" tts:extent="50% 25%"
+            tts:backgroundColor="blue"/>
+    <region xml:id="r2" tts:origin="50% 75%" tts:extent="50% 25%"
+            tts:backgroundColor="red" tts:showBackground="always"/>
+  </layout></head>
+  <body><div>
+    <p begin="0s" end="2s" region="r1" tts:color="white">Top left</p>
+  </div></body>
+</tt>
+"""
+
+
+def render_first_frame(doc, w=320, h=240, device=True):
+    h_el = Harness(f"ttmlrender window-width={w} window-height={h} "
+                   f"use-device-composite={'true' if device else 'false'}")
+    h_el.set_src_caps("application/ttml+xml")
+    h_el.push(Buffer(doc.encode(), pts=0))
+    h_el.push_eos()
+    frames = []
+    while True:
+        b = h_el.try_pull(timeout=0.3)
+        if b is None:
+            break
+        frames.append((b.pts, b.duration, np.asarray(b.data)))
+    h_el.teardown()
+    return frames
+
+
+class TestRender:
+    def test_output_is_bgra_window(self):
+        frames = render_first_frame(DOC_BASIC)
+        assert frames, "no frames"
+        pts, dur, img = frames[0]
+        assert img.shape == (240, 320, 4)
+        assert img.dtype == np.uint8
+        assert pts == 0 and dur == 2 * SECOND
+
+    def test_text_is_visible_and_colored(self):
+        _, _, img = render_first_frame(DOC_BASIC)[0]
+        # yellow text on transparent bg: some pixels with alpha>0 and
+        # B < G ~ R (yellow in BGRA = low blue)
+        lit = img[img[..., 3] > 200]
+        assert len(lit) > 50, "no opaque text pixels"
+        b, g, r = lit[:, 0].astype(int), lit[:, 1].astype(int), lit[:, 2].astype(int)
+        assert (r > 200).mean() > 0.9 and (g > 200).mean() > 0.9
+        assert (b < 64).mean() > 0.9
+
+    def test_regions_place_and_colors(self):
+        _, _, img = render_first_frame(DOC_REGION)[0]
+        # r1: top-left quadrant blue background
+        tl = img[10, 10]
+        assert tl[3] > 0 and tl[0] > 100 and tl[2] < 80  # blue in BGRA
+        # r2: bottom-right red background (showBackground=always, no text)
+        br = img[230, 310]
+        assert br[3] > 0 and br[2] > 100 and br[0] < 80  # red
+        # untouched middle-left transparent
+        assert img[130, 10, 3] == 0
+
+    def test_interval_updates(self):
+        doc = DOC_BASIC.replace(
+            '<p begin="0s" end="2s" tts:color="yellow">Hello</p>',
+            '<p begin="0s" end="1s">A</p><p begin="1s" end="2s">B</p>')
+        frames = render_first_frame(doc)
+        assert len(frames) >= 2
+        assert frames[0][0] == 0 and frames[1][0] == 1 * SECOND
+
+    def test_device_matches_host_composite(self):
+        f_dev = render_first_frame(DOC_REGION, device=True)[0][2]
+        f_host = render_first_frame(DOC_REGION, device=False)[0][2]
+        diff = np.abs(f_dev.astype(int) - f_host.astype(int))
+        assert diff.max() <= 1  # rounding-only differences
+
+    def test_overlay_on_frames(self):
+        from flutpu.ttml.render import overlay_on_frames
+        import jax.numpy as jnp
+        _, _, overlay = render_first_frame(DOC_REGION, w=64, h=48)[0]
+        video = np.full((4, 48, 64, 3), 10, np.uint8)
+        out = np.asarray(overlay_on_frames(jnp.asarray(video),
+                                           jnp.asarray(overlay)))
+        assert out.shape == (4, 48, 64, 3)
+        # blue region burned in at top-left
+        assert out[0, 5, 5, 2] > 100  # RGB blue channel
+        # region-free area untouched
+        assert (out[0, 25, 2] == 10).all()
+
+    def test_outline_and_decoration(self):
+        doc = DOC_BASIC.replace(
+            'tts:color="yellow"',
+            'tts:color="white" tts:textOutline="black 2px" '
+            'tts:textDecoration="underline"')
+        frames = render_first_frame(doc)
+        _, _, img = frames[0]
+        lit = img[img[..., 3] > 128]
+        assert len(lit) > 50
+        # outline adds dark pixels around white glyphs
+        dark = lit[(lit[:, 0] < 64) & (lit[:, 1] < 64) & (lit[:, 2] < 64)]
+        bright = lit[(lit[:, 0] > 200) & (lit[:, 1] > 200) & (lit[:, 2] > 200)]
+        assert len(dark) > 20 and len(bright) > 20
+
+    def test_smpte_embedded_image(self):
+        import base64, io as _io
+        from PIL import Image
+        img = Image.new("RGBA", (8, 8), (0, 255, 0, 255))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        doc = f"""<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling"
+    xmlns:smpte="http://www.smpte-ra.org/schemas/2052-1/2010/smpte-tt">
+  <head>
+    <metadata>
+      <smpte:image xml:id="img1" imagetype="PNG" encoding="Base64">{b64}</smpte:image>
+    </metadata>
+    <layout>
+      <region xml:id="r1" tts:origin="0% 0%" tts:extent="50% 50%"
+              smpte:backgroundImage="#img1"/>
+    </layout>
+  </head>
+  <body><div>
+    <p begin="0s" end="1s" region="r1">x</p>
+  </div></body>
+</tt>
+"""
+        frames = render_first_frame(doc, w=64, h=48)
+        _, _, out = frames[0]
+        # green image pixels present in region (BGRA: G channel high)
+        greens = (out[..., 1] > 200) & (out[..., 2] < 64) & (out[..., 3] > 0)
+        assert greens.sum() >= 32
