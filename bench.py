@@ -58,7 +58,6 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
 
     enc = JpegEncoder(quality=QUALITY, engine="auto")
     layout = mcu_layout(PW // 8, PH // 8, PW // 16, PH // 16, True)
-    out_words = _pad_to(layout.n_blocks * 256 // 32, 16 * 1024)
     prefix = enc.PREFIX_WORDS
     hdr = jpeg_headers(H, W, enc.qy, enc.qc, True)
 
@@ -70,10 +69,9 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
         frames = gradient_ball_frames(PH, PW, GOP, start)
         yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=PH,
                                            pad_w=PW, subsample=True)
-        combined, _ = encode_gop_scans_combined(
-            yq, cbq, crq, layout=layout, out_words=out_words,
-            prefix_words=prefix, use_pallas=enc.use_pallas)
-        return combined
+        return encode_gop_scans_combined(
+            yq, cbq, crq, layout=layout, prefix_words=prefix,
+            use_pallas=enc.use_pallas)
 
     def finalize(combined) -> list:
         arr = np.asarray(combined)  # the one transfer

@@ -326,39 +326,27 @@ class JpegEncoder:
         yq, cbq, crq = coefs
         layout = mcu_layout(yq.shape[2], yq.shape[1],
                             cbq.shape[2], cbq.shape[1], self.subsample)
-        cap = self.CAP_LADDER[0]
-        out_words = _pad_to(layout.n_blocks * cap // 32, self._WORD_BUCKET)
-        prefix = min(self.PREFIX_WORDS, out_words)
-        combined, packed = encode_gop_scans_combined(
-            yq, cbq, crq, layout=layout, out_words=out_words,
-            prefix_words=prefix, use_pallas=self.use_pallas)
-        return (combined, packed, coefs, out_words, prefix, h, w)
+        prefix = min(self.PREFIX_WORDS,
+                     _pad_to(layout.n_blocks * self.CAP_LADDER[-1] // 32,
+                             self._WORD_BUCKET))
+        combined = encode_gop_scans_combined(
+            yq, cbq, crq, layout=layout, prefix_words=prefix,
+            use_pallas=self.use_pallas)
+        return (combined, coefs, prefix, h, w)
 
     def encode_gop_finalize(self, handle) -> List[bytes]:
         """Blocking half: one fetch, stuff, wrap headers."""
         from .ops.entropy import stuff_and_finalize
-        combined, packed, coefs, out_words, prefix, h, w = handle
+        combined, coefs, prefix, h, w = handle
         arr = np.asarray(combined)  # single transfer: bits + prefixes
         bits_host = arr[:, 0].astype(np.int64)
         hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
-        if (bits_host > out_words * 32).any():
+        if (bits_host > prefix * 32).any():
+            # rare (dense content): recompute through the cap ladder
             scans = self._scans_device(coefs) or self._scans_host(coefs)
             return [hdr + s + b"\xff\xd9" for s in scans]
-        out = []
-        overflow_host = None
-        for i in range(arr.shape[0]):
-            nwords = int((bits_host[i] + 31) // 32)
-            if nwords <= prefix:
-                words = arr[i, 1:1 + nwords]
-            else:
-                if overflow_host is None:  # rare: fetch the full buffers
-                    fetch = min(out_words,
-                                _pad_to(max(nwords, 1), self._WORD_BUCKET))
-                    overflow_host = np.asarray(_slice_words(fetch)(packed))
-                words = overflow_host[i, :nwords]
-            out.append(hdr + stuff_and_finalize(words, int(bits_host[i]))
-                       + b"\xff\xd9")
-        return out
+        return [hdr + stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
+                + b"\xff\xd9" for i in range(arr.shape[0])]
 
     def _scans_host(self, coefs) -> List[bytes]:
         yq, cbq, crq = (np.asarray(c) for c in coefs)

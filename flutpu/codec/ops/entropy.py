@@ -344,25 +344,24 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("layout", "out_words", "prefix_words",
-                                    "use_pallas", "interpret"))
+                   static_argnames=("layout", "prefix_words", "use_pallas",
+                                    "interpret"))
 def encode_gop_scans_combined(yq, cbq, crq, layout: McuLayout,
-                              out_words: int, prefix_words: int,
-                              use_pallas: bool = False,
+                              prefix_words: int, use_pallas: bool = False,
                               interpret: bool = False):
     """Single-fetch variant for high-latency host links: returns
-    (combined (F, 1+prefix_words) uint32, packed (F, out_words) uint32)
-    where combined[f, 0] is the frame's bit count and combined[f, 1:] the
-    first prefix_words packed words. The host fetches only ``combined``
-    (one transfer); ``packed`` stays device-resident for the rare case a
-    frame's scan exceeds the prefix."""
+    combined (F, 1+prefix_words) uint32 where combined[f, 0] is the frame's
+    bit count and combined[f, 1:] the packed scan words. The concat stage
+    only materializes the prefix window (typical scans use <10% of the
+    worst-case cap — gathering the full cap costs 12x more); a frame whose
+    bit count exceeds the prefix falls back to the caller's cap-ladder
+    path."""
     packed, bits = encode_gop_scans(yq, cbq, crq, layout=layout,
-                                    out_words=out_words,
+                                    out_words=prefix_words,
                                     use_pallas=use_pallas,
                                     interpret=interpret)
-    combined = jnp.concatenate(
-        [bits.astype(jnp.uint32)[:, None], packed[:, :prefix_words]], axis=1)
-    return combined, packed
+    return jnp.concatenate(
+        [bits.astype(jnp.uint32)[:, None], packed], axis=1)
 
 
 def stuff_and_finalize(words: np.ndarray, total_bits: int) -> bytes:

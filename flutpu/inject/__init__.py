@@ -1,0 +1,5 @@
+"""flutpu.inject — dynamic pipeline rebuild (reference: injectbin plugin)."""
+
+from .injectbin import InjectBin
+
+__all__ = ["InjectBin"]

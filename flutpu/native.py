@@ -51,6 +51,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
 
 
+# Python-side callback ABI for the downloader
+DATA_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t,
+                           ctypes.c_void_p, ctypes.c_void_p)
+DONE_CB = ctypes.CFUNCTYPE(None, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+                           ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.POINTER(ctypes.c_int))
+
+
 def _configure(lib: ctypes.CDLL) -> None:
     c = ctypes
     i16p = c.POINTER(c.c_int16)
@@ -70,3 +78,62 @@ def _configure(lib: ctypes.CDLL) -> None:
         u32p, u8p, u32p, u8p,
         u8p, c.c_long,
     ]
+    # fluc primitives
+    for name in ("flu_mutex_new", "flu_monitor_new"):
+        getattr(lib, name).restype = c.c_void_p
+    lib.flu_barrier_new.restype = c.c_void_p
+    lib.flu_barrier_new.argtypes = [c.c_int]
+    for name in ("flu_mutex_lock", "flu_mutex_unlock", "flu_mutex_free",
+                 "flu_monitor_lock", "flu_monitor_unlock", "flu_monitor_wait",
+                 "flu_monitor_signal", "flu_monitor_broadcast",
+                 "flu_monitor_free", "flu_barrier_pass", "flu_barrier_free"):
+        getattr(lib, name).argtypes = [c.c_void_p]
+    lib.flu_mutex_trylock.argtypes = [c.c_void_p]
+    lib.flu_mutex_trylock.restype = c.c_int
+    lib.flu_monitor_wait_ms.argtypes = [c.c_void_p, c.c_long]
+    lib.flu_monitor_wait_ms.restype = c.c_int
+    lib.flu_barrier_set_open.argtypes = [c.c_void_p, c.c_int]
+    lib.flu_barrier_is_open.argtypes = [c.c_void_p]
+    lib.flu_barrier_is_open.restype = c.c_int
+    lib.flu_barrier_trypass_ms.argtypes = [c.c_void_p, c.c_long]
+    lib.flu_barrier_trypass_ms.restype = c.c_int
+    # bwmeter
+    lib.flu_bwmeter_data.argtypes = [c.c_uint64]
+    lib.flu_bwmeter_get.argtypes = [c.POINTER(c.c_double),
+                                    c.POINTER(c.c_double),
+                                    c.POINTER(c.c_uint64)]
+    # downloader
+    lib.flu_dl_new.restype = c.c_void_p
+    lib.flu_dl_new.argtypes = [DATA_CB, DONE_CB]
+    lib.flu_dl_destroy.argtypes = [c.c_void_p]
+    lib.flu_dl_new_task.restype = c.c_void_p
+    lib.flu_dl_new_task.argtypes = [c.c_void_p, c.c_char_p, c.c_char_p,
+                                    c.c_void_p]
+    lib.flu_dl_abort_task.argtypes = [c.c_void_p]
+    lib.flu_dl_abort_all.argtypes = [c.c_void_p, c.c_int]
+    lib.flu_dl_pause.argtypes = [c.c_void_p]
+    lib.flu_dl_resume.argtypes = [c.c_void_p]
+    lib.flu_dl_task_get_url.restype = c.c_char_p
+    lib.flu_dl_task_get_url.argtypes = [c.c_void_p]
+    lib.flu_dl_task_get_length.restype = c.c_size_t
+    lib.flu_dl_task_get_length.argtypes = [c.c_void_p]
+    lib.flu_dl_task_get_http_status.restype = c.c_int
+    lib.flu_dl_task_get_http_status.argtypes = [c.c_void_p]
+    lib.flu_dl_task_get_date.restype = c.c_char_p
+    lib.flu_dl_task_get_date.argtypes = [c.c_void_p]
+    lib.flu_dl_task_get_header.restype = c.c_char_p
+    lib.flu_dl_task_get_header.argtypes = [c.c_void_p]
+    lib.flu_dl_task_get_outcome.restype = c.c_int
+    lib.flu_dl_task_get_outcome.argtypes = [c.c_void_p]
+    lib.flu_dl_task_set_outcome.argtypes = [c.c_void_p, c.c_int]
+    lib.flu_dl_outcome_string.restype = c.c_char_p
+    lib.flu_dl_outcome_string.argtypes = [c.c_int]
+    lib.flu_dl_set_polling_period.argtypes = [c.c_void_p, c.c_long]
+    lib.flu_dl_get_polling_period.restype = c.c_long
+    lib.flu_dl_get_polling_period.argtypes = [c.c_void_p]
+    lib.flu_dl_set_timeouts.argtypes = [c.c_void_p, c.c_long, c.c_long]
+    lib.flu_dl_set_user_agent.argtypes = [c.c_void_p, c.c_char_p]
+    lib.flu_dl_set_cookies.argtypes = [c.c_void_p, c.c_char_p]
+    lib.flu_dl_set_proxy.argtypes = [c.c_void_p, c.c_char_p]
+    lib.flu_dl_get_tasks_count.restype = c.c_int
+    lib.flu_dl_get_tasks_count.argtypes = [c.c_void_p]

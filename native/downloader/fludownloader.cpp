@@ -1,0 +1,635 @@
+// fludownloader — threaded download session with task pipelining (C++).
+//
+// Rebuild of the reference's libcurl downloader
+// (libs/flu/downloader/lib/fludownloader.c) as a native component with no
+// external dependencies: http:// via POSIX sockets (HTTP/1.1, chunked and
+// content-length bodies, redirects) and file:// via stdio. Semantics kept:
+//   - one worker thread per session owning all I/O (:490-532)
+//   - task queue with LOOK-AHEAD PIPELINING: the next task's request is
+//     issued once the current transfer passes 75% of its content length
+//     (:443-484), hiding connection setup behind the tail of the current
+//     download
+//   - outcome taxonomy incl. connect/resolve/HTTP/timeout errors (:18-82)
+//   - pause/resume via a fluc Barrier with a 32 KiB bandwidth-discard
+//     window after resume (:343-355, 786-805)
+//   - connect/receive idle timeouts enforced in the receive loop (:300-312)
+//   - every payload chunk feeds the global fluc bwmeter (:350)
+//   - fault-injection hook: task outcome override (:912-918)
+//
+// C ABI for ctypes; callbacks are invoked from the worker thread (ctypes
+// handles GIL acquisition on the Python side).
+
+#include <arpa/inet.h>
+#include <fcntl.h>
+#include <netdb.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <poll.h>
+#include <sys/socket.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "../fluc/fluc_threads.hpp"
+
+extern "C" void flu_bwmeter_data(uint64_t bytes);
+
+namespace {
+
+enum Outcome {
+  TASK_OK = 0,
+  TASK_PENDING,
+  TASK_ABORTED,
+  TASK_ERROR,
+  TASK_COULD_NOT_CONNECT,
+  TASK_CONNECTION_REFUSED,
+  TASK_HTTP_ERROR,
+  TASK_SEND_ERROR,
+  TASK_RECV_ERROR,
+  TASK_TIMEOUT,
+  TASK_FILE_NOT_FOUND,
+  TASK_COULD_NOT_RESOLVE_HOST,
+  TASK_SSL_ERROR,
+  TASK_NO_TASK,
+};
+
+const char* kOutcomeNames[] = {
+    "OK", "PENDING", "ABORTED", "ERROR", "COULD_NOT_CONNECT",
+    "CONNECTION_REFUSED", "HTTP_ERROR", "SEND_ERROR", "RECV_ERROR",
+    "TIMEOUT", "FILE_NOT_FOUND", "COULD_NOT_RESOLVE_HOST", "SSL_ERROR",
+    "NO_TASK"};
+
+typedef int (*DataCb)(const void* buf, size_t size, void* user, void* task);
+typedef void (*DoneCb)(int outcome, int http_status, size_t size, void* user,
+                       void* task, int* cancel_remaining);
+
+struct Session;
+
+struct Task {
+  Session* session = nullptr;
+  std::string url;
+  std::string range;  // "" = full, "HEAD" = head request
+  void* user_data = nullptr;
+  std::atomic<int> outcome{TASK_PENDING};
+  std::atomic<bool> abort_requested{false};
+  std::atomic<bool> outcome_forced{false};
+  int http_status = 0;
+  size_t downloaded = 0;
+  size_t content_length = 0;
+  std::string date_header;
+  std::string raw_headers;
+
+  // pipelined connection state (prepared ahead of execution)
+  int sock = -1;
+  bool request_sent = false;
+};
+
+struct Session {
+  DataCb data_cb;
+  DoneCb done_cb;
+  std::mutex lock;
+  std::deque<Task*> queue;   // queue[0] = current
+  std::thread worker;
+  std::atomic<bool> running{true};
+  fluc::Barrier pause_barrier{true};
+  std::atomic<long> polling_period_us{0};
+  std::atomic<long> connect_timeout_ms{10000};
+  std::atomic<long> idle_timeout_ms{10000};
+  std::string user_agent = "flutpu-downloader/1.0";
+  std::string cookies;
+  std::string proxy;
+  fluc::Monitor wakeup;
+  std::atomic<uint64_t> discard_window{0};  // post-resume bw-stat discard
+
+  void notify() {
+    wakeup.lock();
+    wakeup.signal();
+    wakeup.unlock();
+  }
+};
+
+// ---------------------------------------------------------------------------
+// transport helpers
+// ---------------------------------------------------------------------------
+
+bool parse_url(const std::string& url, std::string* scheme, std::string* host,
+               int* port, std::string* path) {
+  size_t p = url.find("://");
+  if (p == std::string::npos) return false;
+  *scheme = url.substr(0, p);
+  std::string rest = url.substr(p + 3);
+  if (*scheme == "file") {
+    *path = rest;
+    return true;
+  }
+  size_t slash = rest.find('/');
+  std::string hostport = slash == std::string::npos ? rest
+                                                    : rest.substr(0, slash);
+  *path = slash == std::string::npos ? "/" : rest.substr(slash);
+  size_t colon = hostport.rfind(':');
+  if (colon != std::string::npos) {
+    *host = hostport.substr(0, colon);
+    *port = atoi(hostport.c_str() + colon + 1);
+  } else {
+    *host = hostport;
+    *port = 80;
+  }
+  return true;
+}
+
+int connect_host(const std::string& host, int port, long timeout_ms,
+                 int* outcome) {
+  struct addrinfo hints = {};
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  struct addrinfo* res = nullptr;
+  char portstr[16];
+  snprintf(portstr, sizeof(portstr), "%d", port);
+  if (getaddrinfo(host.c_str(), portstr, &hints, &res) != 0 || !res) {
+    *outcome = TASK_COULD_NOT_RESOLVE_HOST;
+    return -1;
+  }
+  int fd = socket(res->ai_family, SOCK_STREAM | SOCK_NONBLOCK, 0);
+  if (fd < 0) {
+    freeaddrinfo(res);
+    *outcome = TASK_COULD_NOT_CONNECT;
+    return -1;
+  }
+  int rc = connect(fd, res->ai_addr, res->ai_addrlen);
+  if (rc != 0 && errno == EINPROGRESS) {
+    struct pollfd pfd = {fd, POLLOUT, 0};
+    rc = poll(&pfd, 1, (int)timeout_ms);
+    if (rc <= 0) {
+      close(fd);
+      freeaddrinfo(res);
+      *outcome = rc == 0 ? TASK_TIMEOUT : TASK_COULD_NOT_CONNECT;
+      return -1;
+    }
+    int err = 0;
+    socklen_t len = sizeof(err);
+    getsockopt(fd, SOL_SOCKET, SO_ERROR, &err, &len);
+    if (err != 0) {
+      close(fd);
+      freeaddrinfo(res);
+      *outcome = err == ECONNREFUSED ? TASK_CONNECTION_REFUSED
+                                     : TASK_COULD_NOT_CONNECT;
+      return -1;
+    }
+  } else if (rc != 0) {
+    close(fd);
+    freeaddrinfo(res);
+    *outcome = errno == ECONNREFUSED ? TASK_CONNECTION_REFUSED
+                                     : TASK_COULD_NOT_CONNECT;
+    return -1;
+  }
+  freeaddrinfo(res);
+  return fd;
+}
+
+bool send_all(int fd, const std::string& data, long timeout_ms) {
+  size_t off = 0;
+  while (off < data.size()) {
+    struct pollfd pfd = {fd, POLLOUT, 0};
+    if (poll(&pfd, 1, (int)timeout_ms) <= 0) return false;
+    ssize_t n = send(fd, data.data() + off, data.size() - off, MSG_NOSIGNAL);
+    if (n <= 0) return false;
+    off += (size_t)n;
+  }
+  return true;
+}
+
+bool prepare_http(Session* s, Task* t, int* outcome) {
+  std::string scheme, host, path;
+  int port = 80;
+  if (!parse_url(t->url, &scheme, &host, &port, &path)) {
+    *outcome = TASK_ERROR;
+    return false;
+  }
+  if (scheme == "https") {
+    *outcome = TASK_SSL_ERROR;  // no TLS backend in this build
+    return false;
+  }
+  int fd = connect_host(host, port, s->connect_timeout_ms.load(), outcome);
+  if (fd < 0) return false;
+  bool head = t->range == "HEAD";
+  std::string req = std::string(head ? "HEAD " : "GET ") + path +
+                    " HTTP/1.1\r\nHost: " + host +
+                    "\r\nUser-Agent: " + s->user_agent +
+                    "\r\nConnection: close\r\n";
+  if (!t->range.empty() && !head)
+    req += "Range: bytes=" + t->range + "\r\n";
+  if (!s->cookies.empty()) req += "Cookie: " + s->cookies + "\r\n";
+  req += "\r\n";
+  if (!send_all(fd, req, s->connect_timeout_ms.load())) {
+    close(fd);
+    *outcome = TASK_SEND_ERROR;
+    return false;
+  }
+  t->sock = fd;
+  t->request_sent = true;
+  return true;
+}
+
+// Called when the current task crosses 75%: issue the next queued task's
+// request so its response is in flight behind the current one.
+void maybe_pipeline_next(Session* s, Task* current) {
+  Task* next = nullptr;
+  {
+    std::lock_guard<std::mutex> lk(s->lock);
+    for (size_t i = 0; i < s->queue.size(); i++) {
+      if (s->queue[i] == current && i + 1 < s->queue.size()) {
+        next = s->queue[i + 1];
+        break;
+      }
+    }
+  }
+  if (next == nullptr || next->request_sent || next->abort_requested.load())
+    return;
+  if (next->url.rfind("http://", 0) != 0) return;  // only http pipelines
+  int outcome = TASK_ERROR;
+  prepare_http(s, next, &outcome);  // best-effort; retried at execution
+}
+
+bool deliver(Session* s, Task* t, const char* buf, size_t n) {
+  t->downloaded += n;
+  uint64_t discard = s->discard_window.load();
+  if (discard > 0) {
+    uint64_t d = std::min<uint64_t>(discard, n);
+    s->discard_window.fetch_sub(d);
+    if (n > d) flu_bwmeter_data(n - d);
+  } else {
+    flu_bwmeter_data(n);
+  }
+  if (s->data_cb != nullptr) {
+    if (!s->data_cb(buf, n, t->user_data, t)) return false;
+  }
+  return true;
+}
+
+void run_file_task(Session* s, Task* t) {
+  std::string scheme, host, path;
+  int port;
+  parse_url(t->url, &scheme, &host, &port, &path);
+  struct stat st;
+  if (stat(path.c_str(), &st) != 0) {
+    t->outcome = TASK_FILE_NOT_FOUND;
+    return;
+  }
+  t->content_length = (size_t)st.st_size;  // file size via stat (:691-708)
+  if (t->range == "HEAD") {
+    t->outcome = TASK_OK;
+    return;
+  }
+  FILE* f = fopen(path.c_str(), "rb");
+  if (f == nullptr) {
+    t->outcome = TASK_FILE_NOT_FOUND;
+    return;
+  }
+  long start = 0, end = -1;
+  if (!t->range.empty()) {
+    sscanf(t->range.c_str(), "%ld-%ld", &start, &end);
+    fseek(f, start, SEEK_SET);
+  }
+  std::vector<char> buf(64 * 1024);
+  long remaining = end >= 0 ? end - start + 1 : -1;
+  bool crossed75 = false;
+  size_t total = remaining >= 0 ? (size_t)remaining : t->content_length;
+  while (!t->abort_requested.load() && s->running.load()) {
+    if (!s->pause_barrier.trypass_for_ms(4000)) continue;
+    size_t want = buf.size();
+    if (remaining >= 0) want = std::min(want, (size_t)remaining);
+    if (want == 0) break;
+    size_t n = fread(buf.data(), 1, want, f);
+    if (n == 0) break;
+    if (!deliver(s, t, buf.data(), n)) {
+      t->outcome = TASK_ABORTED;
+      break;
+    }
+    if (remaining >= 0) remaining -= (long)n;
+    if (!crossed75 && total > 0 && t->downloaded * 4 >= total * 3) {
+      crossed75 = true;
+      maybe_pipeline_next(s, t);
+    }
+  }
+  fclose(f);
+  if (t->outcome.load() == TASK_PENDING)
+    t->outcome = t->abort_requested.load() ? TASK_ABORTED : TASK_OK;
+}
+
+void run_http_task(Session* s, Task* t) {
+  int outcome = TASK_ERROR;
+  if (!t->request_sent && !prepare_http(s, t, &outcome)) {
+    t->outcome = outcome;
+    return;
+  }
+  std::string headers;
+  std::string body_carry;
+  char buf[64 * 1024];
+  bool in_headers = true;
+  bool chunked = false;
+  long remaining = -1;           // content-length remaining
+  long chunk_remaining = 0;      // current chunk payload remaining
+  bool crossed75 = false;
+  int idle_ms = 0;
+  const int kPoll = 100;
+
+  auto finish = [&](int oc) {
+    if (t->sock >= 0) close(t->sock);
+    t->sock = -1;
+    if (t->outcome.load() == TASK_PENDING) t->outcome = oc;
+  };
+
+  while (!t->abort_requested.load() && s->running.load()) {
+    if (!s->pause_barrier.trypass_for_ms(4000)) continue;
+    long pp = s->polling_period_us.load();
+    if (pp > 0) usleep((useconds_t)pp);
+    struct pollfd pfd = {t->sock, POLLIN, 0};
+    int rc = poll(&pfd, 1, kPoll);
+    if (rc == 0) {
+      idle_ms += kPoll;
+      if (idle_ms >= s->idle_timeout_ms.load()) return finish(TASK_TIMEOUT);
+      continue;
+    }
+    if (rc < 0) return finish(TASK_RECV_ERROR);
+    idle_ms = 0;
+    ssize_t n = recv(t->sock, buf, sizeof(buf), 0);
+    if (n < 0) return finish(TASK_RECV_ERROR);
+    if (n == 0) {  // connection closed
+      if (in_headers) return finish(TASK_RECV_ERROR);
+      if (remaining > 0 || (chunked && chunk_remaining != -2))
+        return finish(TASK_RECV_ERROR);
+      return finish(TASK_OK);
+    }
+    const char* data = buf;
+    size_t len = (size_t)n;
+    if (in_headers) {
+      headers.append(data, len);
+      size_t hdr_end = headers.find("\r\n\r\n");
+      if (hdr_end == std::string::npos) continue;
+      in_headers = false;
+      t->raw_headers = headers.substr(0, hdr_end + 4);
+      sscanf(headers.c_str(), "HTTP/%*s %d", &t->http_status);
+      // header fields
+      auto find_hdr = [&](const char* name) -> std::string {
+        std::string low;
+        low.reserve(t->raw_headers.size());
+        for (char c : t->raw_headers) low.push_back((char)tolower(c));
+        std::string key = std::string(name) + ":";
+        size_t p = low.find(key);
+        if (p == std::string::npos) return "";
+        size_t e = t->raw_headers.find("\r\n", p);
+        std::string v = t->raw_headers.substr(p + key.size(),
+                                              e - p - key.size());
+        while (!v.empty() && v.front() == ' ') v.erase(v.begin());
+        return v;
+      };
+      std::string cl = find_hdr("content-length");
+      if (!cl.empty()) {
+        remaining = atol(cl.c_str());
+        t->content_length = (size_t)remaining;
+      }
+      t->date_header = find_hdr("date");
+      chunked = find_hdr("transfer-encoding").find("chunked")
+                != std::string::npos;
+      if (t->http_status >= 400) return finish(TASK_HTTP_ERROR);
+      if (t->range == "HEAD") return finish(TASK_OK);
+      // leftover bytes after the header block are body
+      body_carry = headers.substr(hdr_end + 4);
+      data = body_carry.data();
+      len = body_carry.size();
+      if (len == 0) {
+        if (remaining == 0) return finish(TASK_OK);
+        continue;
+      }
+    }
+    // body bytes in [data, len)
+    if (chunked) {
+      static thread_local std::string cbuf;
+      cbuf.append(data, len);
+      for (;;) {
+        if (chunk_remaining > 0) {
+          size_t take = std::min((size_t)chunk_remaining, cbuf.size());
+          if (take == 0) break;
+          if (!deliver(s, t, cbuf.data(), take)) return finish(TASK_ABORTED);
+          cbuf.erase(0, take);
+          chunk_remaining -= (long)take;
+          if (chunk_remaining == 0) {
+            if (cbuf.size() < 2) break;
+            cbuf.erase(0, 2);  // CRLF after chunk
+          }
+          continue;
+        }
+        size_t eol = cbuf.find("\r\n");
+        if (eol == std::string::npos) break;
+        long sz = strtol(cbuf.c_str(), nullptr, 16);
+        cbuf.erase(0, eol + 2);
+        if (sz == 0) {
+          chunk_remaining = -2;  // done marker
+          return finish(TASK_OK);
+        }
+        chunk_remaining = sz;
+      }
+    } else {
+      size_t take = remaining >= 0 ? std::min(len, (size_t)remaining) : len;
+      if (take > 0 && !deliver(s, t, data, take)) return finish(TASK_ABORTED);
+      if (remaining >= 0) {
+        remaining -= (long)take;
+        if (!crossed75 && t->content_length > 0 &&
+            t->downloaded * 4 >= t->content_length * 3) {
+          crossed75 = true;
+          maybe_pipeline_next(s, t);  // issue next GET at >=75% (:443-484)
+        }
+        if (remaining == 0) return finish(TASK_OK);
+      }
+    }
+    body_carry.clear();
+  }
+  finish(t->abort_requested.load() ? TASK_ABORTED : TASK_ERROR);
+}
+
+void worker_loop(Session* s) {
+  while (s->running.load()) {
+    Task* t = nullptr;
+    {
+      std::lock_guard<std::mutex> lk(s->lock);
+      if (!s->queue.empty()) t = s->queue.front();
+    }
+    if (t == nullptr) {
+      s->wakeup.lock();
+      s->wakeup.wait_for_ms(50);
+      s->wakeup.unlock();
+      continue;
+    }
+    if (!t->outcome_forced.load() && !t->abort_requested.load()) {
+      if (t->url.rfind("file://", 0) == 0) {
+        run_file_task(s, t);
+      } else if (t->url.rfind("http://", 0) == 0) {
+        run_http_task(s, t);
+      } else {
+        t->outcome = TASK_ERROR;
+      }
+    } else if (t->abort_requested.load() &&
+               t->outcome.load() == TASK_PENDING) {
+      t->outcome = TASK_ABORTED;
+    }
+    int cancel_remaining = 0;
+    if (s->done_cb != nullptr) {
+      s->done_cb(t->outcome.load(), t->http_status, t->downloaded,
+                 t->user_data, t, &cancel_remaining);
+    }
+    {
+      std::lock_guard<std::mutex> lk(s->lock);
+      if (!s->queue.empty() && s->queue.front() == t) s->queue.pop_front();
+      if (cancel_remaining) {
+        for (Task* q : s->queue) q->abort_requested = true;
+      }
+    }
+    if (t->sock >= 0) close(t->sock);
+    delete t;
+  }
+  // drain: abort queued tasks
+  std::lock_guard<std::mutex> lk(s->lock);
+  for (Task* q : s->queue) delete q;
+  s->queue.clear();
+}
+
+}  // namespace
+
+extern "C" {
+
+void* flu_dl_new(DataCb data_cb, DoneCb done_cb) {
+  Session* s = new Session();
+  s->data_cb = data_cb;
+  s->done_cb = done_cb;
+  s->worker = std::thread(worker_loop, s);
+  return s;
+}
+
+void flu_dl_destroy(void* ctx) {
+  Session* s = static_cast<Session*>(ctx);
+  s->running = false;
+  s->pause_barrier.set_open(true);
+  s->notify();
+  if (s->worker.joinable()) s->worker.join();
+  delete s;
+}
+
+void* flu_dl_new_task(void* ctx, const char* url, const char* range,
+                      void* user_data) {
+  Session* s = static_cast<Session*>(ctx);
+  Task* t = new Task();
+  t->session = s;
+  t->url = url ? url : "";
+  t->range = range ? range : "";
+  t->user_data = user_data;
+  {
+    std::lock_guard<std::mutex> lk(s->lock);
+    s->queue.push_back(t);
+  }
+  s->notify();
+  return t;
+}
+
+void flu_dl_abort_task(void* task) {
+  static_cast<Task*>(task)->abort_requested = true;
+}
+
+void flu_dl_abort_all(void* ctx, int including_current) {
+  Session* s = static_cast<Session*>(ctx);
+  std::lock_guard<std::mutex> lk(s->lock);
+  for (size_t i = 0; i < s->queue.size(); i++) {
+    if (i == 0 && !including_current) continue;
+    s->queue[i]->abort_requested = true;
+  }
+}
+
+void flu_dl_pause(void* ctx) {
+  static_cast<Session*>(ctx)->pause_barrier.set_open(false);
+}
+
+void flu_dl_resume(void* ctx) {
+  Session* s = static_cast<Session*>(ctx);
+  // stale kernel-buffered data right after resume must not pollute the
+  // bandwidth stats (:343-355): discard the first 32 KiB from accounting
+  s->discard_window = 32 * 1024;
+  s->pause_barrier.set_open(true);
+}
+
+const char* flu_dl_task_get_url(void* task) {
+  return static_cast<Task*>(task)->url.c_str();
+}
+
+size_t flu_dl_task_get_length(void* task) {
+  return static_cast<Task*>(task)->content_length;
+}
+
+int flu_dl_task_get_http_status(void* task) {
+  return static_cast<Task*>(task)->http_status;
+}
+
+const char* flu_dl_task_get_date(void* task) {
+  Task* t = static_cast<Task*>(task);
+  return t->date_header.empty() ? nullptr : t->date_header.c_str();
+}
+
+const char* flu_dl_task_get_header(void* task) {
+  return static_cast<Task*>(task)->raw_headers.c_str();
+}
+
+int flu_dl_task_get_outcome(void* task) {
+  return static_cast<Task*>(task)->outcome.load();
+}
+
+void flu_dl_task_set_outcome(void* task, int outcome) {
+  // fault injection for testing (:912-918)
+  Task* t = static_cast<Task*>(task);
+  t->outcome = outcome;
+  t->outcome_forced = true;
+}
+
+const char* flu_dl_outcome_string(int outcome) {
+  if (outcome < 0 || outcome > TASK_NO_TASK) return "UNKNOWN";
+  return kOutcomeNames[outcome];
+}
+
+void flu_dl_set_polling_period(void* ctx, long period_us) {
+  static_cast<Session*>(ctx)->polling_period_us = period_us;
+}
+
+long flu_dl_get_polling_period(void* ctx) {
+  return static_cast<Session*>(ctx)->polling_period_us.load();
+}
+
+void flu_dl_set_timeouts(void* ctx, long connect_ms, long idle_ms) {
+  Session* s = static_cast<Session*>(ctx);
+  s->connect_timeout_ms = connect_ms;
+  s->idle_timeout_ms = idle_ms;
+}
+
+void flu_dl_set_user_agent(void* ctx, const char* ua) {
+  static_cast<Session*>(ctx)->user_agent = ua ? ua : "";
+}
+
+void flu_dl_set_cookies(void* ctx, const char* cookies) {
+  static_cast<Session*>(ctx)->cookies = cookies ? cookies : "";
+}
+
+void flu_dl_set_proxy(void* ctx, const char* proxy) {
+  static_cast<Session*>(ctx)->proxy = proxy ? proxy : "";
+}
+
+int flu_dl_get_tasks_count(void* ctx) {
+  Session* s = static_cast<Session*>(ctx);
+  std::lock_guard<std::mutex> lk(s->lock);
+  return (int)s->queue.size();
+}
+
+}  // extern "C"

@@ -1,0 +1,144 @@
+"""injectbin tests — the reference's comprehensive scenario
+(plugins/injectbin/tests/injectbin.c:147-245): passthrough before any
+injection, injection, switching from the streaming thread inside a handoff,
+NULL passthrough, queued switches collapsing to one swap/notify, switching
+inside a caps-event probe with the new element seeing the event."""
+
+import threading
+
+import pytest
+
+from flutpu.core import (Buffer, Caps, CapsEvent, EventType, Harness,
+                         MSECOND, ProbeReturn, ProbeType, State, make)
+from flutpu.core.elements import Identity
+
+
+def tagger(tag):
+    """Identity-like element that stamps buffers (observable swap effect)."""
+    el = Identity()
+    el.set_property("handoff", lambda e, b: b.meta.setdefault("tags", []).append(tag))
+    return el
+
+
+class TestInjectBin:
+    def test_passthrough_before_injection(self):
+        h = Harness("injectbin")
+        h.set_src_caps("video/x-raw, format=RGB, width=2, height=2")
+        h.push(Buffer(b"a", pts=0))
+        out = h.pull()
+        assert out.data == b"a" and out.meta.get("tags") is None
+        h.teardown()
+
+    def test_injection_and_null(self):
+        h = Harness("injectbin")
+        ib = h.element.get_by_name
+        bin_el = h.pipeline.iterate_elements()[0]
+        h.set_src_caps("video/x-raw, format=RGB")
+        h.push(Buffer(b"0", pts=0))
+        assert h.pull().meta.get("tags") is None
+
+        bin_el.set_property("element", tagger("A"))
+        h.push(Buffer(b"1", pts=MSECOND))
+        assert h.pull().meta.get("tags") == ["A"]
+
+        bin_el.set_property("element", None)
+        h.push(Buffer(b"2", pts=2 * MSECOND))
+        assert h.pull().meta.get("tags") is None
+        h.teardown()
+
+    def test_switch_from_streaming_thread(self):
+        """Swap requested inside a handoff callback running on the
+        streaming thread (reference :78-87)."""
+        h = Harness("injectbin")
+        bin_el = h.pipeline.iterate_elements()[0]
+        h.set_src_caps("video/x-raw, format=RGB")
+        first = Identity()
+        def handoff(el, buf):
+            # runs on the streaming thread mid-flow
+            bin_el.set_property("element", tagger("B"))
+        first.set_property("handoff", handoff)
+        bin_el.set_property("element", first)
+        h.push(Buffer(b"1", pts=0))          # flows through `first`, queues swap
+        h.push(Buffer(b"2", pts=MSECOND))    # must hit the new element
+        out1, out2 = h.pull(), h.pull()
+        assert out1.meta.get("tags") is None
+        assert out2.meta.get("tags") == ["B"]
+        h.teardown()
+
+    def test_queued_switches_single_notify(self):
+        """Two property sets without dataflow → one actual swap, one
+        notify (reference :194-199)."""
+        h = Harness("injectbin")
+        bin_el = h.pipeline.iterate_elements()[0]
+        h.set_src_caps("video/x-raw, format=RGB")
+        h.push(Buffer(b"0", pts=0))
+        h.pull()
+        notifies = []
+        bin_el.connect_notify("element", lambda e, p: notifies.append(
+            e.get_property("element")))
+        el1, el2 = tagger("X"), tagger("Y")
+        bin_el.set_property("element", el1)
+        bin_el.set_property("element", el2)
+        assert notifies == []  # nothing swapped yet: no dataflow
+        h.push(Buffer(b"1", pts=MSECOND))
+        out = h.pull()
+        assert out.meta.get("tags") == ["Y"]
+        assert len(notifies) == 1 and notifies[0] is el2
+        h.teardown()
+
+    def test_switch_inside_caps_probe_new_element_sees_event(self):
+        """Swap triggered from a caps-event pad probe; the *new* element
+        must observe the caps event (reference :98-128)."""
+        h = Harness("injectbin")
+        bin_el = h.pipeline.iterate_elements()[0]
+        seen_caps = []
+        new_el = Identity()
+        orig_event_fn = new_el.sinkpad.event_function
+        def watch_event(pad, ev):
+            if ev.type == EventType.CAPS:
+                seen_caps.append(ev.caps)
+            from flutpu.core.pad import _forward_event
+            return _forward_event(pad, ev)
+        new_el.sinkpad.event_function = watch_event
+
+        def caps_probe(pad, data):
+            if isinstance(data, CapsEvent):
+                bin_el.set_property("element", new_el)
+            return ProbeReturn.OK
+        bin_el.sinkpad.add_probe(ProbeType.EVENT_DOWNSTREAM, caps_probe)
+
+        h.set_src_caps("video/x-raw, format=RGB, width=7, height=7")
+        h.push(Buffer(b"1", pts=0))
+        out = h.pull()
+        assert out.data == b"1"
+        assert seen_caps and seen_caps[-1]["width"] == 7
+        h.teardown()
+
+    def test_swap_in_live_pipeline(self):
+        """Mid-stream content swap in a running decode→overlay-style
+        pipeline (BASELINE config 2 shape)."""
+        from flutpu.core import parse_launch
+        p = parse_launch(
+            "videotestsrc num-buffers=30 width=32 height=24 "
+            "! injectbin name=ib ! appsink name=out")
+        ib = p.get_by_name("ib")
+        sink = p.get_by_name("out")
+        assert p.play().name == "SUCCESS"
+        got = []
+        swapped = False
+        while True:
+            b = sink.try_pull_buffer(timeout=10)
+            if b is None:
+                break
+            got.append(b)
+            if len(got) == 10 and not swapped:
+                swapped = True
+                ib.set_property("element", tagger("mid"))
+        p.stop()
+        assert len(got) == 30
+        tagged = [b for b in got if b.meta.get("tags") == ["mid"]]
+        untagged = [b for b in got if b.meta.get("tags") is None]
+        assert len(tagged) >= 1 and len(untagged) >= 10
+        # ordering preserved across the swap
+        pts = [b.pts for b in got]
+        assert pts == sorted(pts)

@@ -1,0 +1,256 @@
+"""fluc + downloader tests: primitives, bwmeter EWMA semantics, file and
+HTTP downloads against a local server (the reference ships no downloader
+unit tests — its examples become real tests here)."""
+
+import http.server
+import os
+import threading
+import time
+
+import pytest
+
+from flutpu.fluc import Barrier, Monitor, Mutex
+from flutpu.fluc.bwmeter import BwMeter
+from flutpu.io import (DownloadHelper, Downloader, TaskOutcome,
+                       download_sync, outcome_string)
+from flutpu import native
+
+
+class TestThreads:
+    def test_mutex(self):
+        m = Mutex()
+        with m:
+            pass
+        assert m.trylock()
+        m.unlock()
+
+    def test_monitor_signal(self):
+        mon = Monitor()
+        hits = []
+
+        def waiter():
+            with mon:
+                mon.wait(timeout_ms=5000)
+                hits.append(1)
+
+        t = threading.Thread(target=waiter)
+        t.start()
+        time.sleep(0.05)
+        with mon:
+            mon.signal()
+        t.join(timeout=5)
+        assert hits == [1]
+
+    def test_barrier_gate(self):
+        b = Barrier(open_=False)
+        passed = []
+
+        def runner():
+            b.pass_()
+            passed.append(1)
+
+        t = threading.Thread(target=runner)
+        t.start()
+        time.sleep(0.05)
+        assert passed == []
+        b.set_open(True)
+        t.join(timeout=5)
+        assert passed == [1]
+
+    def test_barrier_trypass_timeout(self):
+        b = Barrier(open_=False)
+        t0 = time.monotonic()
+        assert not b.trypass_for(100)
+        assert time.monotonic() - t0 >= 0.09
+        b.set_open(True)
+        assert b.trypass_for(100)
+
+
+class TestBwMeter:
+    def test_windowed_rate(self):
+        m = BwMeter()
+        m.session_start()
+        t = 0.0
+        m.data(0, _now=t)
+        m.data(128 * 1024, _now=t + 0.2)  # window closes: 128KiB/0.2s
+        raw, avg, total = m.stats()
+        assert raw == pytest.approx(128 * 1024 * 8 / 0.2)
+        assert avg == raw
+        assert total == 128 * 1024
+
+    def test_asymmetric_ewma(self):
+        m = BwMeter()
+        m.session_start()
+        # first window: 8 Mbps
+        m.data(0, _now=0.0)
+        m.data(200 * 1024, _now=0.2)
+        first = m.stats()[1]
+        # drop: next window 10x slower → avg falls instantly (alpha 1.0)
+        m.data(20 * 1024, _now=0.75)
+        raw2, avg2, _ = m.stats()
+        assert avg2 == pytest.approx(raw2)
+        # rise: fast window again → avg rises slowly (alpha 0.2)
+        m.data(400 * 1024, _now=1.0)
+        raw3, avg3, _ = m.stats()
+        assert avg3 < raw3
+        assert avg3 == pytest.approx(avg2 + 0.2 * (raw3 - avg2))
+
+
+@pytest.fixture(scope="module")
+def http_server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("www")
+    (root / "hello.txt").write_bytes(b"hello downloader" * 100)
+    (root / "big.bin").write_bytes(os.urandom(300 * 1024))
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            if rng and rng.startswith("bytes="):
+                path = self.translate_path(self.path)
+                try:
+                    with open(path, "rb") as f:
+                        data = f.read()
+                except OSError:
+                    self.send_error(404)
+                    return
+                a, _, b = rng[6:].partition("-")
+                start = int(a)
+                end = int(b) if b else len(data) - 1
+                body = data[start:end + 1]
+                self.send_response(206)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header(
+                    "Content-Range", f"bytes {start}-{end}/{len(data)}")
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            super().do_GET()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", root
+    srv.shutdown()
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+class TestDownloader:
+    def test_file_url(self, http_server, force_python, tmp_path):
+        p = tmp_path / "data.bin"
+        payload = os.urandom(50000)
+        p.write_bytes(payload)
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, _ = h.download(f"file://{p}")
+        assert outcome == TaskOutcome.OK
+        assert data == payload
+
+    def test_file_not_found(self, http_server, force_python):
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, _ = h.download("file:///nonexistent/nope.bin")
+        assert data is None
+        assert outcome in (TaskOutcome.FILE_NOT_FOUND, TaskOutcome.ERROR)
+
+    def test_http_get(self, http_server, force_python):
+        base, root = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, status = h.download(f"{base}/hello.txt")
+        assert outcome == TaskOutcome.OK
+        assert status == 200
+        assert data == (root / "hello.txt").read_bytes()
+
+    def test_http_404(self, http_server, force_python):
+        base, _ = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, status = h.download(f"{base}/missing.txt")
+        assert outcome == TaskOutcome.HTTP_ERROR
+        assert status == 404
+
+    def test_http_range(self, http_server, force_python):
+        base, root = http_server
+        full = (root / "big.bin").read_bytes()
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, status = h.download(f"{base}/big.bin",
+                                               range="100-199")
+        assert outcome == TaskOutcome.OK
+        assert data == full[100:200]
+
+    def test_sequence_in_order(self, http_server, force_python):
+        base, root = http_server
+        done = []
+        ev = threading.Event()
+
+        def done_cb(outcome, status, size, task):
+            done.append(task.url.rsplit("/", 1)[-1])
+            if len(done) == 3:
+                ev.set()
+
+        dl = Downloader(None, done_cb, force_python=force_python)
+        try:
+            dl.new_task(f"{base}/hello.txt")
+            dl.new_task(f"{base}/big.bin")
+            dl.new_task(f"{base}/hello.txt")
+            assert ev.wait(20)
+            assert done == ["hello.txt", "big.bin", "hello.txt"]
+        finally:
+            dl.destroy()
+
+    def test_fault_injection(self, http_server, force_python):
+        base, _ = http_server
+        outcomes = []
+        ev = threading.Event()
+
+        def done_cb(outcome, status, size, task):
+            outcomes.append(outcome)
+            ev.set()
+
+        dl = Downloader(None, done_cb, force_python=force_python)
+        try:
+            t = dl.new_task(f"{base}/hello.txt")
+            t.set_outcome(TaskOutcome.TIMEOUT)
+            ev.wait(10)
+        finally:
+            dl.destroy()
+        # forced outcome observed (worker may have already completed the
+        # real download on fast paths; both are legal per the reference)
+        assert outcomes and outcomes[0] in (TaskOutcome.TIMEOUT,
+                                            TaskOutcome.OK)
+
+    def test_outcome_string(self, http_server, force_python):
+        assert outcome_string(TaskOutcome.TIMEOUT) == "TIMEOUT"
+
+
+class TestNativeDownloaderSpecifics:
+    def test_native_lib_available(self):
+        assert native.get_lib() is not None, \
+            "native library must build in this environment"
+
+    def test_connection_refused(self):
+        with DownloadHelper() as h:
+            data, outcome, _ = h.download("http://127.0.0.1:1/x", timeout=15)
+        assert outcome in (TaskOutcome.CONNECTION_REFUSED,
+                           TaskOutcome.COULD_NOT_CONNECT,
+                           TaskOutcome.ERROR)
+
+    def test_pause_resume(self, http_server):
+        base, root = http_server
+        got = []
+        ev = threading.Event()
+        dl = Downloader(lambda d, t: got.append(len(d)) or True,
+                        lambda o, s, n, t: ev.set() or None)
+        try:
+            dl.pause()
+            dl.new_task(f"{base}/big.bin")
+            time.sleep(0.3)
+            before = sum(got)
+            dl.resume()
+            assert ev.wait(20)
+            assert sum(got) == (root / "big.bin").stat().st_size
+            assert before < sum(got)
+        finally:
+            dl.destroy()
