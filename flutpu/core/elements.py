@@ -331,12 +331,18 @@ class FileSrc(Element):
 
     def _src_event(self, pad: Pad, event: Event) -> bool:
         if event.type == EventType.SEEK:
+            self._flush_on_restart = bool(event.structure.get("flush", True))
             self._restart.set()
             return True
         return False
 
     def _task(self):
         while not self._stop.is_set():
+            if self._restart.is_set() and getattr(self, "_flush_on_restart", False):
+                # flushing seek: reset downstream before restarting
+                from .events import FlushStartEvent, FlushStopEvent
+                self.srcpad.push_event(FlushStartEvent())
+                self.srcpad.push_event(FlushStopEvent())
             self._restart.clear()
             path = self.get_property("location")
             bs = int(self.get_property("blocksize"))
@@ -355,7 +361,9 @@ class FileSrc(Element):
                         return
             if not self._restart.is_set():
                 self.srcpad.push_event(EosEvent())
-                return
+                # stay alive: a later seek restarts the stream
+                while not self._stop.is_set() and not self._restart.is_set():
+                    self._restart.wait(timeout=0.1)
 
     def change_state(self, transition: StateChange) -> StateChangeReturn:
         if transition == StateChange.PAUSED_TO_PLAYING:

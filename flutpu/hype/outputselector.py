@@ -26,6 +26,9 @@ from ..core import (Bin, Buffer, Element, Event, EventType, FlowReturn,
                     PropertySpec, register)
 from ..core.queue import Queue
 from .events import SceneNewEvent
+from ..core.log import category
+
+CAT = category("hypeoutputselector")
 
 SCENE_BUFFER_SIZE = 20  # queue depth = 2x this, as in the reference
 
@@ -85,6 +88,7 @@ class _Selector(Element):
             if not self._src_list:
                 return
             idx = scene.gop_index % len(self._src_list)
+            CAT.debug("scene %d -> branch %d", scene.gop_index, idx)
             new_active = self._src_list[idx]
             if new_active is not self._active:
                 # replay current negotiation stickies onto the branch about to

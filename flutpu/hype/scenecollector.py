@@ -22,6 +22,9 @@ from typing import Dict, List, Optional
 from ..core import (Buffer, BufferList, Element, Event, EventType, FlowReturn,
                     Pad, PadDirection, register)
 from .events import SceneNewEvent
+from ..core.log import category
+
+CAT = category("hypescenecollector")
 
 
 class _SceneBuffers:
@@ -121,6 +124,7 @@ class SceneCollector(Element):
     def _drain(self) -> FlowReturn:
         with self._drain_lock:
             for blist in self._scenes.pop_completed():
+                CAT.log("draining scene with %d buffers", len(blist))
                 ret = self.srcpad.push_list(blist)
                 if ret not in (FlowReturn.OK, FlowReturn.NOT_LINKED):
                     return ret

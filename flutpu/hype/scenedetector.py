@@ -14,6 +14,9 @@ from typing import Optional
 from ..core import (Buffer, Element, FlowReturn, Pad, PadDirection,
                     PropertySpec, register)
 from .events import SceneNewEvent
+from ..core.log import category
+
+CAT = category("hype", "GOP-parallel encoder")
 
 DEFAULT_GOP_SIZE = 10
 
@@ -41,5 +44,7 @@ class SceneDetector(Element):
         self._buffer_count += 1
         if offset % gop_size == 0:
             gop_index = offset // gop_size
+            CAT.debug("scene event: gop_index=%d gop_size=%d", gop_index,
+                      gop_size)
             self.srcpad.push_event(SceneNewEvent(gop_index, gop_size))
         return self.srcpad.push(buf)

@@ -24,6 +24,9 @@ from typing import Optional
 from ..core import (Bin, Element, ProbeReturn, ProbeType, PropertySpec,
                     State, register)
 from ..core.elements import Identity
+from ..core.log import category
+
+CAT = category("injectbin")
 
 
 @register
@@ -90,6 +93,9 @@ class InjectBin(Bin):
         old = self._current
         if new is old:
             return
+        CAT.info("swapping %s -> %s",
+                 old.name if old else "passthrough",
+                 new.name if new else "passthrough")
         if old is not None:
             old.locked_state = True
             old.set_state(State.NULL)

@@ -22,6 +22,7 @@ from xml.parsers import expat
 from ..core import (Buffer, Caps, CapsEvent, Element, Event, EventType,
                     FlowReturn, Pad, PadDirection, PropertySpec, SeekEvent,
                     Segment, SegmentEvent)
+from ..core.log import category
 from .attributes import Attribute, parse_attribute
 from .enums import AttrType, NodeType, NODE_BY_NAME
 from .namespace import Namespace, NamespaceStore, namespace_is_ttml
@@ -33,6 +34,8 @@ from .timeline import (Timeline, TimelineEvent, TimelineEventType,
                        span_attr_update, span_begin, span_end)
 
 _INF = 1 << 62  # CLOCK_TIME_NONE stop stand-in for flush bounds
+
+CAT = category("ttmlbase")
 
 
 class _CharBuffer:
@@ -223,6 +226,8 @@ class TTMLBase(Element):
         return 0, 0
 
     def _doc_end(self) -> None:
+        CAT.debug("document complete: %d timeline events pending",
+                  len(self.timeline))
         self._flush_timeline()
 
     def _flush_timeline(self) -> None:

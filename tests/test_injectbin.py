@@ -115,30 +115,28 @@ class TestInjectBin:
         h.teardown()
 
     def test_swap_in_live_pipeline(self):
-        """Mid-stream content swap in a running decode→overlay-style
-        pipeline (BASELINE config 2 shape)."""
+        """Mid-stream content swap in a running pipeline (BASELINE config 2
+        shape). appsrc drives the stream so the swap point is exact."""
         from flutpu.core import parse_launch
-        p = parse_launch(
-            "videotestsrc num-buffers=30 width=32 height=24 "
-            "! injectbin name=ib ! appsink name=out")
+        import numpy as np
+        p = parse_launch("appsrc name=src "
+                         "caps='video/x-raw, format=RGB, width=8, height=8' "
+                         "! injectbin name=ib ! appsink name=out")
+        src = p.get_by_name("src")
         ib = p.get_by_name("ib")
         sink = p.get_by_name("out")
         assert p.play().name == "SUCCESS"
-        got = []
-        swapped = False
-        while True:
-            b = sink.try_pull_buffer(timeout=10)
-            if b is None:
-                break
-            got.append(b)
-            if len(got) == 10 and not swapped:
-                swapped = True
+        frame = np.zeros((8, 8, 3), np.uint8)
+        for i in range(30):
+            if i == 10:
                 ib.set_property("element", tagger("mid"))
+            if i == 25:
+                ib.set_property("element", None)
+            src.push(Buffer(frame, pts=i * MSECOND, offset=i))
+        src.end_of_stream()
+        got = [sink.try_pull_buffer(timeout=10) for _ in range(30)]
         p.stop()
-        assert len(got) == 30
-        tagged = [b for b in got if b.meta.get("tags") == ["mid"]]
-        untagged = [b for b in got if b.meta.get("tags") is None]
-        assert len(tagged) >= 1 and len(untagged) >= 10
-        # ordering preserved across the swap
-        pts = [b.pts for b in got]
-        assert pts == sorted(pts)
+        assert all(b is not None for b in got)
+        tagged = [i for i, b in enumerate(got) if b.meta.get("tags") == ["mid"]]
+        assert tagged == list(range(10, 25))
+        assert [b.pts for b in got] == sorted(b.pts for b in got)
