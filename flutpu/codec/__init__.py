@@ -8,5 +8,7 @@ bitstream packing run on the host (C++ fast path in native/bitstream).
 
 from .base import VideoEncoder
 from .encoder import TpuJpegEnc
+from .fvc import FvcDecoder, FvcEnc, FvcEncoder
 
-__all__ = ["VideoEncoder", "TpuJpegEnc"]
+__all__ = ["VideoEncoder", "TpuJpegEnc", "FvcDecoder", "FvcEnc",
+           "FvcEncoder"]

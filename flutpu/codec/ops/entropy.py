@@ -123,6 +123,34 @@ def _device_tables():
     return dc_code, dc_len, ac_code, ac_len
 
 
+@functools.lru_cache()
+def _onehot_tables():
+    """Huffman tables reshaped for one-hot-matmul lookup: (2*K, 3) bf16
+    columns [code_hi, code_lo, len]. TPU dynamic gathers are ~10x slower
+    than a one-hot bf16 matmul on the MXU for these lookups (measured:
+    544 ms vs 49 ms per 1080p GOP); byte-split keeps 16-bit codes exact in
+    bf16's 8-bit mantissa."""
+    dc_code, dc_len, ac_code, ac_len = _device_tables()
+
+    def pack(code, length):  # (2, K) each → (2K, 3)
+        flat_c = code.reshape(-1)
+        flat_l = length.reshape(-1)
+        return np.stack([flat_c >> 8, flat_c & 0xFF, flat_l],
+                        axis=1).astype(np.float32)
+
+    return pack(dc_code, dc_len), pack(ac_code, ac_len)
+
+
+def _lut_onehot(idx: jnp.ndarray, table: np.ndarray):
+    """idx (...,) int32 in [0, K) → (code, len) via one-hot bf16 matmul."""
+    tab = jnp.asarray(table, dtype=jnp.bfloat16)
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.bfloat16)
+    out = jnp.einsum("...k,ko->...o", oh, tab,
+                     preferred_element_type=jnp.float32)
+    code = out[..., 0].astype(jnp.int32) * 256 + out[..., 1].astype(jnp.int32)
+    return code, out[..., 2].astype(jnp.int32)
+
+
 def _magnitude(v: jnp.ndarray, max_bits: int) -> jnp.ndarray:
     """JPEG size category of |v| via thresholds (branchless, VPU-wide)."""
     a = jnp.abs(v)
@@ -132,22 +160,30 @@ def _magnitude(v: jnp.ndarray, max_bits: int) -> jnp.ndarray:
     return size
 
 
-def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray):
+def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
+                 use_onehot: bool = False):
     """Per-block per-slot (length, value) arrays.
 
     zz: (B, 64) int32 zigzagged quantized coefficients in MCU order with the
     DC channel already replaced by the DC *difference*.
-    Returns lens, vals: (B, _NUM_SLOTS) int32.
+    Returns lens, vals: (B, _NUM_SLOTS) int32. ``use_onehot`` swaps the
+    table gathers for one-hot MXU matmuls (the fast path on TPU).
     """
-    dc_code_t, dc_len_t, ac_code_t, ac_len_t = (jnp.asarray(a) for a in _device_tables())
+    dc_code_np, dc_len_np, ac_code_np, ac_len_np = _device_tables()
     b = zz.shape[0]
     comp = comp_chroma  # (B,)
 
     # --- DC slot ---------------------------------------------------------
     diff = zz[:, 0]
     dsize = _magnitude(diff, 12)
-    dc_code = dc_code_t[comp, dsize]
-    dc_len = dc_len_t[comp, dsize]
+    if use_onehot:
+        dc_tab, ac_tab = _onehot_tables()
+        dc_code, dc_len = _lut_onehot(comp * 256 + dsize, dc_tab)
+    else:
+        dc_code_t = jnp.asarray(dc_code_np)
+        dc_len_t = jnp.asarray(dc_len_np)
+        dc_code = dc_code_t[comp, dsize]
+        dc_len = dc_len_t[comp, dsize]
     extra = jnp.where(diff < 0, diff + (1 << dsize) - 1, diff)
     dc_slot_len = dc_len + dsize
     dc_slot_val = (dc_code << dsize) | (extra & ((1 << dsize) - 1))
@@ -166,12 +202,20 @@ def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray):
     zrl_count = jnp.where(nz, run >> 4, 0)
     rem = run & 15
     sym = (rem << 4) | asize
-    ac_code = ac_code_t[comp[:, None], sym]
-    ac_len = ac_len_t[comp[:, None], sym]
+    if use_onehot:
+        ac_code, ac_len = _lut_onehot(comp[:, None] * 256 + sym, ac_tab)
+    else:
+        ac_code_t = jnp.asarray(ac_code_np)
+        ac_len_t = jnp.asarray(ac_len_np)
+        ac_code = ac_code_t[comp[:, None], sym]
+        ac_len = ac_len_t[comp[:, None], sym]
     aextra = jnp.where(ac < 0, ac + (1 << asize) - 1, ac)
 
-    zrl_code = ac_code_t[comp, 0xF0]  # (B,)
-    zrl_len = ac_len_t[comp, 0xF0]
+    # comp is binary: ZRL/EOB lookups are plain selects
+    zrl_code = jnp.where(comp == 1, int(ac_code_np[1, 0xF0]),
+                         int(ac_code_np[0, 0xF0]))
+    zrl_len = jnp.where(comp == 1, int(ac_len_np[1, 0xF0]),
+                        int(ac_len_np[0, 0xF0]))
 
     # slot A: up to two ZRLs; slot B: third ZRL; slot C: code + extra bits
     c2 = jnp.minimum(zrl_count, 2)
@@ -188,8 +232,10 @@ def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray):
     # --- EOB slot --------------------------------------------------------
     last_nz = prev_incl[:, -1]  # 0 when no nonzero AC
     eob_needed = last_nz < 63
-    eob_code = ac_code_t[comp, 0x00]
-    eob_len_t = ac_len_t[comp, 0x00]
+    eob_code = jnp.where(comp == 1, int(ac_code_np[1, 0x00]),
+                         int(ac_code_np[0, 0x00]))
+    eob_len_t = jnp.where(comp == 1, int(ac_len_np[1, 0x00]),
+                          int(ac_len_np[0, 0x00]))
     eob_len = jnp.where(eob_needed, eob_len_t, 0)
     eob_val = jnp.where(eob_needed, eob_code, 0)
 
@@ -331,7 +377,7 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
     b = mcu.shape[1]
     flat = mcu.reshape(f * b, 64)
     comp_flat = jnp.tile(comp, f)
-    lens, vals = _slot_tables(flat, comp_flat)
+    lens, vals = _slot_tables(flat, comp_flat, use_onehot=use_pallas)
     if use_pallas:
         from .entropy_pallas import pack_block_bits_pallas
         buf, nbits = pack_block_bits_pallas(lens, vals, interpret=interpret)

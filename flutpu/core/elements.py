@@ -381,6 +381,51 @@ class FileSrc(Element):
 
 
 @register
+class FileSink(Element):
+    """Writes buffer payloads to ``location``."""
+
+    FACTORY = "filesink"
+    PROPERTIES = [PropertySpec("location", "")]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name, **props)
+        self.sinkpad = self.add_pad(Pad("sink", PadDirection.SINK, self))
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._event
+        self._fh = None
+        self.eos_received = threading.Event()
+
+    def _ensure_open(self):
+        if self._fh is None:
+            self._fh = open(self.get_property("location"), "wb")
+        return self._fh
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        data = buf.data
+        if isinstance(data, np.ndarray):
+            data = data.tobytes()
+        elif isinstance(data, str):
+            data = data.encode("utf-8")
+        self._ensure_open().write(bytes(data))
+        return FlowReturn.OK
+
+    def _event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.EOS:
+            if self._fh is not None:
+                self._fh.flush()
+            self.eos_received.set()
+            from .bus import Message, MessageType
+            self.post_message(Message(MessageType.EOS, self))
+        return True
+
+    def change_state(self, transition: StateChange) -> StateChangeReturn:
+        if transition == StateChange.PAUSED_TO_READY and self._fh is not None:
+            self._fh.close()
+            self._fh = None
+        return super().change_state(transition)
+
+
+@register
 class FdSink(Element):
     """Collects payload bytes; ``get_data()`` returns the concatenation
     (stand-in for the reference README's ``fdsink`` inspection pipelines)."""

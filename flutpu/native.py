@@ -78,6 +78,15 @@ def _configure(lib: ctypes.CDLL) -> None:
         u32p, u8p, u32p, u8p,
         u8p, c.c_long,
     ]
+    lib.flu_jpeg_decode_scan.restype = c.c_long
+    lib.flu_jpeg_decode_scan.argtypes = [
+        u8p, c.c_long, c.c_int,
+        i16p, c.c_int, c.c_int,
+        i16p, i16p, c.c_int, c.c_int,
+        c.c_int, c.c_int,
+        u8p, u8p, c.c_int, u8p, u8p, c.c_int,
+        u8p, u8p, c.c_int, u8p, u8p, c.c_int,
+    ]
     # fluc primitives
     for name in ("flu_mutex_new", "flu_monitor_new"):
         getattr(lib, name).restype = c.c_void_p

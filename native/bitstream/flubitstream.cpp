@@ -189,3 +189,190 @@ long flu_fvc_encode_plane(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Scan decoding — the inverse of flu_jpeg_encode_scan. Used by the FVC
+// decoder and tests (PSNR/bit-exactness verification without external
+// decoders). Input is the byte-stuffed entropy segment; output is zigzagged
+// quantized coefficients per block with ABSOLUTE DC values (prediction
+// undone).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  long size;
+  long pos = 0;
+  uint32_t acc = 0;
+  int nbits = 0;
+  bool destuff;
+  bool error = false;
+
+  BitReader(const uint8_t* d, long s, bool destuff_) :
+      data(d), size(s), destuff(destuff_) {}
+
+  inline void fill() {
+    while (nbits <= 24 && pos < size) {
+      uint8_t b = data[pos++];
+      if (destuff && b == 0xFF && pos < size && data[pos] == 0x00) pos++;
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+  }
+
+  inline int peek(int n) {
+    fill();
+    if (nbits < n) {
+      // pad with 1s (decoder-side mirror of flush_ones)
+      return (int)(((acc << (n - nbits)) | ((1u << (n - nbits)) - 1)) &
+                   ((1u << n) - 1));
+    }
+    return (int)((acc >> (nbits - n)) & ((1u << n) - 1));
+  }
+
+  inline void skip(int n) {
+    fill();
+    if (nbits < n) { error = true; nbits = 0; return; }
+    nbits -= n;
+  }
+};
+
+struct DecTable {
+  // canonical decode: per length, first code value and symbol offset
+  int32_t min_code[17];
+  int32_t max_code[17];   // inclusive; -1 when no codes of this length
+  int32_t val_off[17];
+  uint8_t symbols[256];
+  int n_symbols = 0;
+
+  void build(const uint8_t* bits /*16*/, const uint8_t* vals, int nvals) {
+    int code = 0, k = 0;
+    for (int len = 1; len <= 16; len++) {
+      int n = bits[len - 1];
+      if (n == 0) {
+        min_code[len] = 0;
+        max_code[len] = -1;
+        val_off[len] = 0;
+      } else {
+        min_code[len] = code;
+        val_off[len] = k;
+        for (int i = 0; i < n && k < nvals; i++, k++) symbols[k] = vals[k];
+        max_code[len] = code + n - 1;
+        code += n;
+      }
+      code <<= 1;
+    }
+    n_symbols = k;
+  }
+
+  int decode(BitReader& br) const {
+    int code = 0;
+    for (int len = 1; len <= 16; len++) {
+      code = (code << 1) | br.peek(1);
+      br.skip(1);
+      if (max_code[len] >= 0 && code >= min_code[len] && code <= max_code[len])
+        return symbols[val_off[len] + code - min_code[len]];
+      if (br.error) return -1;
+    }
+    return -1;
+  }
+};
+
+inline int extend_value(int bits, int size) {
+  // JPEG EXTEND: interpret `size` magnitude bits as a signed value
+  if (size == 0) return 0;
+  if (bits < (1 << (size - 1))) return bits - (1 << size) + 1;
+  return bits;
+}
+
+int decode_block(BitReader& br, int16_t* z, int pred, const DecTable& dc,
+                 const DecTable& ac) {
+  memset(z, 0, 64 * sizeof(int16_t));
+  int s = dc.decode(br);
+  if (s < 0) return INT32_MIN;
+  int diff = s ? extend_value(br.peek(s), s) : 0;
+  if (s) br.skip(s);
+  int dcval = pred + diff;
+  z[0] = (int16_t)dcval;
+  int k = 1;
+  while (k < 64) {
+    int sym = ac.decode(br);
+    if (sym < 0) return INT32_MIN;
+    if (sym == 0x00) break;        // EOB
+    int run = sym >> 4;
+    int size = sym & 15;
+    if (sym == 0xF0) { k += 16; continue; }  // ZRL
+    k += run;
+    if (k >= 64) break;
+    int v = extend_value(br.peek(size), size);
+    br.skip(size);
+    z[k++] = (int16_t)v;
+  }
+  return dcval;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a baseline scan back into zigzagged coefficient blocks (absolute
+// DC). Geometry mirrors flu_jpeg_encode_scan. Returns 0 on success.
+long flu_jpeg_decode_scan(
+    const uint8_t* scan, long scan_len, int destuff,
+    int16_t* y, int ybw, int ybh,
+    int16_t* cb, int16_t* cr, int cbw, int cbh,
+    int subsample, int ncomp,
+    const uint8_t* dcl_bits, const uint8_t* dcl_vals, int dcl_n,
+    const uint8_t* acl_bits, const uint8_t* acl_vals, int acl_n,
+    const uint8_t* dcc_bits, const uint8_t* dcc_vals, int dcc_n,
+    const uint8_t* acc_bits, const uint8_t* acc_vals, int acc_n) {
+  DecTable dcl, acl, dcc, acc;
+  dcl.build(dcl_bits, dcl_vals, dcl_n);
+  acl.build(acl_bits, acl_vals, acl_n);
+  dcc.build(dcc_bits, dcc_vals, dcc_n);
+  acc.build(acc_bits, acc_vals, acc_n);
+  BitReader br(scan, scan_len, destuff != 0);
+  int pred_y = 0, pred_cb = 0, pred_cr = 0;
+
+  if (ncomp == 1) {
+    for (long i = 0; i < (long)ybw * ybh; i++) {
+      pred_y = decode_block(br, y + i * 64, pred_y, dcl, acl);
+      if (pred_y == INT32_MIN) return -1;
+    }
+    return 0;
+  }
+  if (subsample) {
+    int mh = ybh / 2, mw = ybw / 2;
+    for (int my = 0; my < mh; my++) {
+      for (int mx = 0; mx < mw; mx++) {
+        for (int sy = 0; sy < 2; sy++)
+          for (int sx = 0; sx < 2; sx++) {
+            long idx = ((long)(2 * my + sy) * ybw + (2 * mx + sx)) * 64;
+            pred_y = decode_block(br, y + idx, pred_y, dcl, acl);
+            if (pred_y == INT32_MIN) return -1;
+          }
+        long cidx = ((long)my * cbw + mx) * 64;
+        pred_cb = decode_block(br, cb + cidx, pred_cb, dcc, acc);
+        if (pred_cb == INT32_MIN) return -1;
+        pred_cr = decode_block(br, cr + cidx, pred_cr, dcc, acc);
+        if (pred_cr == INT32_MIN) return -1;
+      }
+    }
+  } else {
+    for (int by = 0; by < ybh; by++) {
+      for (int bx = 0; bx < ybw; bx++) {
+        long idx = ((long)by * ybw + bx) * 64;
+        pred_y = decode_block(br, y + idx, pred_y, dcl, acl);
+        pred_cb = decode_block(br, cb + idx, pred_cb, dcc, acc);
+        pred_cr = decode_block(br, cr + idx, pred_cr, dcc, acc);
+        if (pred_y == INT32_MIN || pred_cb == INT32_MIN ||
+            pred_cr == INT32_MIN)
+          return -1;
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

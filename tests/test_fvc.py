@@ -1,0 +1,100 @@
+"""FVC GOP codec tests: roundtrip quality, P-frame gains, chunk-boundary
+bit-exactness (the hype stitch contract), element integration."""
+
+import numpy as np
+import pytest
+
+from flutpu.codec.fvc import FvcDecoder, FvcEncoder, MAGIC
+from flutpu.codec.jpeg import psnr
+from flutpu.core import Buffer, Harness, MSECOND
+from flutpu.core.elements import make_test_frame
+
+
+def video(n, w=64, h=48, pattern="ball"):
+    return np.stack([make_test_frame(pattern, w, h, i) for i in range(n)])
+
+
+class TestFvcCodec:
+    def test_roundtrip_psnr(self):
+        frames = video(6)
+        enc = FvcEncoder(quality=90)
+        chunk = enc.encode_chunk(frames)
+        assert chunk[:4] == MAGIC
+        dec, info = FvcDecoder().decode_chunk(chunk)
+        assert dec.shape == frames.shape
+        assert info["types"] == [0, 1, 1, 1, 1, 1]
+        for i in range(len(frames)):
+            assert psnr(frames[i], dec[i]) > 30, f"frame {i}"
+
+    def test_p_frames_smaller_than_i_only(self):
+        """Static content: P frames must be far cheaper than re-coding I."""
+        frames = np.repeat(video(1, pattern="gradient"), 8, axis=0)
+        fvc = len(FvcEncoder(quality=85).encode_chunk(frames))
+        from flutpu.codec.jpeg import JpegEncoder
+        mjpeg = sum(len(p) for p in
+                    JpegEncoder(quality=85, engine="host").encode_gop(frames))
+        assert fvc < mjpeg * 0.4, (fvc, mjpeg)
+
+    def test_no_drift_on_static_content(self):
+        frames = np.repeat(video(1, pattern="gradient"), 10, axis=0)
+        dec, _ = FvcDecoder().decode_chunk(
+            FvcEncoder(quality=85).encode_chunk(frames))
+        # all decoded frames identical: residuals are exactly zero
+        for i in range(1, 10):
+            np.testing.assert_array_equal(dec[i], dec[0])
+
+    def test_chunked_stream_bit_exact_stitch(self):
+        """Encoding N chunks separately and concatenating equals encoding
+        the same chunk boundaries in one pass — the hype stitch invariant."""
+        frames = video(12)
+        enc = FvcEncoder(quality=85)
+        whole = enc.encode_chunk(frames[:6]) + enc.encode_chunk(frames[6:])
+        c1 = enc.encode_chunk(frames[:6])
+        c2 = enc.encode_chunk(frames[6:])
+        assert whole == c1 + c2  # stateless chunks → bit-exact boundaries
+        dec = FvcDecoder().decode_stream(whole)
+        assert dec.shape == frames.shape
+        assert psnr(frames[8], dec[8]) > 30
+
+    def test_corrupt_stream_raises(self):
+        with pytest.raises(ValueError):
+            FvcDecoder().decode_chunk(b"JUNKJUNKJUNKJUNK")
+
+
+class TestFvcElement:
+    CAPS = "video/x-raw, format=RGB, width=64, height=48, framerate=30/1"
+
+    def test_standalone(self):
+        h = Harness("fvcenc quality=90 gop-size=4")
+        h.set_src_caps(self.CAPS)
+        frames = video(8)
+        for i, f in enumerate(frames):
+            h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        chunks = [h.pull(timeout=20) for _ in range(2)]
+        data = b"".join(bytes(c.data) for c in chunks)
+        dec = FvcDecoder().decode_stream(data)
+        assert dec.shape == frames.shape
+        assert psnr(frames[5], dec[5]) > 30
+
+    def test_inside_hype(self):
+        """Chunk-parallel FVC: scene events bound chunks; every chunk is
+        independently decodable; stitched stream reconstructs in order."""
+        h = Harness("hype gop-size=4 encoder-1=fvcenc encoder-2=fvcenc")
+        h.set_src_caps(self.CAPS)
+        frames = video(12)
+        for i, f in enumerate(frames):
+            h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        chunks = []
+        while True:
+            b = h.try_pull(timeout=10)
+            if b is None:
+                break
+            chunks.append(b)
+        h.teardown()
+        assert [c.pts for c in chunks] == sorted(c.pts for c in chunks)
+        dec = FvcDecoder().decode_stream(b"".join(bytes(c.data) for c in chunks))
+        assert dec.shape == frames.shape
+        for i in (0, 5, 11):
+            assert psnr(frames[i], dec[i]) > 30, f"frame {i}"
