@@ -301,6 +301,7 @@ def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     first = jnp.searchsorted(offsets, wbit, side="right").astype(jnp.int32) - 1
     first = jnp.clip(first, 0, b - 1)
 
+    word_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, _BLOCK_WORDS), 1)
     out = jnp.zeros((out_words,), jnp.uint32)
     for j in range(_MAX_SPAN):
         blk = jnp.clip(first + j, 0, b - 1)
@@ -309,18 +310,22 @@ def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
         # does block blk overlap word w?
         valid = (o < wbit + 32) & (o + nb > wbit) & (first + j < b)
         pos = wbit - o            # block-local bit index of the word start
+        # gather whole block rows (row gathers lower far better on TPU than
+        # general 2D gathers), then select columns k0/k1 via one-hot masks
+        rows = buf[blk]           # (out_words, _BLOCK_WORDS)
         # case pos >= 0: word bits = block bits [pos, pos+32):
         #   p = pos & 31, k0 = pos >> 5 → (buf[k0] << p) | (buf[k0+1] >> 32-p)
         p = (pos & 31).astype(jnp.uint32)
-        k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1)
-        k1 = jnp.clip((pos >> 5) + 1, 0, _BLOCK_WORDS - 1)
-        b0 = buf[blk, k0]
-        b1 = buf[blk, k1]
+        k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1).astype(jnp.uint32)
+        sel0 = (word_iota == k0[:, None])
+        sel1 = (word_iota == k0[:, None] + 1)
+        b0 = jnp.sum(jnp.where(sel0, rows, 0), axis=1)
+        b1 = jnp.sum(jnp.where(sel1, rows, 0), axis=1)
         inside = (b0 << p) | jnp.where(p > 0, b1 >> ((32 - p) & 31), 0)
         # case pos < 0: block starts ``lead`` bits into this word; its first
         # bits (buf word 0, MSB-aligned) land right-shifted by lead
         lead = jnp.clip(o - wbit, 0, 31).astype(jnp.uint32)
-        start = jnp.where(pos >= 0, inside, buf[blk, 0] >> lead)
+        start = jnp.where(pos >= 0, inside, rows[:, 0] >> lead)
         # bits past the block's end are zero in buf by construction, so no
         # end mask is required; still guard fully-disjoint contributors
         out = out | jnp.where(valid, start, 0)
