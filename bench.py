@@ -104,15 +104,20 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
 
 def run_pipeline_cpu(n_gops: int) -> float:
     """Measured CPU baseline: the same element contracts implemented on the
-    host CPU — jax-CPU transforms + native C++ Huffman coder."""
+    host CPU — jax-CPU transforms + native C++ Huffman coder. Reports the
+    best of three measurement rounds (the most favorable baseline, so the
+    reported speedup is conservative)."""
     from flutpu.codec.jpeg import JpegEncoder
     enc = JpegEncoder(quality=QUALITY, engine="host")
     frames = make_frames(GOP)
     enc.encode_gop(frames)  # warm/compile
-    t0 = time.time()
-    for _ in range(n_gops):
-        enc.encode_gop(frames)
-    return n_gops * GOP / (time.time() - t0)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(n_gops):
+            enc.encode_gop(frames)
+        best = max(best, n_gops * GOP / (time.time() - t0))
+    return best
 
 
 def main():

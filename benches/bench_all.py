@@ -1,0 +1,159 @@
+"""Secondary benchmarks — the BASELINE.json configs beyond the headline
+encode number (bench.py stays the driver's single-line entry point).
+
+Prints one JSON line per config:
+  1. fluttml: TTML parse + render to ARGB overlays (ms/frame)
+  2. injectbin: mid-stream swap latency in a running pipeline
+  3. hype: 1080p30 8-chunk parallel encode + stitch (fps) — see bench.py
+  4. 4K fused conversion+DCT+quant throughput (fps)
+  5. full pipeline: encode + subtitle burn-in (fps)
+
+Run: python benches/bench_all.py   (FLUTPU_CPU=1 to force CPU)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("FLUTPU_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def report(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 3),
+                      "unit": unit, **extra}), flush=True)
+
+
+def bench_ttml_render(n_cues=40, w=640, h=360):
+    """Config 1: parse + render a many-cue TTML doc; ms per interval frame."""
+    from flutpu.core import Buffer, Harness
+    cues = "".join(
+        f'<p begin="{i}s" end="{i + 1}s" region="r">Cue number {i} with some '
+        f'<span tts:fontWeight="bold">styled</span> text</p>'
+        for i in range(n_cues))
+    doc = ("<?xml version='1.0'?>"
+           "<tt xmlns='http://www.w3.org/ns/ttml' "
+           "xmlns:tts='http://www.w3.org/ns/ttml#styling'><head><layout>"
+           "<region xml:id='r' tts:origin='10% 75%' tts:extent='80% 20%' "
+           "tts:backgroundColor='#00000080'/></layout></head><body><div>"
+           + cues + "</div></body></tt>")
+    hns = Harness(f"ttmlrender window-width={w} window-height={h}")
+    hns.set_src_caps("application/ttml+xml")
+    t0 = time.time()
+    hns.push(Buffer(doc.encode(), pts=0))
+    hns.push_eos()
+    frames = 0
+    while hns.try_pull(timeout=0.5) is not None:
+        frames += 1
+    dt = time.time() - t0
+    hns.teardown()
+    report("ttml_render_ms_per_frame", dt / max(frames, 1) * 1000, "ms",
+           frames=frames)
+
+
+def bench_injectbin_swap(n=200):
+    """Config 2: property-set → swap-complete latency under dataflow."""
+    from flutpu.core import Buffer, MSECOND, parse_launch, make
+    p = parse_launch("appsrc name=src caps='video/x-raw, format=RGB' "
+                     "! injectbin name=ib ! appsink name=out")
+    src, ib, sink = (p.get_by_name(x) for x in ("src", "ib", "out"))
+    p.play()
+    frame = np.zeros((32, 32, 3), np.uint8)
+    lat = []
+    for i in range(n):
+        if i % 10 == 5:
+            el = make("identity")
+            t0 = time.perf_counter()
+            done = []
+            ib.connect_notify("element", lambda e, _p: done.append(
+                time.perf_counter()))
+            ib.set_property("element", el if (i // 10) % 2 == 0 else None)
+            src.push(Buffer(frame, pts=i * MSECOND, offset=i))
+            if done:
+                lat.append((done[-1] - t0) * 1e3)
+            ib._notify_cbs["element"].clear()
+        else:
+            src.push(Buffer(frame, pts=i * MSECOND, offset=i))
+    src.end_of_stream()
+    p.stop()
+    report("injectbin_swap_latency_ms", float(np.mean(lat)), "ms",
+           swaps=len(lat))
+
+
+def bench_4k_convert(frames=4):
+    """Config 4: 4K fused convert+DCT+quant+zigzag device throughput."""
+    import jax
+    import jax.numpy as jnp
+    from flutpu.codec.jpeg import JpegEncoder, encode_gop_to_coefs
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
+    enc = JpegEncoder(quality=85)
+    w, h = 3840, 2160
+    f = gradient_ball_frames(h, w, frames, jnp.float32(0))
+    def run():
+        out = encode_gop_to_coefs(f, enc._qy_dev, enc._qc_dev,
+                                  pad_h=h, pad_w=w, subsample=True)
+        jax.block_until_ready(out)
+        return out
+    run()
+    t0 = time.time()
+    n = 5
+    for _ in range(n):
+        out = run()
+    np.asarray(out[0][:1, :1, :1])
+    dt = time.time() - t0
+    report("4k_convert_dct_quant_fps", frames * n / dt, "frames/s")
+
+
+def bench_full_pipeline(gops=4):
+    """Config 5: encode + TTML burn-in per GOP (one fused device pass for
+    the burn-in + the auto-engine encoder)."""
+    import jax.numpy as jnp
+    from flutpu.codec.jpeg import JpegEncoder
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
+    from flutpu.core import Buffer, Harness
+    from flutpu.ttml.render import overlay_on_frames
+
+    h_el = Harness("ttmlrender window-width=1920 window-height=1088")
+    h_el.set_src_caps("application/ttml+xml")
+    h_el.push(Buffer(
+        b"<?xml version='1.0'?><tt xmlns='http://www.w3.org/ns/ttml'>"
+        b"<body><div><p begin='0s' end='60s'>Burn-in subtitle</p></div>"
+        b"</body></tt>", pts=0))
+    h_el.push_eos()
+    overlay = jnp.asarray(np.asarray(h_el.pull(timeout=30).data))
+    h_el.teardown()
+
+    enc = JpegEncoder(quality=85)
+    def one_gop(g):
+        frames = gradient_ball_frames(1088, 1920, 8, jnp.float32(g * 8))
+        burned = overlay_on_frames(frames, overlay)
+        return enc.encode_gop_finalize(
+            enc.encode_gop_dispatch(burned, 1080, 1920))
+    one_gop(0)
+    t0 = time.time()
+    for g in range(gops):
+        payloads = one_gop(g)
+    dt = time.time() - t0
+    report("encode_plus_burnin_fps", gops * 8 / dt, "frames/s")
+
+
+def main():
+    which = sys.argv[1:] or ["ttml", "inject", "4k", "full"]
+    if "ttml" in which:
+        bench_ttml_render()
+    if "inject" in which:
+        bench_injectbin_swap()
+    if "4k" in which:
+        bench_4k_convert()
+    if "full" in which:
+        bench_full_pipeline()
+
+
+if __name__ == "__main__":
+    main()

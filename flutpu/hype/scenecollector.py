@@ -20,7 +20,7 @@ import threading
 from typing import Dict, List, Optional
 
 from ..core import (Buffer, BufferList, Element, Event, EventType, FlowReturn,
-                    Pad, PadDirection, register)
+                    Pad, PadDirection, PropertySpec, register)
 from .events import SceneNewEvent
 from ..core.log import category
 
@@ -92,6 +92,13 @@ class _Scenes:
 @register
 class SceneCollector(Element):
     FACTORY = "scenecollector"
+    PROPERTIES = [
+        PropertySpec("branch-timeout-ms", 0,
+                     "tolerate a dead/stalled branch: if the next scene to "
+                     "send stays incomplete this long while later scenes "
+                     "are ready, skip it (0 = wait forever, the reference's "
+                     "behavior — SURVEY §7 'ordering under failure')"),
+    ]
 
     def __init__(self, name: Optional[str] = None, **props):
         super().__init__(name, **props)
@@ -104,6 +111,8 @@ class SceneCollector(Element):
         self._drain_lock = threading.Lock()
         self._caps_pushed = False
         self._eos_sent = False
+        self._stall_since: Optional[float] = None
+        self._stalled_scene: Optional[int] = None
 
     def request_pad(self, template: str) -> Optional[Pad]:
         if not template.startswith("sink"):
@@ -123,12 +132,44 @@ class SceneCollector(Element):
 
     def _drain(self) -> FlowReturn:
         with self._drain_lock:
+            self._maybe_skip_stalled()
             for blist in self._scenes.pop_completed():
                 CAT.log("draining scene with %d buffers", len(blist))
                 ret = self.srcpad.push_list(blist)
                 if ret not in (FlowReturn.OK, FlowReturn.NOT_LINKED):
                     return ret
         return FlowReturn.OK
+
+    def _maybe_skip_stalled(self) -> None:
+        """Dead-branch tolerance: when later scenes are complete but the head
+        scene isn't, start a timer; past the timeout, drop the head scene so
+        the stream keeps flowing (the reference stalls forever here)."""
+        timeout_ms = int(self.get_property("branch-timeout-ms") or 0)
+        if timeout_ms <= 0:
+            return
+        import time as _time
+        with self._scenes.lock:
+            head = self._scenes.next_scene_to_send
+            sb = self._scenes.scene_buffers.get(head)
+            blocked = (sb is not None and not sb.completed
+                       and any(s > head and b.completed
+                               for s, b in self._scenes.scene_buffers.items()))
+            if not blocked:
+                self._stall_since = None
+                self._stalled_scene = None
+                return
+            now = _time.monotonic()
+            if self._stalled_scene != head:
+                self._stalled_scene = head
+                self._stall_since = now
+                return
+            if (now - (self._stall_since or now)) * 1000 >= timeout_ms:
+                CAT.warning("branch stalled: skipping scene %d (%d buffers)",
+                            head, len(sb.buffers))
+                del self._scenes.scene_buffers[head]
+                self._scenes.next_scene_to_send = head + 1
+                self._stall_since = None
+                self._stalled_scene = None
 
     def _sink_event(self, pad: Pad, event: Event) -> bool:
         scene = SceneNewEvent.parse(event)

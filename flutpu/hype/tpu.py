@@ -104,17 +104,43 @@ class TpuHype(VideoEncoder):
         yq, cbq, crq = encode_chunks_sharded(
             jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
             mesh=mesh)
-        yq = np.asarray(yq)
-        cbq = np.asarray(cbq)
-        crq = np.asarray(crq)
         hdr = jpeg_headers(h, w, jenc.qy, jenc.qc, True)
-
-        def scan(idx):
-            c, f = divmod(idx, gop)
-            return hdr + encode_scan(yq[c, f], cbq[c, f], crq[c, f], True) + b"\xff\xd9"
-
-        # pool preserves submission order → strict in-order gather
-        payloads = list(self._pool.map(scan, range(n)))
+        payloads = self._entropy(jenc, yq, cbq, crq, hdr)
         for src, data in zip(batch, payloads):
             self.srcpad.push(Buffer(data, pts=src.pts, dts=src.dts,
                                     duration=src.duration, offset=src.offset))
+
+    def _entropy(self, jenc, yq, cbq, crq, hdr):
+        """Entropy-code all chunk frames. On accelerators the bits pack on
+        device (only compressed data crosses the link); the host coder is
+        the CPU fallback."""
+        c, f = yq.shape[0], yq.shape[1]
+        if jenc.use_pallas:
+            from ..codec.jpeg import _pad_to
+            from ..codec.ops.entropy import (encode_gop_scans_combined,
+                                             mcu_layout, stuff_and_finalize)
+            layout = mcu_layout(yq.shape[3], yq.shape[2],
+                                cbq.shape[3], cbq.shape[2], True)
+            prefix = jenc.PREFIX_WORDS
+            combined = encode_gop_scans_combined(
+                yq.reshape(c * f, *yq.shape[2:]),
+                cbq.reshape(c * f, *cbq.shape[2:]),
+                crq.reshape(c * f, *crq.shape[2:]),
+                layout=layout, prefix_words=prefix, use_pallas=True)
+            arr = np.asarray(combined)
+            bits = arr[:, 0].astype(np.int64)
+            if (bits <= prefix * 32).all():
+                return [hdr + stuff_and_finalize(arr[i, 1:], int(bits[i]))
+                        + b"\xff\xd9" for i in range(c * f)]
+            # dense-content overflow → host coder below
+        yq = np.asarray(yq)
+        cbq = np.asarray(cbq)
+        crq = np.asarray(crq)
+
+        def scan(idx):
+            ci, fi = divmod(idx, f)
+            return hdr + encode_scan(yq[ci, fi], cbq[ci, fi], crq[ci, fi],
+                                     True) + b"\xff\xd9"
+
+        # pool preserves submission order → strict in-order gather
+        return list(self._pool.map(scan, range(c * f)))

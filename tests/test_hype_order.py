@@ -170,3 +170,36 @@ def test_forced_keyframe_at_chunk_start():
     # carry a ForceKeyUnit (first chunk may precede any switch)
     assert len(fku) >= 1
     h.teardown()
+
+
+def test_dead_branch_timeout_skips_scene():
+    """Failure tolerance beyond the reference: a stalled branch's scene is
+    skipped after branch-timeout-ms so the stream keeps flowing (the
+    reference stalls forever, SURVEY §7 'ordering under failure')."""
+    import time
+    from flutpu.core import make, SegmentEvent, Segment, StreamStartEvent
+    col = make("scenecollector")
+    col.set_property("branch-timeout-ms", 150)
+    p0 = col.request_pad("sink_%u")
+    p1 = col.request_pad("sink_%u")
+    out = []
+    sink = __import__("flutpu.core.pad", fromlist=["Pad"]).Pad(
+        "t", __import__("flutpu.core.pad", fromlist=["PadDirection"]).PadDirection.SINK)
+    from flutpu.core import FlowReturn
+    sink.chain_function = lambda pad, b: (out.append(b), FlowReturn.OK)[1]
+    col.srcpad.link(sink)
+
+    from flutpu.hype.events import SceneNewEvent
+    # scene 0 assigned to branch 0 but its buffers never arrive (dead branch)
+    p0.send_event(SceneNewEvent(0, 4))
+    # scene 1 complete on branch 1
+    p1.send_event(SceneNewEvent(1, 4))
+    for i in range(4):
+        p1.chain(Buffer(bytes(1), pts=(4 + i) * MSECOND))
+    p1.send_event(SceneNewEvent(3, 4))  # completes scene 1
+    assert out == []  # held: scene 0 still pending
+    time.sleep(0.2)
+    # further activity on the live branch triggers the timeout path
+    p1.chain(Buffer(bytes(1), pts=12 * MSECOND))
+    assert len(out) == 4  # scene 1 flushed; scene 0 skipped
+    assert out[0].pts == 4 * MSECOND
