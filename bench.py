@@ -23,6 +23,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the axon remote compiler costs
+    minutes per program; cached reruns skip it entirely."""
+    try:
+        import jax
+        cache = os.environ.get("JAX_CACHE_DIR", "/tmp/flutpu-jax-cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 W, H = 1920, 1080
 PH, PW = 1088, 1920  # padded to macroblock multiples
 GOP = 8

@@ -1,0 +1,166 @@
+"""TTML conformance details: SET animation, xml:space, EBU-TT-D cell
+resolution, assume-ordered-spans, PAR propagation — the behaviors the
+reference validates manually against the W3C/IRT suites (SURVEY §4)."""
+
+import pytest
+
+from flutpu.core import Buffer, Harness, SECOND
+
+
+def run_parse(doc, element="ttmlparse"):
+    h = Harness(element)
+    h.set_src_caps("application/ttml+xml")
+    h.push(Buffer(doc.encode(), pts=0))
+    h.push_eos()
+    out = []
+    while True:
+        b = h.try_pull(timeout=0.3)
+        if b is None:
+            break
+        out.append((b.pts, b.duration, bytes(b.data).decode()))
+    h.teardown()
+    return out
+
+
+class TestSetAnimation:
+    DOC = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <body><div>
+    <p begin="0s" end="4s" tts:color="white">Blink
+      <set begin="1s" end="2s" tts:color="red"/>
+    </p>
+  </div></body>
+</tt>
+"""
+
+    def test_set_creates_intervals(self):
+        out = run_parse(self.DOC)
+        cues = [(p, d, t) for p, d, t in out if "Blink" in t]
+        # three intervals: [0,1) white, [1,2) red, [2,4) white
+        assert len(cues) >= 3, out
+        assert 'fgcolor="#ffffff"' in cues[0][2]
+        assert 'fgcolor="#ff0000"' in cues[1][2]
+        assert cues[1][0] == 1 * SECOND
+        assert 'fgcolor="#ffffff"' in cues[2][2]
+
+
+class TestWhitespace:
+    def test_collapse_default(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"><body><div>
+<p begin="0s" end="1s">hello
+        world   and    more</p>
+</div></body></tt>"""
+        out = run_parse(doc)
+        text = [t for _, _, t in out if "hello" in t][0]
+        assert "hello world and more" in text
+
+    def test_preserve(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xml:space="preserve"><body><div>
+<p begin="0s" end="1s">a   b</p>
+</div></body></tt>"""
+        out = run_parse(doc)
+        text = [t for _, _, t in out if "a" in t and "b" in t]
+        assert any("a   b" in t for t in text), out
+
+
+class TestEbuDefaults:
+    def test_cell_resolution_from_namespace(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"
+    xmlns:ebuttm="urn:ebu:tt:metadata">
+  <body><div><p begin="0s" end="1s">x</p></div></body>
+</tt>"""
+        from flutpu.core import make, Segment, SegmentEvent, StreamStartEvent
+        el = make("ttmlparse")
+        from flutpu.core import State
+        el.set_state(State.PLAYING)
+        el.sinkpad.chain(Buffer(doc.encode(), pts=0))
+        assert el.parse_state.cell_resolution_x == 40
+        assert el.parse_state.cell_resolution_y == 24
+
+    def test_default_cell_resolution(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml">
+  <body><div><p begin="0s" end="1s">x</p></div></body>
+</tt>"""
+        from flutpu.core import make, State
+        el = make("ttmlparse")
+        el.set_state(State.PLAYING)
+        el.sinkpad.chain(Buffer(doc.encode(), pts=0))
+        assert el.parse_state.cell_resolution_x == 32
+        assert el.parse_state.cell_resolution_y == 15
+
+    def test_explicit_cell_resolution(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"
+    xmlns:ttp="http://www.w3.org/ns/ttml#parameter"
+    ttp:cellResolution="50 30">
+  <body><div><p begin="0s" end="1s">x</p></div></body>
+</tt>"""
+        from flutpu.core import make, State
+        el = make("ttmlparse")
+        el.set_state(State.PLAYING)
+        el.sinkpad.chain(Buffer(doc.encode(), pts=0))
+        assert el.parse_state.cell_resolution_x == 50
+        assert el.parse_state.cell_resolution_y == 30
+
+
+class TestOrderedSpans:
+    def test_early_flush(self):
+        """assume-ordered-spans flushes earlier cues as soon as a later one
+        begins parsing — lower latency, same output."""
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"><body><div>
+<p begin="0s" end="1s">one</p>
+<p begin="1s" end="2s">two</p>
+<p begin="2s" end="3s">three</p>
+</div></body></tt>"""
+        base = run_parse(doc)
+        h = Harness("ttmlparse assume-ordered-spans=true")
+        h.set_src_caps("application/ttml+xml")
+        h.push(Buffer(doc.encode(), pts=0))
+        h.push_eos()
+        ordered = []
+        while True:
+            b = h.try_pull(timeout=0.3)
+            if b is None:
+                break
+            ordered.append((b.pts, b.duration, bytes(b.data).decode()))
+        h.teardown()
+        texts = lambda o: [(p, t.strip()) for p, _, t in o if t.strip()]
+        assert texts(ordered) == texts(base)
+
+
+class TestParameters:
+    def test_par_reaches_render_caps(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"
+    xmlns:ttp="http://www.w3.org/ns/ttml#parameter"
+    ttp:pixelAspectRatio="16 11">
+  <body><div><p begin="0s" end="1s">x</p></div></body>
+</tt>"""
+        h = Harness("ttmlrender window-width=96 window-height=64")
+        h.set_src_caps("application/ttml+xml")
+        h.push(Buffer(doc.encode(), pts=0))
+        h.push_eos()
+        h.pull(timeout=10)
+        caps_events = [e for e in h.events_received()
+                       if e.type.value == "caps"]
+        assert caps_events
+        par = caps_events[-1].caps.get("pixel_aspect_ratio")
+        assert par is not None and par.numerator == 16 and par.denominator == 11
+        h.teardown()
+
+    def test_smpte_time_base_frames(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"
+    xmlns:ttp="http://www.w3.org/ns/ttml#parameter"
+    ttp:frameRate="25">
+  <body><div><p begin="00:00:01:05" end="00:00:02:00">cue</p></div></body>
+</tt>"""
+        out = run_parse(doc)
+        cues = [(p, d) for p, d, t in out if "cue" in t]
+        assert cues and cues[0][0] == int(1.2 * SECOND)
+        assert cues[0][1] == int(0.8 * SECOND)
