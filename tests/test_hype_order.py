@@ -203,3 +203,31 @@ def test_dead_branch_timeout_skips_scene():
     p1.chain(Buffer(bytes(1), pts=12 * MSECOND))
     assert len(out) == 4  # scene 1 flushed; scene 0 skipped
     assert out[0].pts == 4 * MSECOND
+
+
+def test_adaptive_scene_detection():
+    """scene-threshold > 0: boundaries at content cuts plus a max chunk
+    length (extension beyond the reference's fixed-GOP-only detector)."""
+    import numpy as np
+    from flutpu.core import make, State
+    det = make("scenedetector")
+    det.set_property("gop-size", 100)       # max length: effectively off
+    det.set_property("scene-threshold", 10.0)
+    events = []
+    from flutpu.core.pad import Pad, PadDirection
+    from flutpu.core import FlowReturn
+    sink = Pad("t", PadDirection.SINK)
+    sink.chain_function = lambda p, b: FlowReturn.OK
+    def ev(p, e):
+        s = SceneNewEvent.parse(e)
+        if s is not None:
+            events.append(s.gop_index)
+        return True
+    sink.event_function = ev
+    det.srcpad.link(sink)
+    dark = np.zeros((64, 64, 3), np.uint8)
+    bright = np.full((64, 64, 3), 200, np.uint8)
+    seq = [dark] * 5 + [bright] * 5 + [dark] * 5  # two hard cuts
+    for i, f in enumerate(seq):
+        det.sinkpad.chain(Buffer(f, offset=i))
+    assert events == [0, 1, 2]  # start + 2 cuts
