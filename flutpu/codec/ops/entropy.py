@@ -302,33 +302,35 @@ def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     first = jnp.clip(first, 0, b - 1)
 
     word_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, _BLOCK_WORDS), 1)
-    out = jnp.zeros((out_words,), jnp.uint32)
-    for j in range(_MAX_SPAN):
+    buf_word0 = buf[:, 0]
+
+    # contributor j=0: the block CONTAINING the word start — needs arbitrary
+    # block words (full row gather; TPU handles row gathers + one-hot column
+    # select far better than general 2D gathers)
+    blk = first
+    o = offsets[blk]
+    nb = nbits[blk]
+    valid = (o <= wbit) & (o + nb > wbit)
+    pos = wbit - o                 # >= 0 for the containing block
+    p = (pos & 31).astype(jnp.uint32)
+    k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1).astype(jnp.uint32)
+    rows = buf[blk]                # (out_words, _BLOCK_WORDS)
+    sel0 = (word_iota == k0[:, None])
+    sel1 = (word_iota == k0[:, None] + 1)
+    b0 = jnp.sum(jnp.where(sel0, rows, 0), axis=1)
+    b1 = jnp.sum(jnp.where(sel1, rows, 0), axis=1)
+    inside = (b0 << p) | jnp.where(p > 0, b1 >> ((32 - p) & 31), 0)
+    out = jnp.where(valid, inside, 0)
+
+    # contributors j>=1 START inside the word, so only their first buffer
+    # word matters — cheap 1-D gathers
+    for j in range(1, _MAX_SPAN):
         blk = jnp.clip(first + j, 0, b - 1)
-        o = offsets[blk]          # block start bit in the stream
-        nb = nbits[blk]           # block bit length
-        # does block blk overlap word w?
-        valid = (o < wbit + 32) & (o + nb > wbit) & (first + j < b)
-        pos = wbit - o            # block-local bit index of the word start
-        # gather whole block rows (row gathers lower far better on TPU than
-        # general 2D gathers), then select columns k0/k1 via one-hot masks
-        rows = buf[blk]           # (out_words, _BLOCK_WORDS)
-        # case pos >= 0: word bits = block bits [pos, pos+32):
-        #   p = pos & 31, k0 = pos >> 5 → (buf[k0] << p) | (buf[k0+1] >> 32-p)
-        p = (pos & 31).astype(jnp.uint32)
-        k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1).astype(jnp.uint32)
-        sel0 = (word_iota == k0[:, None])
-        sel1 = (word_iota == k0[:, None] + 1)
-        b0 = jnp.sum(jnp.where(sel0, rows, 0), axis=1)
-        b1 = jnp.sum(jnp.where(sel1, rows, 0), axis=1)
-        inside = (b0 << p) | jnp.where(p > 0, b1 >> ((32 - p) & 31), 0)
-        # case pos < 0: block starts ``lead`` bits into this word; its first
-        # bits (buf word 0, MSB-aligned) land right-shifted by lead
+        o = offsets[blk]
+        nb = nbits[blk]
+        valid = (o > wbit) & (o < wbit + 32) & (nb > 0) & (first + j < b)
         lead = jnp.clip(o - wbit, 0, 31).astype(jnp.uint32)
-        start = jnp.where(pos >= 0, inside, rows[:, 0] >> lead)
-        # bits past the block's end are zero in buf by construction, so no
-        # end mask is required; still guard fully-disjoint contributors
-        out = out | jnp.where(valid, start, 0)
+        out = out | jnp.where(valid, buf_word0[blk] >> lead, 0)
     return out, total_bits
 
 
