@@ -350,8 +350,16 @@ class JpegEncoder:
 
     def _scans_host(self, coefs) -> List[bytes]:
         yq, cbq, crq = (np.asarray(c) for c in coefs)
+        f = yq.shape[0]
+        if f > 1 and native.get_lib() is not None:
+            # the C coder releases the GIL: thread across frames
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(f, 8)) as pool:
+                return list(pool.map(
+                    lambda i: encode_scan(yq[i], cbq[i], crq[i],
+                                          self.subsample), range(f)))
         return [encode_scan(yq[i], cbq[i], crq[i], self.subsample)
-                for i in range(yq.shape[0])]
+                for i in range(f)]
 
     def _scans_device(self, coefs) -> Optional[List[bytes]]:
         from .ops.entropy import encode_gop_scans, mcu_layout, stuff_and_finalize

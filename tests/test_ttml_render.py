@@ -145,3 +145,35 @@ class TestRender:
         # green image pixels present in region (BGRA: G channel high)
         greens = (out[..., 1] > 200) & (out[..., 2] < 64) & (out[..., 3] > 0)
         assert greens.sum() >= 32
+
+
+class TestWritingModes:
+    def test_tbrl_rotates(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <head><layout>
+    <region xml:id="v" tts:origin="10% 10%" tts:extent="30% 80%"
+            tts:writingMode="tbrl" tts:backgroundColor="navy"/>
+  </layout></head>
+  <body><div>
+    <p begin="0s" end="1s" region="v" tts:color="white">vertical</p>
+  </div></body>
+</tt>"""
+        frames = render_first_frame(doc, w=200, h=160)
+        _, _, img = frames[0]
+        # region box painted
+        assert img[20, 25, 3] > 0
+        # text pixels present inside the region (white on navy)
+        region = img[16:144, 20:80]
+        bright = (region[..., 2] > 200) & (region[..., 1] > 200)
+        assert bright.sum() > 20
+
+
+class TestAnamorphicFontSize:
+    def test_two_axis_font_size_parses(self):
+        from flutpu.ttml.state import TTMLState
+        from flutpu.ttml.attributes import parse_attribute
+        st = TTMLState()
+        st.frame_width, st.frame_height = 100, 100
+        a = parse_attribute(st, None, "fontSize", "10px 20px")
+        assert a.value[0].value == 10 and a.value[1].value == 20
