@@ -9,6 +9,7 @@ bitstream packing run on the host (C++ fast path in native/bitstream).
 from .base import VideoEncoder
 from .encoder import TpuJpegEnc
 from .fvc import FvcDecoder, FvcEnc, FvcEncoder
+from .decoders import FvcDec, JpegDec
 
 __all__ = ["VideoEncoder", "TpuJpegEnc", "FvcDecoder", "FvcEnc",
-           "FvcEncoder"]
+           "FvcEncoder", "FvcDec", "JpegDec"]

@@ -558,6 +558,34 @@ class TTMLBase(Element):
             return self.srcpad.push_event(event)
         return self.srcpad.push_event(event)
 
+    def get_upstream_uri(self) -> Optional[str]:
+        """Walk upstream for a source with a ``location`` property so
+        relative resource URLs (SMPTE background images) can resolve
+        (reference gstttmlbase.c:1160-1228)."""
+        el = self
+        seen = set()
+        while el is not None and id(el) not in seen:
+            seen.add(id(el))
+            try:
+                loc = el.get_property("location")
+                if loc:
+                    return f"file://{loc}" if "://" not in str(loc) else str(loc)
+            except KeyError:
+                pass
+            nxt = None
+            for pad in el.sink_pads():
+                peer = pad.peer
+                if peer is not None and peer.element is not None:
+                    nxt = peer.element
+                    break
+                if pad._proxy_target is not None:
+                    tgt = pad._proxy_target
+                    if tgt.element is not None:
+                        nxt = tgt.element
+                        break
+            el = nxt
+        return None
+
     def _src_event(self, pad: Pad, event: Event) -> bool:
         if event.type == EventType.SEEK:
             if event.structure.get("format", "time") != "time":
