@@ -151,6 +151,50 @@ def _lut_onehot(idx: jnp.ndarray, table: np.ndarray):
     return code, out[..., 2].astype(jnp.int32)
 
 
+@functools.lru_cache()
+def _ac_mux_constants():
+    """AC table re-packed for a fused select-tree lookup.
+
+    entry(comp, size, run) = (len << 16) | code fits 21 bits; for each of
+    the 22 (comp, size∈1..10 + size-0 EOB-ish never queried) rows we pack
+    16 run entries as plain int32 constants → a where-chain over 22×? would
+    be wide, so instead pack PER (comp, size) the 16 runs into 16 scalars
+    and mux two levels: by (comp,size) then by run — all constants, fully
+    elementwise-fusable (no HBM-materialized one-hots)."""
+    _, _, ac_code, ac_len = _device_tables()
+    # table[(comp, size)] -> np.array of 16 packed entries (one per run)
+    packed = np.zeros((2, 11, 16), np.int32)
+    for comp in range(2):
+        for size in range(1, 11):
+            for run in range(16):
+                sym = (run << 4) | size
+                packed[comp, size - 1, run] = (
+                    (int(ac_len[comp, sym]) << 16) | int(ac_code[comp, sym]))
+    return packed
+
+
+def _ac_lut_mux(comp2: jnp.ndarray, run: jnp.ndarray, size: jnp.ndarray):
+    """AC (code, len) lookup as a constant select-tree — zero gathers, zero
+    materialized one-hots; XLA fuses the whole chain into one elementwise
+    pass. Valid only where size ∈ [1, 10] (nonzero coefficients); callers
+    mask elsewhere."""
+    packed = _ac_mux_constants()  # (2, 11, 16) numpy
+    sz = jnp.clip(size - 1, 0, 10)
+    # level 1: for each run slot r, select entry by (comp, size):
+    # entry_r = where-chain over size of (comp ? chroma : luma) constants
+    # level 2: select by run with a 16-way chain
+    entry = jnp.zeros_like(run)
+    for r in range(16):
+        e_r = jnp.zeros_like(run)
+        for s in range(10, -1, -1):
+            luma = int(packed[0, s, r])
+            chroma = int(packed[1, s, r])
+            const = jnp.where(comp2 == 1, chroma, luma)
+            e_r = jnp.where(sz == s, const, e_r)
+        entry = jnp.where(run == r, e_r, entry)
+    return entry & 0xFFFF, entry >> 16
+
+
 def _magnitude(v: jnp.ndarray, max_bits: int) -> jnp.ndarray:
     """JPEG size category of |v| via thresholds (branchless, VPU-wide)."""
     a = jnp.abs(v)
@@ -203,7 +247,7 @@ def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
     rem = run & 15
     sym = (rem << 4) | asize
     if use_onehot:
-        ac_code, ac_len = _lut_onehot(comp[:, None] * 256 + sym, ac_tab)
+        ac_code, ac_len = _ac_lut_mux(comp[:, None], rem, asize)
     else:
         ac_code_t = jnp.asarray(ac_code_np)
         ac_len_t = jnp.asarray(ac_len_np)
@@ -298,7 +342,12 @@ def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
 
     w = jnp.arange(out_words, dtype=jnp.int32)
     wbit = w << 5
-    first = jnp.searchsorted(offsets, wbit, side="right").astype(jnp.int32) - 1
+    # first[w] = searchsorted(offsets, 32w, 'right') - 1, computed as a
+    # histogram + cumsum: offsets[i] <= 32w  ⟺  ceil(offsets[i]/32) <= w.
+    # One (B+1)-element scatter-add beats out_words binary searches on TPU.
+    cw = jnp.clip((offsets + 31) >> 5, 0, out_words)
+    hist = jnp.zeros((out_words + 1,), jnp.int32).at[cw].add(1)
+    first = jnp.cumsum(hist)[:-1].astype(jnp.int32) - 1
     first = jnp.clip(first, 0, b - 1)
 
     word_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, _BLOCK_WORDS), 1)
