@@ -6,7 +6,7 @@ helper facade; every payload feeds the global fluc bandwidth meter.
 """
 
 from .downloader import Downloader, Task, TaskOutcome, outcome_string
-from .helper import DownloadHelper, download_sync
+from .helper import DownloadHelper, download_sync, parse_http_date
 
 __all__ = ["Downloader", "Task", "TaskOutcome", "outcome_string",
-           "DownloadHelper", "download_sync"]
+           "DownloadHelper", "download_sync", "parse_http_date"]

@@ -83,3 +83,14 @@ def download_sync(url: str, range: str = "",
     with DownloadHelper() as h:
         payload, outcome, _ = h.download(url, range, timeout)
         return payload
+
+
+def parse_http_date(datestring: str) -> Optional[int]:
+    """HTTP date string → seconds since the Epoch (reference
+    fludownloader_getdate, a curl_getdate proxy). Returns None when
+    unparseable."""
+    from email.utils import parsedate_to_datetime
+    try:
+        return int(parsedate_to_datetime(datestring).timestamp())
+    except (TypeError, ValueError):
+        return None
