@@ -103,6 +103,7 @@ class Element:
         return None
 
     def set_property(self, name: str, value: Any) -> None:
+        name = name.replace("_", "-")  # GObject-style name normalization
         spec = self._find_spec(name)
         if spec is None:
             raise KeyError(f"{type(self).__name__} has no property {name!r}")
@@ -118,6 +119,7 @@ class Element:
         self.notify(name)
 
     def get_property(self, name: str) -> Any:
+        name = name.replace("_", "-")  # GObject-style name normalization
         if name not in self._props:
             raise KeyError(f"{type(self).__name__} has no property {name!r}")
         override = self.do_get_property(name)

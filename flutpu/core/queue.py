@@ -28,6 +28,10 @@ class Queue(Element):
     FACTORY = "queue"
     PROPERTIES = [
         PropertySpec("max-size-buffers", 40, "max queued items before upstream blocks"),
+        # accepted for pipeline-description compatibility; only the buffer
+        # count bounds this queue
+        PropertySpec("max-size-bytes", 0),
+        PropertySpec("max-size-time", 0),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
