@@ -47,6 +47,12 @@ class TTMLRender(TTMLBase):
     ]
 
     def frame_dimensions(self) -> Tuple[int, int]:
+        # downstream-fixed dimensions win over the window properties
+        # (reference gstttmlrender.c:1480-1531 caps fixation)
+        peer = self.srcpad.peer_query_caps()
+        w, h = peer.get("width"), peer.get("height")
+        if isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0:
+            return w, h
         return (int(self.get_property("window-width")),
                 int(self.get_property("window-height")))
 

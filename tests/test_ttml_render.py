@@ -177,3 +177,24 @@ class TestAnamorphicFontSize:
         st.frame_width, st.frame_height = 100, 100
         a = parse_attribute(st, None, "fontSize", "10px 20px")
         assert a.value[0].value == 10 and a.value[1].value == 20
+
+
+class TestCapsNegotiation:
+    def test_downstream_size_wins(self):
+        """A downstream capsfilter fixing width/height resizes the render
+        window (reference caps fixation, README compositor pipelines)."""
+        from flutpu.core import parse_launch
+        p = parse_launch(
+            "appsrc name=src caps='application/ttml+xml' "
+            "! ttmlrender "
+            "! capsfilter caps='video/x-raw, format=BGRA, width=160, height=120' "
+            "! appsink name=out")
+        src = p.get_by_name("src")
+        sink = p.get_by_name("out")
+        assert p.play().name == "SUCCESS"
+        src.push(Buffer(DOC_BASIC.encode(), pts=0))
+        src.end_of_stream()
+        b = sink.try_pull_buffer(timeout=10)
+        p.stop()
+        assert b is not None
+        assert np.asarray(b.data).shape == (120, 160, 4)
