@@ -43,6 +43,9 @@ class TpuHype(VideoEncoder):
         PropertySpec("gop-size", 8),
         PropertySpec("quality", 85),
         PropertySpec("chunks", 0, "parallel chunks (0 = all local devices)"),
+        PropertySpec("spatial", 1, "row-stripe each frame across this many "
+                                   "chips (chunk x spatial mesh — for frame "
+                                   "sizes too heavy for one chip, e.g. 4K)"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -56,8 +59,15 @@ class TpuHype(VideoEncoder):
         if self._jenc is None:
             self._jenc = JpegEncoder(quality=int(self.get_property("quality")))
         if self._mesh is None:
-            n = int(self.get_property("chunks")) or len(jax.devices())
-            self._mesh = make_chunk_mesh(n)
+            spatial = max(1, int(self.get_property("spatial")))
+            if spatial > 1:
+                from ..parallel.mesh import make_chunk_spatial_mesh
+                n = int(self.get_property("chunks")) or \
+                    (len(jax.devices()) // spatial)
+                self._mesh = make_chunk_spatial_mesh(n, spatial)
+            else:
+                n = int(self.get_property("chunks")) or len(jax.devices())
+                self._mesh = make_chunk_mesh(n)
         return self._jenc, self._mesh
 
     def set_format(self, caps: Caps):
@@ -67,7 +77,9 @@ class TpuHype(VideoEncoder):
 
     @property
     def _batch_target(self) -> int:
-        n = int(self.get_property("chunks")) or len(jax.devices())
+        spatial = max(1, int(self.get_property("spatial")))
+        n = int(self.get_property("chunks")) or \
+            max(1, len(jax.devices()) // spatial)
         return n * int(self.get_property("gop-size"))
 
     def encode_frame(self, buf: Buffer, keyframe: bool) -> Optional[Buffer]:
@@ -89,7 +101,8 @@ class TpuHype(VideoEncoder):
         batch, self._frames = self._frames, []
         jenc, mesh = self._setup()
         gop = int(self.get_property("gop-size"))
-        n_chunks = mesh.devices.size
+        spatial = max(1, int(self.get_property("spatial")))
+        n_chunks = mesh.devices.size // spatial
         frames = np.stack([np.asarray(b.data) for b in batch])
         n, h, w, _ = frames.shape
         total = n_chunks * gop
@@ -103,7 +116,7 @@ class TpuHype(VideoEncoder):
         chunks = frames.reshape(n_chunks, gop, ph, pw, 3)
         yq, cbq, crq = encode_chunks_sharded(
             jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
-            mesh=mesh)
+            mesh=mesh, spatial=spatial > 1)
         hdr = jpeg_headers(h, w, jenc.qy, jenc.qc, True)
         payloads = self._entropy(jenc, yq, cbq, crq, hdr)
         for src, data in zip(batch, payloads):

@@ -94,3 +94,25 @@ class TestTpuHypeElement:
         for i, o in enumerate(outs):
             assert psnr(frames[i], decode_jpeg(o.data)) > 30
         h.teardown()
+
+
+class TestTpuHypeSpatial:
+    def test_chunk_spatial_mesh_element(self):
+        """4K-style operation: chunk x spatial mesh on the virtual CPU
+        devices; output identical contract (ordered decodable frames)."""
+        from flutpu.core import Buffer, Harness, MSECOND
+        from flutpu.core.elements import make_test_frame
+        from flutpu.codec.jpeg import decode_jpeg, psnr
+        h = Harness("tpuhype gop-size=2 chunks=2 spatial=2 quality=90")
+        h.set_src_caps("video/x-raw, format=RGB, width=64, height=64, framerate=30/1")
+        frames = []
+        for i in range(4):
+            f = make_test_frame("gradient", 64, 64, i)
+            frames.append(f)
+            h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        outs = [h.pull(timeout=30) for _ in range(4)]
+        assert [o.pts for o in outs] == [i * MSECOND for i in range(4)]
+        for i, o in enumerate(outs):
+            assert psnr(frames[i], decode_jpeg(o.data)) > 30
+        h.teardown()
