@@ -5,8 +5,9 @@ behind the ``ttmlrender`` element (render_el).
 """
 
 from .render_el import TTMLRender
+from .overlay_el import OverlayCompositor
 from .composite import compose_window, overlay_on_frames
 from .layout import draw_region_layer
 
-__all__ = ["TTMLRender", "compose_window", "overlay_on_frames",
+__all__ = ["TTMLRender", "OverlayCompositor", "compose_window", "overlay_on_frames",
            "draw_region_layer"]

@@ -198,3 +198,38 @@ class TestCapsNegotiation:
         p.stop()
         assert b is not None
         assert np.asarray(b.data).shape == (120, 160, 4)
+
+
+class TestOverlayCompositor:
+    def test_burnin_pipeline(self):
+        """The full-pipeline shape: video + ttmlrender → compositor →
+        composited frames (BASELINE config 5 element graph)."""
+        from flutpu.core import parse_launch, MSECOND, SECOND
+        from flutpu.core.elements import make_test_frame
+        p = parse_launch(
+            "appsrc name=vsrc caps='video/x-raw, format=RGB, width=96, height=64, framerate=30/1' "
+            "! comp.video "
+            "appsrc name=ssrc caps='application/ttml+xml' "
+            "! ttmlrender window-width=96 window-height=64 ! comp.overlay "
+            "overlaycompositor name=comp ! appsink name=out")
+        vsrc, ssrc, sink = (p.get_by_name(x) for x in ("vsrc", "ssrc", "out"))
+        assert p.play().name == "SUCCESS"
+        doc = ("<?xml version='1.0'?>"
+               "<tt xmlns='http://www.w3.org/ns/ttml' "
+               "xmlns:tts='http://www.w3.org/ns/ttml#styling'><body><div>"
+               "<p begin='0s' end='1s' tts:backgroundColor='red'>SUBTITLES</p>"
+               "</div></body></tt>")
+        ssrc.push(Buffer(doc.encode(), pts=0))
+        ssrc.end_of_stream()
+        dark = np.zeros((64, 96, 3), np.uint8)
+        # frame inside the cue window and one far past it
+        vsrc.push(Buffer(dark, pts=int(0.5 * SECOND), duration=MSECOND))
+        vsrc.push(Buffer(dark, pts=5 * SECOND, duration=MSECOND))
+        vsrc.end_of_stream()
+        f1 = sink.try_pull_buffer(timeout=20)
+        f2 = sink.try_pull_buffer(timeout=20)
+        p.stop()
+        a1 = np.asarray(f1.data)
+        a2 = np.asarray(f2.data)
+        assert (a1[..., 0] > 100).sum() > 10  # red background burned in
+        assert (a2 == 0).all()                # no overlay after the cue
