@@ -63,6 +63,8 @@ def parse_jfif(data: bytes):
 
 @register
 class JpegDec(Element):
+    """Decodes our baseline JFIF subset back to raw RGB frames."""
+
     FACTORY = "jpegdec"
 
     def __init__(self, name=None, **props):
@@ -111,6 +113,9 @@ class JpegDec(Element):
 
 @register
 class FvcDec(Element):
+    """Decodes FVC chunks to raw RGB frames (one buffer per coded
+    frame)."""
+
     FACTORY = "fvcdec"
 
     def __init__(self, name=None, **props):

@@ -33,6 +33,9 @@ def _bucket(n: int) -> int:
 
 @register
 class TpuJpegEnc(VideoEncoder):
+    """MJPEG encoder: whole-GOP device transforms + on-device entropy
+    packing; every frame a sync point."""
+
     FACTORY = "tpujpegenc"
     SINK_CAPS = "video/x-raw, format=RGB"
     SRC_CAPS = "image/jpeg"

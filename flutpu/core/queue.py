@@ -25,6 +25,8 @@ _SENTINEL = object()
 
 @register
 class Queue(Element):
+    """Bounded FIFO decoupling upstream from its own streaming thread."""
+
     FACTORY = "queue"
     PROPERTIES = [
         PropertySpec("max-size-buffers", 40, "max queued items before upstream blocks"),

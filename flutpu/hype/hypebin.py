@@ -50,6 +50,9 @@ def _make_from_description(desc: str) -> Element:
 
 @register
 class Hype(Bin):
+    """HYbrid Parallel Encoder bin: GOP-chunk scatter -> N encoder
+    branches -> strictly ordered gather (reference: hype)."""
+
     FACTORY = "hype"
     PROPERTIES = (
         [PropertySpec("gop-size", DEFAULT_GOP_SIZE)]

@@ -104,6 +104,9 @@ class _Selector(Element):
 
 @register
 class OutputSelector(Bin):
+    """Round-robin GOP-chunk scatter with per-branch queues and forced
+    keyframes at chunk starts."""
+
     FACTORY = "outputselector"
     PROPERTIES = [
         PropertySpec("max-size-buffers", SCENE_BUFFER_SIZE * 2,

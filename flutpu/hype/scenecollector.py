@@ -91,6 +91,9 @@ class _Scenes:
 
 @register
 class SceneCollector(Element):
+    """N-to-1 strictly ordered scene gather; EOS held until all scenes
+    flush; optional dead-branch timeout."""
+
     FACTORY = "scenecollector"
     PROPERTIES = [
         PropertySpec("branch-timeout-ms", 0,

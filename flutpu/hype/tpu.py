@@ -36,6 +36,9 @@ def _pad_to(x: int, m: int) -> int:
 
 @register
 class TpuHype(VideoEncoder):
+    """GOP-parallel MJPEG encoder as one SPMD dispatch, one chunk per chip
+    over a device mesh."""
+
     FACTORY = "tpuhype"
     SINK_CAPS = "video/x-raw, format=RGB"
     SRC_CAPS = "image/jpeg"

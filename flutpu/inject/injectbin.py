@@ -31,6 +31,9 @@ CAT = category("injectbin")
 
 @register
 class InjectBin(Bin):
+    """Hot element swap from any thread, synchronized with dataflow
+    (reference: injectbin)."""
+
     FACTORY = "injectbin"
     PROPERTIES = [
         PropertySpec("element", None, "element to inject (None = passthrough)",

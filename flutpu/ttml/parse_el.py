@@ -17,6 +17,8 @@ from .base import TTMLBase
 
 @register
 class TTMLParse(TTMLBase):
+    """TTML parser emitting pango-markup text per timeline interval."""
+
     FACTORY = "ttmlparse"
 
     def src_caps(self) -> Caps:

@@ -22,6 +22,8 @@ from .composite import overlay_on_frames
 
 @register
 class OverlayCompositor(Element):
+    """Burns a sparse BGRA overlay stream into raw video frames."""
+
     FACTORY = "overlaycompositor"
 
     def __init__(self, name=None, **props):

@@ -33,6 +33,9 @@ from .layout import (DEFAULT_WINDOW_H, DEFAULT_WINDOW_W, RegionLayout,
 
 @register
 class TTMLRender(TTMLBase):
+    """Rasterizes TTML intervals to BGRA overlay frames (host shaping +
+    device compositing)."""
+
     FACTORY = "ttmlrender"
 
     PROPERTIES = [

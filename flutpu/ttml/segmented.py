@@ -70,6 +70,8 @@ def _dump_attrs(attrs, skip_region: bool) -> str:
 
 @register
 class TTMLSegmentedParse(TTMLBase):
+    """Re-serializes each interval as a standalone segmented TTML doc."""
+
     FACTORY = "ttmlsegmentedparse"
 
     def src_caps(self) -> Caps:
