@@ -34,8 +34,11 @@ def _build() -> bool:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """The native library, or None when unavailable."""
+    """The native library, or None when unavailable (or disabled via
+    FLUTPU_NO_NATIVE=1 — exercising the pure-Python fallbacks)."""
     global _lib, _tried
+    if os.environ.get("FLUTPU_NO_NATIVE"):
+        return None
     with _lock:
         if _lib is not None or _tried:
             return _lib

@@ -227,6 +227,9 @@ class TestDownloader:
 
 class TestNativeDownloaderSpecifics:
     def test_native_lib_available(self):
+        import os
+        if os.environ.get("FLUTPU_NO_NATIVE"):
+            pytest.skip("native disabled via FLUTPU_NO_NATIVE")
         assert native.get_lib() is not None, \
             "native library must build in this environment"
 
