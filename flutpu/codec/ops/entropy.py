@@ -342,12 +342,7 @@ def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
 
     w = jnp.arange(out_words, dtype=jnp.int32)
     wbit = w << 5
-    # first[w] = searchsorted(offsets, 32w, 'right') - 1, computed as a
-    # histogram + cumsum: offsets[i] <= 32w  ⟺  ceil(offsets[i]/32) <= w.
-    # One (B+1)-element scatter-add beats out_words binary searches on TPU.
-    cw = jnp.clip((offsets + 31) >> 5, 0, out_words)
-    hist = jnp.zeros((out_words + 1,), jnp.int32).at[cw].add(1)
-    first = jnp.cumsum(hist)[:-1].astype(jnp.int32) - 1
+    first = jnp.searchsorted(offsets, wbit, side="right").astype(jnp.int32) - 1
     first = jnp.clip(first, 0, b - 1)
 
     word_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, _BLOCK_WORDS), 1)
