@@ -86,15 +86,31 @@ def _style_enum(style: Style, attr_type: AttrType, default):
     return a.value if a is not None else default
 
 
+class _StyleChain:
+    """Span style with region-style fallback (the reference's region style
+    expansion with span overrides, gstttmlrender.c:591-661)."""
+
+    def __init__(self, span_style: Style, region_style: Optional[Style]):
+        self._span = span_style
+        self._region = region_style
+
+    def get(self, atype: AttrType):
+        a = self._span.get(atype)
+        if a is None and self._region is not None:
+            return self._region.get(atype)
+        return a
+
+
 def extract_runs(spans: List[Span], region_id: Optional[str],
-                 defaults: dict) -> List[List[RunSpec]]:
+                 defaults: dict,
+                 region_style: Optional[Style] = None) -> List[List[RunSpec]]:
     """Lines of runs for one region: split span chars on hard newlines,
     carry per-span styles (span style overrides region style)."""
     lines: List[List[RunSpec]] = [[]]
     for span in spans:
         if (span.region_id or None) != region_id:
             continue
-        style = span.style
+        style = _StyleChain(span.style, region_style)
         display = style.get(AttrType.DISPLAY)
         if display is not None and not display.value:
             continue

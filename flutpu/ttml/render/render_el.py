@@ -86,7 +86,8 @@ class TTMLRender(TTMLBase):
     def _build_region(self, region_id: Optional[str], style: Style,
                       defaults: dict) -> Optional[RegionLayout]:
         x, y, rw, rh = self._region_box(style)
-        lines = extract_runs(list(self.active_spans), region_id, defaults)
+        lines = extract_runs(list(self.active_spans), region_id, defaults,
+                             region_style=style)
         has_text = any(lines for lines in lines if lines)
         show_bg = _style_enum(style, AttrType.SHOW_BACKGROUND,
                               ShowBackground.ALWAYS)

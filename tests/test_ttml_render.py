@@ -233,3 +233,25 @@ class TestOverlayCompositor:
         a2 = np.asarray(f2.data)
         assert (a1[..., 0] > 100).sum() > 10  # red background burned in
         assert (a2 == 0).all()                # no overlay after the cue
+
+
+class TestRegionStyleInheritance:
+    def test_region_color_applies_to_spans(self):
+        """Content flowed into a region inherits the region's styling
+        attributes unless the span overrides them."""
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <head><layout>
+    <region xml:id="r" tts:origin="0% 0%" tts:extent="100% 100%"
+            tts:color="yellow"/>
+  </layout></head>
+  <body><div>
+    <p begin="0s" end="1s" region="r">inherits yellow</p>
+  </div></body>
+</tt>"""
+        _, _, img = render_first_frame(doc, w=240, h=240)[0]
+        lit = img[img[..., 3] > 200]
+        assert len(lit) > 30
+        # yellow in BGRA: B low, G/R high
+        assert (lit[:, 1] > 200).mean() > 0.8
+        assert (lit[:, 0] < 64).mean() > 0.8
