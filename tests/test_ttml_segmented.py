@@ -86,3 +86,27 @@ def test_segments_round_trip_through_parser():
     assert any("Line one" in t for t in texts), texts
     # the referential color style survived the round trip
     assert any('fgcolor="#ffff00"' in t for t in texts), texts
+
+
+def test_segmented_chain_to_render():
+    """DASH-style chain: one document segmented into per-interval docs,
+    then re-parsed and rendered downstream — the segmented stream is a
+    fully valid TTML stream."""
+    import numpy as np
+    from flutpu.core import parse_launch
+    p = parse_launch(
+        "appsrc name=src caps='application/ttml+xml' "
+        "! ttmlsegmentedparse ! ttmlrender window-width=128 window-height=96 "
+        "! appsink name=out")
+    src = p.get_by_name("src")
+    sink = p.get_by_name("out")
+    assert p.play().name == "SUCCESS"
+    src.push(Buffer(DOC.encode(), pts=0))
+    src.end_of_stream()
+    frames = []
+    while (b := sink.try_pull_buffer(timeout=10)) is not None:
+        frames.append((b.pts, np.asarray(b.data)))
+    p.stop()
+    assert frames, "no rendered frames from the segmented chain"
+    # at least one interval has visible pixels
+    assert any((img[..., 3] > 0).sum() > 20 for _, img in frames)
