@@ -124,34 +124,6 @@ def _device_tables():
 
 
 @functools.lru_cache()
-def _onehot_tables():
-    """Huffman tables reshaped for one-hot-matmul lookup: (2*K, 3) bf16
-    columns [code_hi, code_lo, len]. TPU dynamic gathers are ~10x slower
-    than a one-hot bf16 matmul on the MXU for these lookups (measured:
-    544 ms vs 49 ms per 1080p GOP); byte-split keeps 16-bit codes exact in
-    bf16's 8-bit mantissa."""
-    dc_code, dc_len, ac_code, ac_len = _device_tables()
-
-    def pack(code, length):  # (2, K) each → (2K, 3)
-        flat_c = code.reshape(-1)
-        flat_l = length.reshape(-1)
-        return np.stack([flat_c >> 8, flat_c & 0xFF, flat_l],
-                        axis=1).astype(np.float32)
-
-    return pack(dc_code, dc_len), pack(ac_code, ac_len)
-
-
-def _lut_onehot(idx: jnp.ndarray, table: np.ndarray):
-    """idx (...,) int32 in [0, K) → (code, len) via one-hot bf16 matmul."""
-    tab = jnp.asarray(table, dtype=jnp.bfloat16)
-    oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.bfloat16)
-    out = jnp.einsum("...k,ko->...o", oh, tab,
-                     preferred_element_type=jnp.float32)
-    code = out[..., 0].astype(jnp.int32) * 256 + out[..., 1].astype(jnp.int32)
-    return code, out[..., 2].astype(jnp.int32)
-
-
-@functools.lru_cache()
 def _ac_mux_constants():
     """AC table re-packed for a fused select-tree lookup.
 
@@ -221,8 +193,16 @@ def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
     diff = zz[:, 0]
     dsize = _magnitude(diff, 12)
     if use_onehot:
-        dc_tab, ac_tab = _onehot_tables()
-        dc_code, dc_len = _lut_onehot(comp * 256 + dsize, dc_tab)
+        # constant mux over the 24 (comp, size) combos — same strategy as
+        # the AC lookup, trivially cheap at one lookup per block
+        entry = jnp.zeros_like(dsize)
+        for s in range(11, -1, -1):
+            luma = (int(dc_len_np[0, s]) << 16) | int(dc_code_np[0, s])
+            chroma = (int(dc_len_np[1, s]) << 16) | int(dc_code_np[1, s])
+            const = jnp.where(comp == 1, chroma, luma)
+            entry = jnp.where(dsize == s, const, entry)
+        dc_code = entry & 0xFFFF
+        dc_len = entry >> 16
     else:
         dc_code_t = jnp.asarray(dc_code_np)
         dc_len_t = jnp.asarray(dc_len_np)
