@@ -312,7 +312,7 @@ class JpegEncoder:
     # host transfer per GOP on high-latency links (~25 ms/round-trip via
     # the axon relay); the full packed buffer stays on device for the rare
     # prefix overflow.
-    PREFIX_WORDS = 24576  # 96 KB per frame (~1.3x typical 1080p q85 scans)
+    PREFIX_WORDS = 32768  # 128 KB per frame (best-measured config)
 
     def encode_gop_dispatch(self, frames_dev: jax.Array, h: int, w: int):
         """Dispatch the full device encode of a GOP already resident on
