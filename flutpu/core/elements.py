@@ -18,7 +18,7 @@ from typing import Any, List, Optional
 import numpy as np
 
 from .buffer import Buffer, BufferList, MSECOND, SECOND
-from .caps import Caps
+from .caps import Caps, ValueList
 from .element import Element, PropertySpec, State, StateChange, StateChangeReturn
 from .events import (CapsEvent, EosEvent, Event, EventType, Segment,
                      SegmentEvent, StreamStartEvent)
@@ -456,3 +456,90 @@ class FdSink(Element):
 
     def get_data(self) -> bytes:
         return b"".join(self._chunks)
+
+
+@register
+class VideoConvert(Element):
+    """Raw-video format conversion (RGB / BGR / BGRA / RGBA / I420) — the
+    pipeline glue the reference's README examples use (videoconvert).
+    Negotiates against the downstream format; planar I420 payloads travel
+    as dict buffers {"y","u","v"}."""
+
+    FACTORY = "videoconvert"
+
+    def __init__(self, name=None, **props):
+        super().__init__(name, **props)
+        self.sinkpad = self.add_pad(Pad(
+            "sink", PadDirection.SINK, self,
+            template_caps=Caps.from_string("video/x-raw")))
+        self.srcpad = self.add_pad(Pad(
+            "src", PadDirection.SRC, self,
+            template_caps=Caps.from_string("video/x-raw")))
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._sink_event
+        self._in_format = "RGB"
+        self._out_format = None
+
+    def _sink_event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.CAPS:
+            caps = event.caps
+            self._in_format = caps.get("format", "RGB")
+            peer = self.srcpad.peer_query_caps()
+            out_fmt = peer.get("format")
+            if isinstance(out_fmt, ValueList):
+                out_fmt = out_fmt.values[0]
+            self._out_format = out_fmt or self._in_format
+            out_caps = caps.with_fields(format=self._out_format)
+            return self.srcpad.push_event(CapsEvent(out_caps))
+        return self.srcpad.push_event(event)
+
+    @staticmethod
+    def _to_rgb(data: np.ndarray, fmt: str) -> np.ndarray:
+        if fmt == "RGB":
+            return data
+        if fmt == "BGR":
+            return data[..., ::-1]
+        if fmt == "RGBA":
+            return data[..., :3]
+        if fmt == "BGRA":
+            return data[..., [2, 1, 0]]
+        raise ValueError(f"unsupported input format {fmt}")
+
+    @staticmethod
+    def _from_rgb(rgb: np.ndarray, fmt: str) -> np.ndarray:
+        h, w = rgb.shape[:2]
+        if fmt == "RGB":
+            return rgb
+        if fmt == "BGR":
+            return np.ascontiguousarray(rgb[..., ::-1])
+        if fmt in ("RGBA", "BGRA"):
+            alpha = np.full((h, w, 1), 255, np.uint8)
+            rgbx = rgb if fmt == "RGBA" else rgb[..., [2, 1, 0]]
+            return np.concatenate([rgbx, alpha], axis=-1)
+        if fmt == "I420":
+            import jax.numpy as jnp
+            from ..codec.ops.colorspace import rgb_to_i420
+            y, cb, cr = rgb_to_i420(jnp.asarray(rgb.astype(np.float32)))
+            clip = lambda p: np.clip(np.asarray(p) + 0.5, 0, 255).astype(np.uint8)
+            return {"y": clip(y), "u": clip(cb), "v": clip(cr)}
+        raise ValueError(f"unsupported output format {fmt}")
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        fmt_in = self._in_format
+        fmt_out = self._out_format or fmt_in
+        if fmt_in == fmt_out:
+            return self.srcpad.push(buf)
+        data = buf.data
+        if fmt_in == "I420" and isinstance(data, dict):
+            import jax.numpy as jnp
+            from ..codec.ops.colorspace import i420_to_rgb
+            rgb = np.clip(np.asarray(i420_to_rgb(
+                jnp.asarray(data["y"], jnp.float32),
+                jnp.asarray(data["u"], jnp.float32),
+                jnp.asarray(data["v"], jnp.float32))) + 0.5, 0, 255
+            ).astype(np.uint8)
+        else:
+            rgb = self._to_rgb(np.asarray(data), fmt_in)
+        out = buf.copy()
+        out.data = self._from_rgb(np.ascontiguousarray(rgb), fmt_out)
+        return self.srcpad.push(out)

@@ -220,3 +220,48 @@ class TestHarness:
         h.pull()
         assert h.wait_for_eos(2)
         h.teardown()
+
+
+class TestVideoConvert:
+    def _run(self, in_fmt, out_fmt, data):
+        from flutpu.core import parse_launch
+        p = parse_launch(
+            f"appsrc name=src caps='video/x-raw, format={in_fmt}, width=4, height=2' "
+            f"! videoconvert ! capsfilter caps='video/x-raw, format={out_fmt}' "
+            "! appsink name=out")
+        src, sink = p.get_by_name("src"), p.get_by_name("out")
+        p.play()
+        src.push(Buffer(data, pts=0))
+        src.end_of_stream()
+        b = sink.try_pull_buffer(timeout=5)
+        p.stop()
+        return b
+
+    def test_rgb_to_bgra(self):
+        import numpy as np
+        rgb = np.zeros((2, 4, 3), np.uint8)
+        rgb[..., 0] = 200  # red
+        out = self._run("RGB", "BGRA", rgb)
+        img = np.asarray(out.data)
+        assert img.shape == (2, 4, 4)
+        assert img[0, 0, 2] == 200 and img[0, 0, 0] == 0  # BGRA order
+        assert img[0, 0, 3] == 255
+
+    def test_bgra_to_rgb(self):
+        import numpy as np
+        bgra = np.zeros((2, 4, 4), np.uint8)
+        bgra[..., 0] = 123  # blue
+        bgra[..., 3] = 255
+        out = self._run("BGRA", "RGB", bgra)
+        img = np.asarray(out.data)
+        assert img.shape == (2, 4, 3)
+        assert img[0, 0, 2] == 123
+
+    def test_rgb_to_i420(self):
+        import numpy as np
+        rgb = np.full((2, 4, 3), 128, np.uint8)
+        out = self._run("RGB", "I420", rgb)
+        planes = out.data
+        assert planes["y"].shape == (2, 4)
+        assert planes["u"].shape == (1, 2)
+        assert abs(int(planes["y"][0, 0]) - 128) <= 1
