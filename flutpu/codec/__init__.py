@@ -10,6 +10,7 @@ from .base import VideoEncoder
 from .encoder import TpuJpegEnc
 from .fvc import FvcDecoder, FvcEnc, FvcEncoder
 from .decoders import FvcDec, JpegDec
+from .avimux import AviMux
 
 __all__ = ["VideoEncoder", "TpuJpegEnc", "FvcDecoder", "FvcEnc",
-           "FvcEncoder", "FvcDec", "JpegDec"]
+           "FvcEncoder", "FvcDec", "JpegDec", "AviMux"]

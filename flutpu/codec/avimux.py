@@ -1,0 +1,105 @@
+"""avimux — wrap an MJPEG stream in a standard AVI container.
+
+Minimal RIFF/AVI writer (MJPG fourcc) so tpujpegenc output plays in stock
+players (ffplay/VLC/browsers understand MJPEG-in-AVI). Frames buffer until
+EOS (the index must know every chunk), then one finalized AVI buffer is
+emitted; use filesink downstream.
+"""
+
+from __future__ import annotations
+
+import struct
+from fractions import Fraction
+from typing import List, Optional
+
+from ..core import (Buffer, Caps, Element, Event, EventType, FlowReturn,
+                    Pad, PadDirection, register)
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(kind: bytes, payload: bytes) -> bytes:
+    body = kind + payload
+    pad = b"\x00" if len(body) & 1 else b""
+    return b"LIST" + struct.pack("<I", len(body)) + body + pad
+
+
+def build_avi(frames: List[bytes], width: int, height: int,
+              fps: Fraction) -> bytes:
+    n = len(frames)
+    usec_per_frame = int(1_000_000 * fps.denominator / max(1, fps.numerator)) \
+        if fps and fps.numerator else 33333
+    max_size = max((len(f) for f in frames), default=0)
+
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0,
+        0, 0x10,  # flags: AVIF_HASINDEX
+        n, 0, 1, max_size, width, height, 0, 0, 0, 0)
+
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0, 0,
+        fps.denominator or 1, fps.numerator or 30, 0, n, max_size, 0xFFFFFFFF,
+        0, 0, 0, int(width), int(height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    strl = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl)
+
+    movi_body = b"".join(_chunk(b"00dc", f) for f in frames)
+    movi = _list(b"movi", movi_body)
+
+    # idx1: offsets relative to the start of the movi list's 'movi' tag + 4
+    idx_entries = []
+    off = 4
+    for f in frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+@register
+class AviMux(Element):
+    """Muxes an MJPEG (image/jpeg) stream into one AVI file buffer at EOS."""
+
+    FACTORY = "avimux"
+
+    def __init__(self, name=None, **props):
+        super().__init__(name, **props)
+        self.sinkpad = self.add_pad(Pad(
+            "sink", PadDirection.SINK, self,
+            template_caps=Caps.from_string("image/jpeg")))
+        self.srcpad = self.add_pad(Pad("src", PadDirection.SRC, self))
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._sink_event
+        self._frames: List[bytes] = []
+        self._caps: Optional[Caps] = None
+        self._first_pts: Optional[int] = None
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        self._frames.append(bytes(buf.data))
+        if self._first_pts is None:
+            self._first_pts = buf.pts
+        return FlowReturn.OK
+
+    def _sink_event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.CAPS:
+            self._caps = event.caps
+            return True
+        if event.type == EventType.EOS:
+            caps = self._caps or Caps.new("image/jpeg")
+            fps = caps.get("framerate") or Fraction(30, 1)
+            data = build_avi(self._frames,
+                             int(caps.get("width") or 0),
+                             int(caps.get("height") or 0), fps)
+            from ..core import CapsEvent
+            self.srcpad.push_event(CapsEvent(Caps.new("video/x-msvideo")))
+            self.srcpad.push(Buffer(data, pts=self._first_pts or 0))
+            self._frames = []
+            return self.srcpad.push_event(event)
+        return self.srcpad.push_event(event)
