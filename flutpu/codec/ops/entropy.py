@@ -358,22 +358,6 @@ def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     return out, total_bits
 
 
-def encode_scan_device(zz_mcu: jnp.ndarray, comp_chroma: jnp.ndarray,
-                       out_words: int):
-    """Full device scan encode for ONE frame.
-
-    zz_mcu: (B, 64) int32, blocks already in MCU order with DC replaced by
-    the DC difference. Returns (packed words uint32 (out_words,), total_bits).
-    """
-    lens, vals = _slot_tables(zz_mcu, comp_chroma)
-    buf, nbits = _pack_block_bits(lens, vals)
-    return _concat_blocks(buf, nbits, out_words)
-
-
-# ----------------------------------------------------------------------------
-# frame-level wrapper (GOP batched)
-# ----------------------------------------------------------------------------
-
 @functools.partial(jax.jit,
                    static_argnames=("layout", "out_words", "use_pallas",
                                     "interpret"))
