@@ -65,6 +65,66 @@ def fvc_residuals(yq, cbq, crq):
     return ry, rcb, rcr
 
 
+@functools.partial(jax.jit, static_argnames=("pad_h", "pad_w",
+                                             "search_range"))
+def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
+                        pad_h: int, pad_w: int, search_range: int = 7):
+    """Motion-compensated chunk encode (FVC v2): classic hybrid loop as a
+    device scan — per frame: full-search motion estimation against the
+    reconstructed reference (flutpu.codec.ops.motion), motion-compensated
+    prediction, DCT+quantization of the pixel residual, and in-loop
+    reconstruction so encoder and decoder track identical state.
+
+    Returns (ry, rcb, rcr) int16 zigzagged residual coefficients and
+    mvs (F, mbh, mbw, 2) int8 (frame 0's vectors are zero/ignored: I frame
+    predicts a flat 128)."""
+    from .ops.colorspace import rgb_to_i420
+    from .ops.dct import plane_dct, plane_idct
+    from .ops.quant import dequantize, quantize, zigzag_flatten
+    from .ops.motion import motion_compensate, motion_search
+
+    f, h, w, _ = frames.shape
+    x = frames.astype(jnp.float32)
+    if pad_h != h or pad_w != w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h - h), (0, pad_w - w), (0, 0)),
+                    mode="edge")
+    y, cb, cr = rgb_to_i420(x)
+
+    def code_plane(resid, qtab):
+        coefs = jnp.clip(quantize(plane_dct(resid), qtab), -_CLAMP, _CLAMP)
+        rec_resid = plane_idct(dequantize(coefs, qtab))
+        return zigzag_flatten(coefs).astype(jnp.int16), rec_resid
+
+    def step(carry, xs):
+        rec_y, rec_cb, rec_cr, idx = carry
+        cy, ccb, ccr = xs
+        is_i = idx == 0
+        mv = motion_search(cy, rec_y, search_range=search_range)
+        mv = jnp.where(is_i, jnp.zeros_like(mv), mv)
+        pred_y = jnp.where(
+            is_i, 128.0, motion_compensate(rec_y, mv,
+                                           search_range=search_range))
+        pred_cb = jnp.where(
+            is_i, 128.0, motion_compensate(rec_cb, mv,
+                                           search_range=search_range, mb=8))
+        pred_cr = jnp.where(
+            is_i, 128.0, motion_compensate(rec_cr, mv,
+                                           search_range=search_range, mb=8))
+        oy, ry_rec = code_plane(cy - pred_y, qy)
+        ocb, rcb_rec = code_plane(ccb - pred_cb, qc)
+        ocr, rcr_rec = code_plane(ccr - pred_cr, qc)
+        rec_y = jnp.clip(pred_y + ry_rec, 0.0, 255.0)
+        rec_cb = jnp.clip(pred_cb + rcb_rec, 0.0, 255.0)
+        rec_cr = jnp.clip(pred_cr + rcr_rec, 0.0, 255.0)
+        return (rec_y, rec_cb, rec_cr, idx + 1), (oy, ocb, ocr,
+                                                  mv.astype(jnp.int8))
+
+    init = (jnp.zeros(y.shape[1:]), jnp.zeros(cb.shape[1:]),
+            jnp.zeros(cr.shape[1:]), jnp.int32(0))
+    _, (ry, rcb, rcr, mvs) = jax.lax.scan(step, init, (y, cb, cr))
+    return ry, rcb, rcr, mvs
+
+
 @jax.jit
 def fvc_accumulate(ry, rcb, rcr):
     """Decoder-side: residual planes → absolute coefficient planes
@@ -75,11 +135,18 @@ def fvc_accumulate(ry, rcb, rcr):
 
 
 class FvcEncoder:
-    """Encode GOP chunks of RGB frames into FVC bitstream chunks."""
+    """Encode GOP chunks of RGB frames into FVC bitstream chunks.
 
-    def __init__(self, quality: int = 85, subsample: bool = True):
+    ``motion=True`` selects the v2 hybrid codec: full-search motion
+    compensation on device, residual DCT coding, in-loop reconstruction —
+    better compression on moving content at the cost of the search."""
+
+    def __init__(self, quality: int = 85, subsample: bool = True,
+                 motion: bool = False, search_range: int = 7):
         self.quality = quality
         self.subsample = subsample
+        self.motion = motion
+        self.search_range = search_range
         self.qy = scale_qtable(LUMA_QTABLE, quality)
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
@@ -90,26 +157,69 @@ class FvcEncoder:
         f, h, w, _ = frames.shape
         mult = 16 if self.subsample else 8
         ph, pw = _pad_to(h, mult), _pad_to(w, mult)
-        coefs = encode_gop_to_coefs(jnp.asarray(frames), self._qy_dev,
-                                    self._qc_dev, pad_h=ph, pad_w=pw,
-                                    subsample=self.subsample)
-        ry, rcb, rcr = fvc_residuals(*coefs)
+        if self.motion:
+            if not self.subsample:
+                raise ValueError("motion mode requires 4:2:0")
+            ry, rcb, rcr, mvs = fvc_mc_encode_chunk(
+                jnp.asarray(frames), self._qy_dev, self._qc_dev,
+                pad_h=ph, pad_w=pw, search_range=self.search_range)
+            mvs = np.asarray(mvs)
+        else:
+            coefs = encode_gop_to_coefs(jnp.asarray(frames), self._qy_dev,
+                                        self._qc_dev, pad_h=ph, pad_w=pw,
+                                        subsample=self.subsample)
+            ry, rcb, rcr = fvc_residuals(*coefs)
+            mvs = None
         ry = np.asarray(ry)
         rcb = np.asarray(rcb)
         rcr = np.asarray(rcr)
+        version = 2 if self.motion else VERSION
         flags = 1 if self.subsample else 0
-        out = [MAGIC, struct.pack(">BBHHBB", VERSION, flags, w, h,
+        out = [MAGIC, struct.pack(">BBHHBB", version, flags, w, h,
                                   self.quality, f)]
         for i in range(f):
             payload = encode_scan(ry[i], rcb[i], rcr[i], self.subsample)
-            out.append(struct.pack(">BI", 0 if i == 0 else 1, len(payload)))
+            ftype = 0 if i == 0 else 1
+            if self.motion:
+                mv_bytes = b"" if ftype == 0 else \
+                    mvs[i].astype(np.int8).tobytes()
+                out.append(struct.pack(">BHI", ftype, len(mv_bytes),
+                                       len(payload)))
+                out.append(mv_bytes)
+            else:
+                out.append(struct.pack(">BI", ftype, len(payload)))
             out.append(payload)
         return b"".join(out)
 
 
+def _mc_np(prev: np.ndarray, mv: np.ndarray, mb: int,
+           chroma: bool) -> np.ndarray:
+    """numpy mirror of ops.motion.motion_compensate (wrap-around rolls,
+    floor-halved vectors on the chroma grid)."""
+    out = np.empty_like(prev)
+    mbh, mbw = mv.shape[:2]
+    for by in range(mbh):
+        for bx in range(mbw):
+            dy, dx = int(mv[by, bx, 0]), int(mv[by, bx, 1])
+            if chroma:
+                dy, dx = dy // 2, dx // 2
+            shifted = np.roll(prev, (dy, dx), axis=(0, 1))
+            out[by * mb:(by + 1) * mb, bx * mb:(bx + 1) * mb] = \
+                shifted[by * mb:(by + 1) * mb, bx * mb:(bx + 1) * mb]
+    return out
+
+
+@jax.jit
+def _plane_from_coefs(q: jax.Array, qtab: jax.Array) -> jax.Array:
+    from .ops.dct import plane_idct
+    from .ops.quant import dequantize, zigzag_unflatten
+    return plane_idct(dequantize(zigzag_unflatten(q.astype(jnp.float32)),
+                                 qtab))
+
+
 class FvcDecoder:
     """Decode FVC chunks back to RGB frames (host entropy decode + device
-    reconstruction)."""
+    reconstruction; v2 chunks add motion-compensated prediction)."""
 
     def decode_chunk(self, data: bytes) -> Tuple[np.ndarray, dict]:
         if data[:4] != MAGIC:
@@ -123,9 +233,21 @@ class FvcDecoder:
         off = 12
         planes = []
         types = []
+        mvs = []
         for i in range(f):
-            ftype, plen = struct.unpack(">BI", data[off:off + 5])
-            off += 5
+            if version >= 2:
+                ftype, mv_len, plen = struct.unpack(">BHI", data[off:off + 7])
+                off += 7
+                mv = None
+                if mv_len:
+                    mv = np.frombuffer(data[off:off + mv_len],
+                                       np.int8).reshape(ph // 16, pw // 16, 2)
+                    off += mv_len
+                mvs.append(mv)
+            else:
+                ftype, plen = struct.unpack(">BI", data[off:off + 5])
+                off += 5
+                mvs.append(None)
             payload = data[off:off + plen]
             off += plen
             coefs = decode_scan_to_coefs(payload, ybw, ybh, cbw, cbh,
@@ -134,17 +256,44 @@ class FvcDecoder:
                 raise ValueError(f"corrupt FVC payload (frame {i})")
             planes.append(coefs)
             types.append(ftype)
-        ry = jnp.asarray(np.stack([p[0] for p in planes]))
-        rcb = jnp.asarray(np.stack([p[1] for p in planes]))
-        rcr = jnp.asarray(np.stack([p[2] for p in planes]))
-        yq, cbq, crq = fvc_accumulate(ry, rcb, rcr)
+
         qy = jnp.asarray(scale_qtable(LUMA_QTABLE, quality))
         qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, quality))
-        frames = [np.asarray(coefs_to_rgb(yq[i], cbq[i], crq[i], qy, qc,
-                                          h=h, w=w, subsample=subsample))
-                  for i in range(f)]
+        if version >= 2:
+            frames = self._reconstruct_mc(planes, mvs, qy, qc, h, w)
+        else:
+            ry = jnp.asarray(np.stack([p[0] for p in planes]))
+            rcb = jnp.asarray(np.stack([p[1] for p in planes]))
+            rcr = jnp.asarray(np.stack([p[2] for p in planes]))
+            yq, cbq, crq = fvc_accumulate(ry, rcb, rcr)
+            frames = [np.asarray(coefs_to_rgb(yq[i], cbq[i], crq[i], qy, qc,
+                                              h=h, w=w, subsample=subsample))
+                      for i in range(f)]
         return np.stack(frames), {"quality": quality, "types": types,
                                   "width": w, "height": h}
+
+    def _reconstruct_mc(self, planes, mvs, qy, qc, h: int, w: int):
+        from .ops.colorspace import i420_to_rgb
+        rec_y = rec_cb = rec_cr = None
+        out = []
+        for i, (yq, cbq, crq) in enumerate(planes):
+            ry = np.asarray(_plane_from_coefs(jnp.asarray(yq), qy))
+            rcb = np.asarray(_plane_from_coefs(jnp.asarray(cbq), qc))
+            rcr = np.asarray(_plane_from_coefs(jnp.asarray(crq), qc))
+            if i == 0 or mvs[i] is None:
+                py = pcb = pcr = 128.0
+            else:
+                py = _mc_np(rec_y, mvs[i], 16, chroma=False)
+                pcb = _mc_np(rec_cb, mvs[i], 8, chroma=True)
+                pcr = _mc_np(rec_cr, mvs[i], 8, chroma=True)
+            rec_y = np.clip(py + ry, 0.0, 255.0)
+            rec_cb = np.clip(pcb + rcb, 0.0, 255.0)
+            rec_cr = np.clip(pcr + rcr, 0.0, 255.0)
+            rgb = np.asarray(i420_to_rgb(jnp.asarray(rec_y),
+                                         jnp.asarray(rec_cb),
+                                         jnp.asarray(rec_cr)))
+            out.append(np.clip(rgb + 0.5, 0, 255).astype(np.uint8)[:h, :w])
+        return out
 
     def decode_stream(self, data: bytes) -> np.ndarray:
         """Concatenated chunks → all frames in order (the stitch reader)."""
@@ -153,13 +302,19 @@ class FvcDecoder:
         while off < len(data):
             if len(data) - off < 12 or data[off:off + 4] != MAGIC:
                 raise ValueError(f"bad or truncated chunk boundary at {off}")
-            _, _, w, h, _, f = struct.unpack(">BBHHBB", data[off + 4:off + 12])
+            ver, _, w, h, _, f = struct.unpack(">BBHHBB",
+                                               data[off + 4:off + 12])
             end = off + 12
+            hdr = 7 if ver >= 2 else 5
             for _ in range(f):
-                if len(data) - end < 5:
+                if len(data) - end < hdr:
                     raise ValueError(f"truncated frame header at {end}")
-                _, plen = struct.unpack(">BI", data[end:end + 5])
-                end += 5 + plen
+                if ver >= 2:
+                    _, mv_len, plen = struct.unpack(">BHI", data[end:end + 7])
+                    end += 7 + mv_len + plen
+                else:
+                    _, plen = struct.unpack(">BI", data[end:end + 5])
+                    end += 5 + plen
             if end > len(data):
                 raise ValueError("truncated chunk payload")
             frames, _ = self.decode_chunk(data[off:end])
@@ -181,6 +336,9 @@ class FvcEnc(VideoEncoder):
         PropertySpec("quality", 85),
         PropertySpec("gop-size", 8, "frames per chunk when not driven by "
                                     "hype scene events"),
+        PropertySpec("motion", False, "v2 hybrid codec: motion-compensated "
+                                      "prediction with in-loop recon"),
+        PropertySpec("search-range", 7, "motion full-search window (±px)"),
     ]
 
     def __init__(self, name=None, **props):
@@ -191,7 +349,10 @@ class FvcEnc(VideoEncoder):
 
     def _enc(self) -> FvcEncoder:
         if self._encoder is None:
-            self._encoder = FvcEncoder(int(self.get_property("quality")))
+            self._encoder = FvcEncoder(
+                int(self.get_property("quality")),
+                motion=bool(self.get_property("motion")),
+                search_range=int(self.get_property("search-range")))
         return self._encoder
 
     def set_format(self, caps: Caps):

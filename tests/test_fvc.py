@@ -61,6 +61,61 @@ class TestFvcCodec:
             FvcDecoder().decode_chunk(b"JUNKJUNKJUNKJUNK")
 
 
+class TestFvcMotion:
+    """FVC v2 — motion-compensated hybrid mode."""
+
+    def test_roundtrip_psnr(self):
+        frames = video(6)
+        enc = FvcEncoder(quality=90, motion=True)
+        chunk = enc.encode_chunk(frames)
+        assert chunk[4] == 2  # version byte
+        dec, info = FvcDecoder().decode_chunk(chunk)
+        assert dec.shape == frames.shape
+        assert info["types"] == [0, 1, 1, 1, 1, 1]
+        for i in range(len(frames)):
+            assert psnr(frames[i], dec[i]) > 30, f"frame {i}"
+
+    def test_motion_beats_v1_on_moving_content(self):
+        """A translating ball is exactly what MC prediction wins on: v2
+        P frames should be materially smaller than v1's DCT-delta frames."""
+        frames = video(8, w=96, h=64)
+        v1 = len(FvcEncoder(quality=85).encode_chunk(frames))
+        v2 = len(FvcEncoder(quality=85, motion=True).encode_chunk(frames))
+        assert v2 < v1, (v2, v1)
+
+    def test_no_drift_on_static_content(self):
+        frames = np.repeat(video(1, pattern="gradient"), 8, axis=0)
+        dec, _ = FvcDecoder().decode_chunk(
+            FvcEncoder(quality=85, motion=True).encode_chunk(frames))
+        for i in range(1, 8):
+            np.testing.assert_array_equal(dec[i], dec[0])
+
+    def test_decode_stream_mixed_versions(self):
+        frames = video(8)
+        v1 = FvcEncoder(quality=85).encode_chunk(frames[:4])
+        v2 = FvcEncoder(quality=85, motion=True).encode_chunk(frames[4:])
+        dec = FvcDecoder().decode_stream(v1 + v2)
+        assert dec.shape == frames.shape
+        assert psnr(frames[6], dec[6]) > 30
+
+    def test_motion_requires_420(self):
+        with pytest.raises(ValueError):
+            FvcEncoder(motion=True, subsample=False).encode_chunk(video(2))
+
+    def test_element_motion_property(self):
+        h = Harness("fvcenc quality=90 gop-size=4 motion=true")
+        h.set_src_caps(TestFvcElement.CAPS)
+        frames = video(4)
+        for i, f in enumerate(frames):
+            h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        chunk = bytes(h.pull(timeout=30).data)
+        h.teardown()
+        assert chunk[4] == 2
+        dec, _ = FvcDecoder().decode_chunk(chunk)
+        assert psnr(frames[3], dec[3]) > 30
+
+
 class TestFvcElement:
     CAPS = "video/x-raw, format=RGB, width=64, height=48, framerate=30/1"
 
