@@ -60,7 +60,9 @@ def fvc_residuals(yq, cbq, crq):
             outs.append(resid.astype(jnp.int16))
         return tuple(new_carry), tuple(outs)
 
-    init = tuple(jnp.zeros(a.shape[1:], jnp.int32) for a in (yq, cbq, crq))
+    # derive the zero init from the data (not jnp.zeros) so the carry
+    # carries the same varying-manual-axes as the inputs under shard_map
+    init = tuple(a[0].astype(jnp.int32) * 0 for a in (yq, cbq, crq))
     _, (ry, rcb, rcr) = jax.lax.scan(step, init, (yq, cbq, crq))
     return ry, rcb, rcr
 
@@ -119,8 +121,8 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         return (rec_y, rec_cb, rec_cr, idx + 1), (oy, ocb, ocr,
                                                   mv.astype(jnp.int8))
 
-    init = (jnp.zeros(y.shape[1:]), jnp.zeros(cb.shape[1:]),
-            jnp.zeros(cr.shape[1:]), jnp.int32(0))
+    # data-derived zero init: keeps shard_map varying-manual-axes consistent
+    init = (y[0] * 0.0, cb[0] * 0.0, cr[0] * 0.0, jnp.int32(0))
     _, (ry, rcb, rcr, mvs) = jax.lax.scan(step, init, (y, cb, cr))
     return ry, rcb, rcr, mvs
 
@@ -177,6 +179,10 @@ class FvcEncoder:
         flags = 1 if self.subsample else 0
         out = [MAGIC, struct.pack(">BBHHBB", version, flags, w, h,
                                   self.quality, f)]
+        if self.motion:
+            # v2 extends the header with the search range so the decoder
+            # sizes its compensation window without guessing
+            out.append(struct.pack(">B", self.search_range))
         for i in range(f):
             payload = encode_scan(ry[i], rcb[i], rcr[i], self.subsample)
             ftype = 0 if i == 0 else 1
@@ -190,6 +196,55 @@ class FvcEncoder:
                 out.append(struct.pack(">BI", ftype, len(payload)))
             out.append(payload)
         return b"".join(out)
+
+
+@functools.partial(jax.jit, static_argnames=("search_range",))
+def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, qy, qc, search_range: int = 7):
+    """Device mirror of fvc_mc_encode_chunk's in-loop reconstruction.
+
+    ry/rcb/rcr: (F, BH, BW, 64) int16 zigzag residual coefficients;
+    mvs: (F, mbh, mbw, 2) int8 (frame 0 ignored). Returns reconstructed
+    (F, H, W) float planes."""
+    from .ops.dct import plane_idct
+    from .ops.motion import motion_compensate
+    from .ops.quant import dequantize, zigzag_unflatten
+
+    def resid(q, qtab):
+        return plane_idct(dequantize(zigzag_unflatten(q.astype(jnp.float32)),
+                                     qtab))
+
+    def step(carry, xs):
+        rec_y, rec_cb, rec_cr, idx = carry
+        qy_c, qcb_c, qcr_c, mv = xs
+        is_i = idx == 0
+        mv = mv.astype(jnp.int32)
+        pred_y = jnp.where(
+            is_i, 128.0, motion_compensate(rec_y, mv,
+                                           search_range=search_range))
+        pred_cb = jnp.where(
+            is_i, 128.0, motion_compensate(rec_cb, mv,
+                                           search_range=search_range, mb=8))
+        pred_cr = jnp.where(
+            is_i, 128.0, motion_compensate(rec_cr, mv,
+                                           search_range=search_range, mb=8))
+        rec_y = jnp.clip(pred_y + resid(qy_c, qy), 0.0, 255.0)
+        rec_cb = jnp.clip(pred_cb + resid(qcb_c, qc), 0.0, 255.0)
+        rec_cr = jnp.clip(pred_cr + resid(qcr_c, qc), 0.0, 255.0)
+        return (rec_y, rec_cb, rec_cr, idx + 1), (rec_y, rec_cb, rec_cr)
+
+    h, w = ry.shape[1] * 8, ry.shape[2] * 8
+    ch, cw = rcb.shape[1] * 8, rcb.shape[2] * 8
+    init = (jnp.zeros((h, w)), jnp.zeros((ch, cw)), jnp.zeros((ch, cw)),
+            jnp.int32(0))
+    _, (oy, ocb, ocr) = jax.lax.scan(step, init, (ry, rcb, rcr, mvs))
+    return oy, ocb, ocr
+
+
+@jax.jit
+def _i420_frames_to_rgb(y, cb, cr):
+    from .ops.colorspace import i420_to_rgb
+    rgb = i420_to_rgb(y, cb, cr)
+    return jnp.clip(rgb + 0.5, 0, 255).astype(jnp.uint8)
 
 
 def _mc_np(prev: np.ndarray, mv: np.ndarray, mb: int,
@@ -231,6 +286,10 @@ class FvcDecoder:
         ybw, ybh = pw // 8, ph // 8
         cbw, cbh = (pw // 16, ph // 16) if subsample else (ybw, ybh)
         off = 12
+        search_range = 7
+        if version >= 2:
+            search_range = data[12]
+            off = 13
         planes = []
         types = []
         mvs = []
@@ -260,7 +319,8 @@ class FvcDecoder:
         qy = jnp.asarray(scale_qtable(LUMA_QTABLE, quality))
         qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, quality))
         if version >= 2:
-            frames = self._reconstruct_mc(planes, mvs, qy, qc, h, w)
+            frames = self._reconstruct_mc(planes, mvs, qy, qc, h, w,
+                                          search_range)
         else:
             ry = jnp.asarray(np.stack([p[0] for p in planes]))
             rcb = jnp.asarray(np.stack([p[1] for p in planes]))
@@ -272,7 +332,25 @@ class FvcDecoder:
         return np.stack(frames), {"quality": quality, "types": types,
                                   "width": w, "height": h}
 
-    def _reconstruct_mc(self, planes, mvs, qy, qc, h: int, w: int):
+    def _reconstruct_mc(self, planes, mvs, qy, qc, h: int, w: int,
+                        search_range: int = 7):
+        """Whole-chunk device reconstruction (one jitted scan)."""
+        f = len(planes)
+        ry = jnp.asarray(np.stack([p[0] for p in planes]))
+        rcb = jnp.asarray(np.stack([p[1] for p in planes]))
+        rcr = jnp.asarray(np.stack([p[2] for p in planes]))
+        mbh, mbw = ry.shape[1] // 2, ry.shape[2] // 2
+        mv_arr = np.zeros((f, mbh, mbw, 2), np.int8)
+        for i, mv in enumerate(mvs):
+            if mv is not None:
+                mv_arr[i] = mv
+        oy, ocb, ocr = fvc_mc_decode_chunk(
+            ry, rcb, rcr, jnp.asarray(mv_arr), qy, qc,
+            search_range=int(search_range))
+        rgb = np.asarray(_i420_frames_to_rgb(oy, ocb, ocr))
+        return [rgb[i, :h, :w] for i in range(f)]
+
+    def _reconstruct_mc_np(self, planes, mvs, qy, qc, h: int, w: int):
         from .ops.colorspace import i420_to_rgb
         rec_y = rec_cb = rec_cr = None
         out = []
@@ -304,7 +382,7 @@ class FvcDecoder:
                 raise ValueError(f"bad or truncated chunk boundary at {off}")
             ver, _, w, h, _, f = struct.unpack(">BBHHBB",
                                                data[off + 4:off + 12])
-            end = off + 12
+            end = off + (13 if ver >= 2 else 12)
             hdr = 7 if ver >= 2 else 5
             for _ in range(f):
                 if len(data) - end < hdr:

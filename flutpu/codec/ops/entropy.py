@@ -36,7 +36,10 @@ from .. import jpeg_tables as T
 
 # maximum blocks that can overlap one 32-bit output word: a block is at
 # least 4 bits (DC size-0 chroma code 2 + EOB 2), so ceil(32/4)+2 guard
-_MAX_SPAN = 12
+# Max blocks overlapping one 32-bit output word. A block is at least
+# DC(>=2 bits) + EOB(>=2 bits) = 4 bits, so at most ceil(31/4) = 8 blocks
+# can START inside a word, plus the one containing its first bit.
+_MAX_SPAN = 9
 _BLOCK_WORDS = 64  # per-block staging buffer (52 words true worst case)
 _NUM_SLOTS = 1 + 63 * 3 + 1  # DC + 3 per AC position + EOB
 

@@ -54,8 +54,10 @@ def motion_search(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
         best_mv = jnp.where(better[..., None], mv_c, best_mv)
         return best_cost, best_mv
 
-    init = (jnp.full((mbh, mbw), jnp.inf, jnp.float32),
-            jnp.zeros((mbh, mbw, 2), jnp.int32))
+    # data-derived init (not jnp.full/zeros) so the loop carry keeps the
+    # inputs' varying-manual-axes under shard_map
+    z = cur_y[::MB, ::MB].astype(jnp.float32) * 0  # (mbh, mbw)
+    init = (z + jnp.inf, jnp.stack([z, z], axis=-1).astype(jnp.int32))
     _, mv = jax.lax.fori_loop(0, n * n, body, init)
     return mv
 
@@ -84,4 +86,4 @@ def motion_compensate(prev: jnp.ndarray, mv: jnp.ndarray,
         mask = jnp.repeat(jnp.repeat(sel, mb, axis=0), mb, axis=1)
         return jnp.where(mask, shifted, pred)
 
-    return jax.lax.fori_loop(0, n * n, body, jnp.zeros_like(prev))
+    return jax.lax.fori_loop(0, n * n, body, prev * 0)

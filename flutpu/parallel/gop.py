@@ -66,3 +66,40 @@ def encode_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
 def encode_chunks_single(frames: jax.Array, qy: jax.Array, qc: jax.Array):
     """Unsharded variant (single chip / tests)."""
     return jax.jit(_encode_block)(frames, qy, qc)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "motion", "search_range"))
+def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
+                       mesh: Mesh, motion: bool = False,
+                       search_range: int = 7):
+    """FVC GOP coding as an SPMD program: (C, F, H, W, 3) uint8, C sharded
+    over the ``chunk`` mesh axis, each shard running an independent codec
+    instance (frame 0 of every chunk is an I frame — the forced-keyframe
+    contract that makes chunks independent, reference
+    hype/src/outputselector/imp.rs:39-43). Zero collectives.
+
+    Returns (ry, rcb, rcr) int16 residual planes, plus mvs int8 when
+    ``motion`` (the v2 hybrid loop per chunk). H/W must be multiples of 16
+    (pad upstream).
+    """
+    from ..codec.fvc import fvc_mc_encode_chunk, fvc_residuals
+
+    h, w = frames.shape[2], frames.shape[3]
+
+    def local_v1(fr, qy, qc):
+        coefs = _encode_block(fr, qy, qc)
+        return jax.vmap(fvc_residuals)(*coefs)
+
+    def local_mc(fr, qy, qc):
+        def one(chunk):
+            return fvc_mc_encode_chunk(chunk, qy, qc, pad_h=h, pad_w=w,
+                                       search_range=search_range)
+        return jax.vmap(one)(fr)
+
+    n_out = 4 if motion else 3
+    fn = shard_map(
+        local_mc if motion else local_v1, mesh=mesh,
+        in_specs=(P("chunk", None, None, None, None), P(), P()),
+        out_specs=(P("chunk"),) * n_out)
+    return fn(frames, qy, qc)

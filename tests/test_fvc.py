@@ -102,6 +102,44 @@ class TestFvcMotion:
         with pytest.raises(ValueError):
             FvcEncoder(motion=True, subsample=False).encode_chunk(video(2))
 
+    def test_device_decode_matches_numpy_mirror(self):
+        """The jitted decode scan and the numpy reference reconstruction
+        must agree (both mirror the encoder's in-loop state)."""
+        import jax.numpy as jnp
+        from flutpu.codec.fvc import (FvcDecoder, _pad_to, LUMA_QTABLE,
+                                      CHROMA_QTABLE, scale_qtable)
+        frames = video(5, w=96, h=64)
+        chunk = FvcEncoder(quality=85, motion=True,
+                           search_range=5).encode_chunk(frames)
+        dec = FvcDecoder()
+        dev, _ = dec.decode_chunk(chunk)
+        # replay the parse, then reconstruct via the numpy mirror
+        import struct
+        _, flags, w, h, quality, f = struct.unpack(">BBHHBB", chunk[4:12])
+        sr = chunk[12]
+        ph, pw = _pad_to(h, 16), _pad_to(w, 16)
+        from flutpu.codec.decode import decode_scan_to_coefs
+        off, planes, mvs = 13, [], []
+        for i in range(f):
+            ftype, mv_len, plen = struct.unpack(">BHI", chunk[off:off + 7])
+            off += 7
+            mv = None
+            if mv_len:
+                mv = np.frombuffer(chunk[off:off + mv_len],
+                                   np.int8).reshape(ph // 16, pw // 16, 2)
+                off += mv_len
+            mvs.append(mv)
+            planes.append(decode_scan_to_coefs(chunk[off:off + plen],
+                                               pw // 8, ph // 8,
+                                               pw // 16, ph // 16, True))
+            off += plen
+        qy = jnp.asarray(scale_qtable(LUMA_QTABLE, quality))
+        qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, quality))
+        ref = dec._reconstruct_mc_np(planes, mvs, qy, qc, h, w)
+        for i in range(f):
+            diff = np.abs(dev[i].astype(int) - ref[i].astype(int))
+            assert diff.max() <= 1, (i, diff.max())  # f32 vs f64 rounding
+
     def test_element_motion_property(self):
         h = Harness("fvcenc quality=90 gop-size=4 motion=true")
         h.set_src_caps(TestFvcElement.CAPS)

@@ -57,6 +57,47 @@ class TestShardedEncode:
         assert spec[0] == "chunk"
 
 
+class TestShardedFvc:
+    def _frames(self, c=8, f=4, h=32, w=32):
+        rng = np.random.default_rng(7)
+        return jnp.asarray(rng.integers(0, 256, (c, f, h, w, 3), np.uint8))
+
+    def test_v1_matches_per_chunk(self, qtabs):
+        from flutpu.codec.fvc import fvc_residuals
+        from flutpu.parallel.gop import fvc_chunks_sharded
+        qy, qc = qtabs
+        frames = self._frames()
+        mesh = make_chunk_mesh(8)
+        ry, rcb, rcr = fvc_chunks_sharded(frames, qy, qc, mesh)
+        for c in range(8):
+            coefs = encode_chunks_single(frames[c], qy, qc)
+            ery, ercb, ercr = fvc_residuals(*coefs)
+            np.testing.assert_array_equal(np.asarray(ry[c]), np.asarray(ery))
+            np.testing.assert_array_equal(np.asarray(rcr[c]), np.asarray(ercr))
+
+    def test_motion_matches_per_chunk(self, qtabs):
+        from flutpu.codec.fvc import fvc_mc_encode_chunk
+        from flutpu.parallel.gop import fvc_chunks_sharded
+        qy, qc = qtabs
+        frames = self._frames(c=8, f=3)
+        mesh = make_chunk_mesh(8)
+        ry, rcb, rcr, mvs = fvc_chunks_sharded(frames, qy, qc, mesh,
+                                               motion=True, search_range=3)
+        assert mvs.shape == (8, 3, 2, 2, 2) and mvs.dtype == jnp.int8
+        for c in (0, 5):
+            e = fvc_mc_encode_chunk(frames[c], qy, qc, pad_h=32, pad_w=32,
+                                    search_range=3)
+            np.testing.assert_array_equal(np.asarray(ry[c]), np.asarray(e[0]))
+            np.testing.assert_array_equal(np.asarray(mvs[c]), np.asarray(e[3]))
+
+    def test_output_stays_sharded(self, qtabs):
+        from flutpu.parallel.gop import fvc_chunks_sharded
+        qy, qc = qtabs
+        mesh = make_chunk_mesh(8)
+        ry, _, _ = fvc_chunks_sharded(self._frames(), qy, qc, mesh)
+        assert len(ry.sharding.device_set) == 8
+
+
 class TestGraftEntry:
     def test_entry(self):
         import __graft_entry__ as g
