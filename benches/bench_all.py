@@ -143,8 +143,32 @@ def bench_full_pipeline(gops=4):
     report("encode_plus_burnin_fps", gops * 8 / dt, "frames/s")
 
 
+def bench_fvc(gops=4, motion=False):
+    """Config 6: FVC GOP codec throughput at 1080p (device coef path +
+    host scan coding), v1 residual mode or v2 motion-compensated."""
+    import jax.numpy as jnp
+    from flutpu.codec.fvc import FvcEncoder
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
+
+    enc = FvcEncoder(quality=85, motion=motion)
+    def one_gop(g):
+        # frames stay device-resident (the source is the on-device testsrc);
+        # only compressed bits cross the host link
+        frames = gradient_ball_frames(1080, 1920, 8, jnp.float32(g * 8))
+        return enc.encode_chunk(frames)
+    chunk = one_gop(0)
+    t0 = time.time()
+    total = 0
+    for g in range(gops):
+        total += len(one_gop(g))
+    dt = time.time() - t0
+    name = "fvc_motion_encode_fps" if motion else "fvc_encode_fps"
+    report(name, gops * 8 / dt, "frames/s",
+           kbytes_per_gop=round(total / gops / 1024, 1))
+
+
 def main():
-    which = sys.argv[1:] or ["ttml", "inject", "4k", "full"]
+    which = sys.argv[1:] or ["ttml", "inject", "4k", "full", "fvc"]
     if "ttml" in which:
         bench_ttml_render()
     if "inject" in which:
@@ -153,6 +177,9 @@ def main():
         bench_4k_convert()
     if "full" in which:
         bench_full_pipeline()
+    if "fvc" in which:
+        bench_fvc()
+        bench_fvc(motion=True)
 
 
 if __name__ == "__main__":

@@ -20,8 +20,14 @@ is simply a residual against the zero state.
 Bitstream (container): per-GOP chunk header
     'FVC1' | u8 version | u8 flags(bit0=subsample) | u16 width |
     u16 height | u8 quality | u8 n_frames
-then per frame: u8 frame_type (0=I 1=P) | u32 payload_len | payload
+version 1: per frame  u8 frame_type (0=I 1=P) | u32 payload_len | payload
 (payload = byte-stuffed entropy scan of the residual planes).
+version 2 (motion mode): one extra header byte u8 search_range, then per
+frame  u8 frame_type | u16 mv_len | u32 payload_len | mv_len int8 motion
+vector bytes (P frames; (H/16)x(W/16)x2 dy,dx on the luma macroblock
+grid) | payload. v2 P frames code the pixel-domain residual against the
+motion-compensated previous reconstruction (hybrid loop with in-loop
+recon — see fvc_mc_encode_chunk).
 """
 
 from __future__ import annotations
@@ -37,7 +43,7 @@ import numpy as np
 from ..core import Buffer, BufferFlags, Caps, PropertySpec, register
 from .base import VideoEncoder
 from .decode import coefs_to_rgb, decode_scan_to_coefs
-from .jpeg import _pad_to, encode_gop_to_coefs, encode_scan
+from .jpeg import _pad_to, encode_gop_to_coefs
 from .ops.quant import CHROMA_QTABLE, LUMA_QTABLE, scale_qtable
 
 MAGIC = b"FVC1"
@@ -136,6 +142,48 @@ def fvc_accumulate(ry, rcb, rcr):
             jnp.cumsum(rcr.astype(jnp.int32), axis=0))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "pad_h", "pad_w", "subsample", "layout", "prefix_words", "use_pallas"))
+def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
+                        prefix_words, use_pallas):
+    """ONE fused device program per GOP: convert → DCT → quantize →
+    temporal residuals → entropy pack → combined (bits + prefix) output.
+    A single dispatch + single fetch is the difference between 1.5 and
+    ~50 fps on high-latency host links (see PERF.md)."""
+    from .ops.entropy import encode_gop_scans_combined
+    coefs = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
+                                subsample=subsample)
+    ry, rcb, rcr = fvc_residuals(*coefs)
+    return encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
+                                     prefix_words=prefix_words,
+                                     use_pallas=use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "pad_h", "pad_w", "search_range", "layout", "prefix_words",
+    "use_pallas"))
+def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
+                        prefix_words, use_pallas):
+    """v1 program with the motion-compensated hybrid loop; motion vectors
+    are bitcast into extra uint32 columns of the combined output so the
+    whole GOP is still ONE fetch."""
+    from .ops.entropy import encode_gop_scans_combined
+    ry, rcb, rcr, mvs = fvc_mc_encode_chunk(frames, qy, qc, pad_h=pad_h,
+                                            pad_w=pad_w,
+                                            search_range=search_range)
+    combined = encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
+                                         prefix_words=prefix_words,
+                                         use_pallas=use_pallas)
+    f = mvs.shape[0]
+    flat = mvs.reshape(f, -1)
+    pad = (-flat.shape[1]) % 4
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    mv_words = jax.lax.bitcast_convert_type(
+        flat.reshape(f, -1, 4), jnp.uint32)
+    return jnp.concatenate([combined, mv_words], axis=1)
+
+
 class FvcEncoder:
     """Encode GOP chunks of RGB frames into FVC bitstream chunks.
 
@@ -144,7 +192,9 @@ class FvcEncoder:
     better compression on moving content at the cost of the search."""
 
     def __init__(self, quality: int = 85, subsample: bool = True,
-                 motion: bool = False, search_range: int = 7):
+                 motion: bool = False, search_range: int = 7,
+                 engine: str = "auto"):
+        from .jpeg import JpegEncoder
         self.quality = quality
         self.subsample = subsample
         self.motion = motion
@@ -153,28 +203,85 @@ class FvcEncoder:
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
         self._qc_dev = jnp.asarray(self.qc)
+        self.engine = engine
+        # shared scan coder: device entropy packing (only compressed bits
+        # cross the host link) with host C++ fallback
+        self._scan_coder = JpegEncoder(quality, subsample=subsample,
+                                       engine=engine)
 
-    def encode_chunk(self, frames: np.ndarray) -> bytes:
-        """(F, H, W, 3) uint8 → one FVC chunk (frame 0 is the I frame)."""
-        f, h, w, _ = frames.shape
-        mult = 16 if self.subsample else 8
-        ph, pw = _pad_to(h, mult), _pad_to(w, mult)
+    def _layout_prefix(self, ph: int, pw: int):
+        from .ops.entropy import mcu_layout
+        if self.subsample:
+            layout = mcu_layout(pw // 8, ph // 8, pw // 16, ph // 16, True)
+        else:
+            layout = mcu_layout(pw // 8, ph // 8, pw // 8, ph // 8, False)
+        sc = self._scan_coder
+        prefix = min(sc.PREFIX_WORDS,
+                     _pad_to(layout.n_blocks * sc.CAP_LADDER[-1] // 32,
+                             sc._WORD_BUCKET))
+        return layout, prefix
+
+    def _encode_device(self, frames: np.ndarray, ph: int, pw: int):
+        """Fused single-dispatch + single-fetch GOP encode. Returns
+        (payloads, mvs) or (None, None) when the compressed prefix
+        overflowed (dense content → caller falls back)."""
+        from .ops.entropy import stuff_and_finalize
+        layout, prefix = self._layout_prefix(ph, pw)
+        sc = self._scan_coder
+        dev = jnp.asarray(frames)
         if self.motion:
-            if not self.subsample:
-                raise ValueError("motion mode requires 4:2:0")
+            arr = np.asarray(_fvc_gop_program_v2(
+                dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
+                search_range=self.search_range, layout=layout,
+                prefix_words=prefix, use_pallas=sc.use_pallas))
+        else:
+            arr = np.asarray(_fvc_gop_program_v1(
+                dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
+                subsample=self.subsample, layout=layout,
+                prefix_words=prefix, use_pallas=sc.use_pallas))
+        bits = arr[:, 0].astype(np.int64)
+        if (bits > prefix * 32).any():
+            return None, None
+        payloads = [stuff_and_finalize(arr[i, 1:1 + prefix], int(bits[i]))
+                    for i in range(arr.shape[0])]
+        mvs = None
+        if self.motion:
+            mv_len = (ph // 16) * (pw // 16) * 2
+            mvs = [np.frombuffer(arr[i, 1 + prefix:].tobytes(),
+                                 np.int8)[:mv_len].reshape(
+                                     ph // 16, pw // 16, 2)
+                   for i in range(arr.shape[0])]
+        return payloads, mvs
+
+    def _encode_host(self, frames: np.ndarray, ph: int, pw: int):
+        """Reference path: residual planes fetched, host C++ scan coder."""
+        if self.motion:
             ry, rcb, rcr, mvs = fvc_mc_encode_chunk(
                 jnp.asarray(frames), self._qy_dev, self._qc_dev,
                 pad_h=ph, pad_w=pw, search_range=self.search_range)
-            mvs = np.asarray(mvs)
+            mvs = list(np.asarray(mvs))
         else:
             coefs = encode_gop_to_coefs(jnp.asarray(frames), self._qy_dev,
                                         self._qc_dev, pad_h=ph, pad_w=pw,
                                         subsample=self.subsample)
             ry, rcb, rcr = fvc_residuals(*coefs)
             mvs = None
-        ry = np.asarray(ry)
-        rcb = np.asarray(rcb)
-        rcr = np.asarray(rcr)
+        return self._scan_coder._scans_host((ry, rcb, rcr)), mvs
+
+    def encode_chunk(self, frames: np.ndarray) -> bytes:
+        """(F, H, W, 3) uint8 → one FVC chunk (frame 0 is the I frame)."""
+        f, h, w, _ = frames.shape
+        mult = 16 if self.subsample else 8
+        ph, pw = _pad_to(h, mult), _pad_to(w, mult)
+        if self.motion and not self.subsample:
+            raise ValueError("motion mode requires 4:2:0")
+        payloads = mvs = None
+        if self.engine in ("device", "auto"):
+            payloads, mvs = self._encode_device(frames, ph, pw)
+            if payloads is None and self.engine == "device":
+                raise OverflowError("device entropy cap exceeded")
+        if payloads is None:
+            payloads, mvs = self._encode_host(frames, ph, pw)
         version = 2 if self.motion else VERSION
         flags = 1 if self.subsample else 0
         out = [MAGIC, struct.pack(">BBHHBB", version, flags, w, h,
@@ -184,7 +291,7 @@ class FvcEncoder:
             # sizes its compensation window without guessing
             out.append(struct.pack(">B", self.search_range))
         for i in range(f):
-            payload = encode_scan(ry[i], rcb[i], rcr[i], self.subsample)
+            payload = payloads[i]
             ftype = 0 if i == 0 else 1
             if self.motion:
                 mv_bytes = b"" if ftype == 0 else \
@@ -279,15 +386,21 @@ class FvcDecoder:
     def decode_chunk(self, data: bytes) -> Tuple[np.ndarray, dict]:
         if data[:4] != MAGIC:
             raise ValueError("not an FVC chunk")
+        if len(data) < 12:
+            raise ValueError("truncated FVC chunk header")
         version, flags, w, h, quality, f = struct.unpack(">BBHHBB", data[4:12])
         subsample = bool(flags & 1)
         mult = 16 if subsample else 8
         ph, pw = _pad_to(h, mult), _pad_to(w, mult)
+        if ph == 0 or pw == 0:
+            raise ValueError("zero-sized FVC chunk")
         ybw, ybh = pw // 8, ph // 8
         cbw, cbh = (pw // 16, ph // 16) if subsample else (ybw, ybh)
         off = 12
         search_range = 7
         if version >= 2:
+            if len(data) < 13:
+                raise ValueError("truncated FVC v2 header")
             search_range = data[12]
             off = 13
         planes = []
@@ -295,18 +408,27 @@ class FvcDecoder:
         mvs = []
         for i in range(f):
             if version >= 2:
+                if len(data) - off < 7:
+                    raise ValueError(f"truncated frame header (frame {i})")
                 ftype, mv_len, plen = struct.unpack(">BHI", data[off:off + 7])
                 off += 7
                 mv = None
                 if mv_len:
+                    if (len(data) - off < mv_len or
+                            mv_len != (ph // 16) * (pw // 16) * 2):
+                        raise ValueError(f"bad motion block (frame {i})")
                     mv = np.frombuffer(data[off:off + mv_len],
                                        np.int8).reshape(ph // 16, pw // 16, 2)
                     off += mv_len
                 mvs.append(mv)
             else:
+                if len(data) - off < 5:
+                    raise ValueError(f"truncated frame header (frame {i})")
                 ftype, plen = struct.unpack(">BI", data[off:off + 5])
                 off += 5
                 mvs.append(None)
+            if len(data) - off < plen:
+                raise ValueError(f"truncated payload (frame {i})")
             payload = data[off:off + plen]
             off += plen
             coefs = decode_scan_to_coefs(payload, ybw, ybh, cbw, cbh,

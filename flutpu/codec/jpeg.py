@@ -348,6 +348,36 @@ class JpegEncoder:
         return [hdr + stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
                 + b"\xff\xd9" for i in range(arr.shape[0])]
 
+    def scan_planes(self, coefs) -> List[bytes]:
+        """Entropy-code already-quantized (F, BH, BW, 64) int16 zigzag
+        coefficient planes to baseline scans (no JFIF wrapper). Shared by
+        the JPEG and FVC encoders: device engine with a single combined
+        fetch per GOP, cap-ladder escalation, host fallback."""
+        if self.engine in ("device", "auto"):
+            from .ops.entropy import (encode_gop_scans_combined, mcu_layout,
+                                      stuff_and_finalize)
+            yq, cbq, crq = coefs
+            layout = mcu_layout(yq.shape[2], yq.shape[1],
+                                cbq.shape[2], cbq.shape[1], self.subsample)
+            prefix = min(self.PREFIX_WORDS,
+                         _pad_to(layout.n_blocks * self.CAP_LADDER[-1] // 32,
+                                 self._WORD_BUCKET))
+            combined = encode_gop_scans_combined(
+                jnp.asarray(yq), jnp.asarray(cbq), jnp.asarray(crq),
+                layout=layout, prefix_words=prefix,
+                use_pallas=self.use_pallas)
+            arr = np.asarray(combined)  # ONE transfer: bits + prefixes
+            bits_host = arr[:, 0].astype(np.int64)
+            if not (bits_host > prefix * 32).any():
+                return [stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
+                        for i in range(arr.shape[0])]
+            scans = self._scans_device(coefs)  # rare: dense content
+            if scans is not None:
+                return scans
+            if self.engine == "device":
+                raise OverflowError("device entropy cap exceeded")
+        return self._scans_host(coefs)
+
     def _scans_host(self, coefs) -> List[bytes]:
         yq, cbq, crq = (np.asarray(c) for c in coefs)
         f = yq.shape[0]

@@ -93,3 +93,15 @@ def test_stuffing_cases():
                 i += 2
             else:
                 i += 1
+
+
+def test_scan_planes_matches_host_coder():
+    """scan_planes (the shared JPEG/FVC entry point for pre-quantized
+    coefficient planes) is byte-identical to the host C++ coder."""
+    import jax.numpy as jnp
+    from flutpu.codec.jpeg import JpegEncoder
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(2, 32, 48, 3), dtype=np.uint8)
+    enc = JpegEncoder(quality=85, engine="device")
+    coefs = enc._coefs(frames)
+    assert enc.scan_planes(coefs) == enc._scans_host(coefs)

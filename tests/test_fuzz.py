@@ -1,0 +1,128 @@
+"""Robustness fuzzing: every parser that consumes untrusted bytes must
+fail cleanly (None / ValueError / zero output) — never crash, hang, or
+emit garbage silently. Mirrors the defensive posture of the reference's
+parsers (gstttmlbase.c SAX error paths, fludownloader outcome taxonomy).
+All randomness is seeded — failures are reproducible."""
+
+import numpy as np
+import pytest
+
+from flutpu.codec.decoders import parse_jfif
+from flutpu.codec.fvc import MAGIC, FvcDecoder, FvcEncoder
+from flutpu.core import Buffer, Caps, Harness, parse_launch
+
+
+def _rng():
+    return np.random.default_rng(61423)
+
+
+class TestFvcFuzz:
+    def test_random_bytes(self):
+        rng = _rng()
+        dec = FvcDecoder()
+        for n in (0, 3, 12, 64, 513):
+            blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            with pytest.raises(ValueError):
+                dec.decode_chunk(blob)
+
+    def test_magic_plus_garbage(self):
+        rng = _rng()
+        dec = FvcDecoder()
+        for n in (1, 8, 40, 300):
+            blob = MAGIC + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            with pytest.raises((ValueError, Exception)):
+                dec.decode_chunk(blob)
+
+    def test_truncations_never_crash(self):
+        """Every prefix-truncation of a valid chunk raises ValueError."""
+        frames = np.random.default_rng(1).integers(
+            0, 256, (3, 32, 32, 3), np.uint8)
+        for motion in (False, True):
+            chunk = FvcEncoder(quality=80, motion=motion).encode_chunk(frames)
+            for cut in range(4, len(chunk) - 1, max(1, len(chunk) // 23)):
+                with pytest.raises(ValueError):
+                    FvcDecoder().decode_chunk(chunk[:cut])
+
+    def test_bitflips_contained(self):
+        """Single-byte corruptions either raise ValueError or decode to
+        frames of the right shape — never crash with anything else."""
+        frames = np.random.default_rng(2).integers(
+            0, 256, (2, 32, 32, 3), np.uint8)
+        chunk = bytearray(FvcEncoder(quality=80).encode_chunk(frames))
+        rng = _rng()
+        for _ in range(24):
+            pos = int(rng.integers(12, len(chunk)))
+            orig = chunk[pos]
+            chunk[pos] ^= 0xFF
+            try:
+                out, _ = FvcDecoder().decode_chunk(bytes(chunk))
+                assert out.shape == frames.shape
+            except ValueError:
+                pass
+            chunk[pos] = orig
+
+
+class TestJfifFuzz:
+    def test_random_bytes_return_none(self):
+        rng = _rng()
+        for n in (0, 1, 2, 16, 400):
+            assert parse_jfif(rng.integers(0, 256, n,
+                                           dtype=np.uint8).tobytes()) is None
+
+    def test_soi_plus_garbage(self):
+        rng = _rng()
+        for n in (0, 2, 9, 64):
+            blob = b"\xff\xd8" + rng.integers(
+                0, 256, n, dtype=np.uint8).tobytes()
+            # must terminate and return None or a dict — not raise/hang
+            r = parse_jfif(blob)
+            assert r is None or isinstance(r, dict)
+
+    def test_truncated_real_jpeg(self):
+        from flutpu.codec.jpeg import JpegEncoder
+        frame = np.random.default_rng(3).integers(
+            0, 256, (1, 32, 32, 3), np.uint8)
+        payload = JpegEncoder(quality=80, engine="host").encode_gop(frame)[0]
+        assert parse_jfif(payload) is not None
+        for cut in (2, 10, 20, len(payload) // 2):
+            r = parse_jfif(payload[:cut])
+            assert r is None or isinstance(r, dict)
+
+
+class TestCoreFuzz:
+    def test_caps_garbage(self):
+        for s in ("", ",,,", "a=b", "video/x-raw, =", "x, w=[", "t, a=1/0"):
+            try:
+                Caps.from_string(s)
+            except (ValueError, ZeroDivisionError, KeyError):
+                pass
+
+    def test_parse_launch_garbage(self):
+        for s in ("!", "! !", "a.b.c !", "identity !",
+                  "identity prop", "[bracket] ! identity"):
+            with pytest.raises((ValueError, KeyError)):
+                parse_launch(s)
+
+    def test_ttml_garbage_no_crash(self):
+        rng = _rng()
+        for _ in range(6):
+            blob = rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+            h = Harness("ttmlparse")
+            h.set_src_caps("application/ttml+xml")
+            h.push(Buffer(blob, pts=0))
+            h.push_eos()
+            while h.try_pull(timeout=0.2) is not None:
+                pass
+            h.teardown()
+
+    def test_ttml_truncated_doc_no_crash(self):
+        doc = (b"<?xml version='1.0'?><tt xmlns='http://www.w3.org/ns/ttml'>"
+               b"<body><div><p begin='0s' end='1s'>hello</p></div></body></tt>")
+        for cut in range(8, len(doc), 17):
+            h = Harness("ttmlparse")
+            h.set_src_caps("application/ttml+xml")
+            h.push(Buffer(doc[:cut], pts=0))
+            h.push_eos()
+            while h.try_pull(timeout=0.2) is not None:
+                pass
+            h.teardown()

@@ -56,6 +56,17 @@ class TestFvcCodec:
         assert dec.shape == frames.shape
         assert psnr(frames[8], dec[8]) > 30
 
+    def test_device_and_host_engines_bit_identical(self):
+        """The device entropy path (only compressed bits cross the link)
+        must emit byte-identical chunks to the host C++ coder."""
+        frames = video(4)
+        for motion in (False, True):
+            dev = FvcEncoder(quality=85, motion=motion,
+                             engine="device").encode_chunk(frames)
+            host = FvcEncoder(quality=85, motion=motion,
+                              engine="host").encode_chunk(frames)
+            assert dev == host
+
     def test_corrupt_stream_raises(self):
         with pytest.raises(ValueError):
             FvcDecoder().decode_chunk(b"JUNKJUNKJUNKJUNK")
