@@ -200,6 +200,21 @@ class Pad:
             return FlowReturn.NOT_LINKED
         return peer.chain_list(buffers)
 
+    def _post_element_error(self, exc: Exception) -> None:
+        """Log + surface an element exception as a bus ERROR message."""
+        import traceback
+        from .log import Category
+        Category("pad").error(
+            "%s: chain raised %s: %s", self, type(exc).__name__, exc)
+        el = self.element
+        if el is not None and hasattr(el, "post_message"):
+            from .bus import Message, MessageType
+            el.post_message(Message(
+                MessageType.ERROR, source=el,
+                structure={"error": str(exc),
+                           "exception": type(exc).__name__,
+                           "debug": traceback.format_exc()}))
+
     def chain(self, buf: Buffer) -> FlowReturn:
         """Deliver a buffer into this SINK pad."""
         assert self.direction == PadDirection.SINK, f"chain on src pad {self}"
@@ -215,7 +230,14 @@ class Pad:
                 else self._proxy_target.push(buf)
         if self.chain_function is None:
             return FlowReturn.NOT_LINKED
-        return self.chain_function(self, buf)
+        # catch-panic analog (reference scenecollector/imp.rs:272-292 wraps
+        # pad functions so element bugs become flow errors, not dead
+        # streaming threads): exceptions -> ERROR + bus message
+        try:
+            return self.chain_function(self, buf)
+        except Exception as exc:  # noqa: BLE001 - boundary by design
+            self._post_element_error(exc)
+            return FlowReturn.ERROR
 
     def chain_list(self, buffers: BufferList) -> FlowReturn:
         assert self.direction == PadDirection.SINK

@@ -265,3 +265,55 @@ class TestVideoConvert:
         assert planes["y"].shape == (2, 4)
         assert planes["u"].shape == (1, 2)
         assert abs(int(planes["y"][0, 0]) - 128) <= 1
+
+
+class TestElementErrorContainment:
+    """catch-panic analog: an element whose chain raises must yield
+    FlowReturn.ERROR + a bus ERROR message — not a dead streaming thread
+    (reference scenecollector/imp.rs catch_panic_pad_function)."""
+
+    def test_chain_exception_becomes_flow_error(self):
+        from flutpu.core import parse_launch
+        from flutpu.core.bus import MessageType
+
+        p = parse_launch("appsrc name=src ! identity name=boom ! fakesink")
+        boom = p.get_by_name("boom")
+        def explode(pad, buf):
+            raise RuntimeError("element bug")
+        boom.sinkpad.chain_function = explode
+        src = p.get_by_name("src")
+        p.play()
+        ret = src.push(Buffer(b"x", pts=0))
+        msg = p.bus.timed_pop_filtered(5, [MessageType.ERROR])
+        p.stop()
+        assert ret == FlowReturn.ERROR
+        assert msg is not None and msg.structure["exception"] == "RuntimeError"
+
+    def test_queue_thread_survives_downstream_exception(self):
+        from flutpu.core import parse_launch
+        from flutpu.core.bus import MessageType
+
+        p = parse_launch("appsrc name=src ! queue ! identity name=boom "
+                         "! fakesink")
+        boom = p.get_by_name("boom")
+        calls = []
+        def explode(pad, buf):
+            calls.append(buf)
+            raise ValueError("bug in streaming thread")
+        boom.sinkpad.chain_function = explode
+        src = p.get_by_name("src")
+        p.play()
+        src.push(Buffer(b"a", pts=0))
+        msg = p.bus.timed_pop_filtered(5, [MessageType.ERROR])
+        assert msg is not None and "bug in streaming thread" in msg.structure["error"]
+        # the queue latches the flow error and reports it UPSTREAM on the
+        # next push (GStreamer srcresult semantics) instead of crashing
+        # its streaming thread
+        deadline = time.monotonic() + 5
+        ret = FlowReturn.OK
+        while ret == FlowReturn.OK and time.monotonic() < deadline:
+            time.sleep(0.01)
+            ret = src.push(Buffer(b"b", pts=1))
+        p.stop()
+        assert ret == FlowReturn.ERROR
+        assert len(calls) == 1
