@@ -231,3 +231,19 @@ def test_adaptive_scene_detection():
     for i, f in enumerate(seq):
         det.sinkpad.chain(Buffer(f, offset=i))
     assert events == [0, 1, 2]  # start + 2 cuts
+
+
+def test_soak_five_branches_random_skew():
+    """Long-run soak: 600 buffers over 5 branches with per-branch latency
+    skew (0.02–2 ms/buffer) — ordering must hold over many wrap-arounds of
+    the round-robin and deep reorder-buffer occupancy."""
+    run_order_test(
+        "scenedetector gop-size=3 "
+        "! outputselector name=os "
+        "os.src_0 ! identity sleep-time=2000 ! col. "
+        "os.src_1 ! identity sleep-time=20 ! col. "
+        "os.src_2 ! identity sleep-time=700 ! col. "
+        "os.src_3 ! identity sleep-time=50 ! col. "
+        "os.src_4 ! identity sleep-time=1300 ! col. "
+        "scenecollector name=col",
+        num_buffers=600)

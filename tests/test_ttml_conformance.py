@@ -164,3 +164,70 @@ class TestParameters:
         cues = [(p, d) for p, d, t in out if "cue" in t]
         assert cues and cues[0][0] == int(1.2 * SECOND)
         assert cues[0][1] == int(0.8 * SECOND)
+
+
+class TestContentFixtures:
+    """W3C-testsuite-style content fixtures (reference validates these
+    areas manually; here they are explicit — SURVEY §4)."""
+
+    def test_br_becomes_newline(self):
+        out = run_parse(
+            '<?xml version="1.0"?><tt xmlns="http://www.w3.org/ns/ttml">'
+            '<body><div><p begin="0s" end="1s">line one<br/>line two</p>'
+            '</div></body></tt>')
+        assert any("line one\nline two" in text for _, _, text in out)
+
+    def test_nested_span_styles_push_and_restore(self):
+        out = run_parse(
+            '<?xml version="1.0"?><tt xmlns="http://www.w3.org/ns/ttml" '
+            'xmlns:tts="http://www.w3.org/ns/ttml#styling"><body><div>'
+            '<p begin="0s" end="1s" tts:color="white">a'
+            '<span tts:color="red">b<span tts:fontWeight="bold">c</span>'
+            'd</span>e</p></div></body></tt>')
+        text = out[0][2]
+        # inner span: red + bold; after both pops: white again
+        assert '<span fgcolor="#ff0000" font_weight="bold">c</span>' in text
+        assert text.index('#ffffff">a') < text.index('#ff0000">b')
+        assert '<span fgcolor="#ffffff">e' in text.split("</span>")[-2] + "</span>"
+
+    def test_tick_rate_metric(self):
+        out = run_parse(
+            '<?xml version="1.0"?><tt xmlns="http://www.w3.org/ns/ttml" '
+            'xmlns:ttp="http://www.w3.org/ns/ttml#parameter" '
+            'ttp:tickRate="10"><body><div>'
+            '<p begin="5t" end="20t">tick</p></div></body></tt>')
+        cue = [o for o in out if "tick" in o[2]][0]
+        assert cue[0] == SECOND // 2          # 5 ticks at 10/s
+        assert cue[1] == 3 * SECOND // 2      # 15 ticks duration
+
+    def test_root_extent_survives_to_regions(self):
+        """tts:extent on the tt node sets the root container size; region
+        percentage extents normalize against it (TT-node attrs survive
+        the attribute-stack pop — gstttmlstate.c:341-346)."""
+        from flutpu.ttml.base import TTMLBase
+        h = Harness("ttmlsegmentedparse")
+        h.set_src_caps("application/ttml+xml")
+        h.push(Buffer((
+            '<?xml version="1.0"?><tt xmlns="http://www.w3.org/ns/ttml" '
+            'xmlns:tts="http://www.w3.org/ns/ttml#styling" '
+            'tts:extent="640px 480px"><head><layout>'
+            '<region xml:id="r" tts:extent="50% 25%"/></layout></head>'
+            '<body><div><p begin="0s" end="1s" region="r">x</p></div>'
+            '</body></tt>').encode(), pts=0))
+        h.push_eos()
+        docs = []
+        while True:
+            b = h.try_pull(timeout=0.3)
+            if b is None:
+                break
+            docs.append(bytes(b.data).decode())
+        h.teardown()
+        assert docs and 'extent' in docs[0]
+
+    def test_begin_only_cue_runs_to_container_end(self):
+        out = run_parse(
+            '<?xml version="1.0"?><tt xmlns="http://www.w3.org/ns/ttml">'
+            '<body><div begin="0s" end="3s">'
+            '<p begin="1s">open ended</p></div></body></tt>')
+        cue = [o for o in out if "open ended" in o[2]][0]
+        assert cue[0] == SECOND and cue[1] == 2 * SECOND
