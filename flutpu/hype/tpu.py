@@ -49,6 +49,11 @@ class TpuHype(VideoEncoder):
         PropertySpec("spatial", 1, "row-stripe each frame across this many "
                                    "chips (chunk x spatial mesh — for frame "
                                    "sizes too heavy for one chip, e.g. 4K)"),
+        PropertySpec("codec", "jpeg", "jpeg | fvc | fvc-motion: MJPEG "
+                                      "per-frame buffers, or FVC GOP chunks "
+                                      "(one container buffer per chunk; "
+                                      "fvc-motion = v2 hybrid loop)"),
+        PropertySpec("search-range", 7, "fvc-motion full-search window"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -57,6 +62,8 @@ class TpuHype(VideoEncoder):
         self._jenc: Optional[JpegEncoder] = None
         self._mesh = None
         self._pool = ThreadPoolExecutor(max_workers=8)
+        if str(self.get_property("codec")).startswith("fvc"):
+            self.srcpad.template_caps = Caps.from_string("video/x-fvc")
 
     def _setup(self):
         if self._jenc is None:
@@ -76,6 +83,9 @@ class TpuHype(VideoEncoder):
     def set_format(self, caps: Caps):
         fields = {k: v for k, v in caps.fields.items()
                   if k in ("width", "height", "framerate")}
+        codec = str(self.get_property("codec"))
+        if codec.startswith("fvc"):
+            return Caps.new("video/x-fvc", **fields)
         return Caps.new("image/jpeg", parsed=True, **fields)
 
     @property
@@ -117,6 +127,11 @@ class TpuHype(VideoEncoder):
             frames = np.pad(frames, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
                             mode="edge")
         chunks = frames.reshape(n_chunks, gop, ph, pw, 3)
+        codec = str(self.get_property("codec"))
+        if codec.startswith("fvc"):
+            self._flush_fvc(batch, chunks, n, h, w, jenc, mesh, spatial,
+                            gop, motion=codec == "fvc-motion")
+            return
         yq, cbq, crq = encode_chunks_sharded(
             jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
             mesh=mesh, spatial=spatial > 1)
@@ -125,6 +140,73 @@ class TpuHype(VideoEncoder):
         for src, data in zip(batch, payloads):
             self.srcpad.push(Buffer(data, pts=src.pts, dts=src.dts,
                                     duration=src.duration, offset=src.offset))
+
+    def _flush_fvc(self, batch, chunks, n, h, w, jenc, mesh, spatial,
+                   gop, motion):
+        """FVC over the chunk mesh: one independent GOP codec per shard
+        (flutpu.parallel.gop.fvc_chunks_sharded), device entropy over the
+        whole batch, one container buffer per chunk — the hype contract
+        (forced keyframe at every chunk start) expressed as SPMD."""
+        import struct
+        from ..codec.fvc import MAGIC
+        from ..codec.ops.entropy import (encode_gop_scans_combined,
+                                         mcu_layout, stuff_and_finalize)
+        from ..parallel.gop import fvc_chunks_sharded
+        if spatial > 1:
+            raise ValueError("codec=fvc needs spatial=1 (temporal scan + "
+                             "motion wraparound don't row-stripe)")
+        sr = int(self.get_property("search-range"))
+        out = fvc_chunks_sharded(jnp.asarray(chunks), jnp.asarray(jenc.qy),
+                                 jnp.asarray(jenc.qc), mesh=mesh,
+                                 motion=motion, search_range=sr)
+        ry, rcb, rcr = out[:3]
+        mvs = np.asarray(out[3]) if motion else None
+        c, f = ry.shape[0], ry.shape[1]
+        layout = mcu_layout(ry.shape[3], ry.shape[2],
+                            rcb.shape[3], rcb.shape[2], True)
+        prefix = jenc.PREFIX_WORDS
+        combined = encode_gop_scans_combined(
+            ry.reshape(c * f, *ry.shape[2:]),
+            rcb.reshape(c * f, *rcb.shape[2:]),
+            rcr.reshape(c * f, *rcr.shape[2:]),
+            layout=layout, prefix_words=prefix, use_pallas=jenc.use_pallas)
+        arr = np.asarray(combined)
+        bits = arr[:, 0].astype(np.int64)
+        if (bits > prefix * 32).any():
+            raise OverflowError("fvc device entropy cap exceeded")
+        payloads = [stuff_and_finalize(arr[i, 1:], int(bits[i]))
+                    for i in range(c * f)]
+        version = 2 if motion else 1
+        ph, pw = chunks.shape[2], chunks.shape[3]
+        for ci in range(c):
+            first = ci * gop
+            if first >= n:
+                break  # wholly padding
+            real = min(gop, n - first)
+            parts = [MAGIC, struct.pack(">BBHHBB", version, 1, w, h,
+                                        jenc.quality, real)]
+            if motion:
+                parts.append(struct.pack(">B", sr))
+            for fi in range(real):
+                payload = payloads[ci * gop + fi]
+                ftype = 0 if fi == 0 else 1
+                if motion:
+                    mv = b"" if ftype == 0 else \
+                        mvs[ci, fi].astype(np.int8).tobytes()
+                    parts.append(struct.pack(">BHI", ftype, len(mv),
+                                             len(payload)))
+                    parts.append(mv)
+                else:
+                    parts.append(struct.pack(">BI", ftype, len(payload)))
+                parts.append(payload)
+            src = batch[first]
+            last = batch[min(first + real, len(batch)) - 1]
+            dur = None
+            if src.pts is not None and last.pts is not None:
+                dur = last.pts - src.pts + (last.duration or 0)
+            self.srcpad.push(Buffer(b"".join(parts), pts=src.pts,
+                                    dts=src.dts, duration=dur,
+                                    offset=src.offset))
 
     def _entropy(self, jenc, yq, cbq, crq, hdr):
         """Entropy-code all chunk frames. On accelerators the bits pack on

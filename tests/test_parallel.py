@@ -157,3 +157,49 @@ class TestTpuHypeSpatial:
         for i, o in enumerate(outs):
             assert psnr(frames[i], decode_jpeg(o.data)) > 30
         h.teardown()
+
+
+class TestTpuHypeFvc:
+    CAPS = "video/x-raw, format=RGB, width=64, height=48, framerate=30/1"
+
+    def _run(self, launch, n=10):
+        from flutpu.core import Buffer, Harness, MSECOND
+        from flutpu.core.elements import make_test_frame
+        h = Harness(launch)
+        h.set_src_caps(self.CAPS)
+        frames = [make_test_frame("ball", 64, 48, i) for i in range(n)]
+        for i, f in enumerate(frames):
+            h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        chunks = []
+        while True:
+            b = h.try_pull(timeout=20)
+            if b is None:
+                break
+            chunks.append(b)
+        h.teardown()
+        return frames, chunks
+
+    def test_fvc_chunks_ordered_decodable(self):
+        from flutpu.codec.fvc import FvcDecoder
+        from flutpu.codec.jpeg import psnr
+        frames, chunks = self._run("tpuhype gop-size=2 chunks=4 quality=90 "
+                                   "codec=fvc")
+        assert [c.pts for c in chunks] == sorted(c.pts for c in chunks)
+        dec = FvcDecoder().decode_stream(
+            b"".join(bytes(c.data) for c in chunks))
+        assert dec.shape == (10, 48, 64, 3)  # tail chunk holds 2 real frames
+        for i in (0, 4, 9):
+            assert psnr(np.asarray(frames[i]), dec[i]) > 30, i
+
+    def test_fvc_motion_chunks(self):
+        from flutpu.codec.fvc import FvcDecoder
+        from flutpu.codec.jpeg import psnr
+        frames, chunks = self._run(
+            "tpuhype gop-size=2 chunks=4 quality=90 codec=fvc-motion "
+            "search-range=3", n=8)
+        assert all(bytes(c.data)[4] == 2 for c in chunks)
+        dec = FvcDecoder().decode_stream(
+            b"".join(bytes(c.data) for c in chunks))
+        assert dec.shape == (8, 48, 64, 3)
+        assert psnr(np.asarray(frames[5]), dec[5]) > 30
