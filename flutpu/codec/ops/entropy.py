@@ -16,7 +16,7 @@ re-expressed as data-parallel passes:
 2. intra-block bit packing: lax.scan over the 191 fixed bit-slots of a
    block, all blocks advancing in lockstep (VPU-wide), accumulating into a
    per-block 64-word buffer with one-hot word selection
-3. inter-block concatenation: for each output word, gather the ≤12 blocks
+3. inter-block concatenation: for each output word, gather the ≤9 blocks
    overlapping it (searchsorted on the bit-offset prefix sum) and OR their
    shifted contributions — pure gathers, no scatter
 
@@ -34,8 +34,6 @@ import numpy as np
 
 from .. import jpeg_tables as T
 
-# maximum blocks that can overlap one 32-bit output word: a block is at
-# least 4 bits (DC size-0 chroma code 2 + EOB 2), so ceil(32/4)+2 guard
 # Max blocks overlapping one 32-bit output word. A block is at least
 # DC(>=2 bits) + EOB(>=2 bits) = 4 bits, so at most ceil(31/4) = 8 blocks
 # can START inside a word, plus the one containing its first bit.
@@ -331,21 +329,20 @@ def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     word_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, _BLOCK_WORDS), 1)
     buf_word0 = buf[:, 0]
 
-    # contributor j=0: the block CONTAINING the word start — needs arbitrary
-    # block words (full row gather; TPU handles row gathers + one-hot column
-    # select far better than general 2D gathers)
+    # contributor j=0: the block CONTAINING the word start — needs two
+    # arbitrary block words, fetched as flat 1-D gathers (same gather
+    # species as the j>=1 path; 32x less data than a 64-wide row gather)
+    flat = buf.reshape(-1)
     blk = first
     o = offsets[blk]
     nb = nbits[blk]
     valid = (o <= wbit) & (o + nb > wbit)
     pos = wbit - o                 # >= 0 for the containing block
     p = (pos & 31).astype(jnp.uint32)
-    k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1).astype(jnp.uint32)
-    rows = buf[blk]                # (out_words, _BLOCK_WORDS)
-    sel0 = (word_iota == k0[:, None])
-    sel1 = (word_iota == k0[:, None] + 1)
-    b0 = jnp.sum(jnp.where(sel0, rows, 0), axis=1)
-    b1 = jnp.sum(jnp.where(sel1, rows, 0), axis=1)
+    k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1)
+    base = blk * _BLOCK_WORDS + k0
+    b0 = flat[base]
+    b1 = flat[jnp.minimum(base + 1, b * _BLOCK_WORDS - 1)]
     inside = (b0 << p) | jnp.where(p > 0, b1 >> ((32 - p) & 31), 0)
     out = jnp.where(valid, inside, 0)
 
