@@ -43,6 +43,7 @@ class TpuJpegEnc(VideoEncoder):
         PropertySpec("quality", 85),
         PropertySpec("batch-frames", 8, "max frames batched per device dispatch"),
         PropertySpec("subsample", True, "4:2:0 chroma subsampling"),
+        PropertySpec("engine", "auto", "auto | device | host entropy coding"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -56,11 +57,12 @@ class TpuJpegEnc(VideoEncoder):
         if self._encoder is None:
             self._encoder = JpegEncoder(
                 quality=int(self.get_property("quality")),
-                subsample=bool(self.get_property("subsample")))
+                subsample=bool(self.get_property("subsample")),
+                engine=str(self.get_property("engine")))
         return self._encoder
 
     def do_set_property(self, name, value):
-        if name in ("quality", "subsample"):
+        if name in ("quality", "subsample", "engine"):
             self._encoder = None  # rebuild with new tables
 
     def set_format(self, caps: Caps) -> Optional[Caps]:

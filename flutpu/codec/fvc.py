@@ -539,6 +539,7 @@ class FvcEnc(VideoEncoder):
         PropertySpec("motion", False, "v2 hybrid codec: motion-compensated "
                                       "prediction with in-loop recon"),
         PropertySpec("search-range", 7, "motion full-search window (±px)"),
+        PropertySpec("engine", "auto", "auto | device | host entropy coding"),
     ]
 
     def __init__(self, name=None, **props):
@@ -552,7 +553,8 @@ class FvcEnc(VideoEncoder):
             self._encoder = FvcEncoder(
                 int(self.get_property("quality")),
                 motion=bool(self.get_property("motion")),
-                search_range=int(self.get_property("search-range")))
+                search_range=int(self.get_property("search-range")),
+                engine=str(self.get_property("engine")))
         return self._encoder
 
     def set_format(self, caps: Caps):
