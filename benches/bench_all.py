@@ -110,16 +110,16 @@ def bench_4k_convert(frames=4):
     report("4k_convert_dct_quant_fps", frames * n / dt, "frames/s")
 
 
-def bench_full_pipeline(gops=4):
+def bench_full_pipeline(gops=4, w=1920, h=1088, out_h=1080):
     """Config 5: encode + TTML burn-in per GOP (one fused device pass for
-    the burn-in + the auto-engine encoder)."""
+    the burn-in + the auto-engine encoder). Pass w/h for the 4K variant."""
     import jax.numpy as jnp
     from flutpu.codec.jpeg import JpegEncoder
     from flutpu.codec.ops.testsrc import gradient_ball_frames
     from flutpu.core import Buffer, Harness
     from flutpu.ttml.render import overlay_on_frames
 
-    h_el = Harness("ttmlrender window-width=1920 window-height=1088")
+    h_el = Harness(f"ttmlrender window-width={w} window-height={h}")
     h_el.set_src_caps("application/ttml+xml")
     h_el.push(Buffer(
         b"<?xml version='1.0'?><tt xmlns='http://www.w3.org/ns/ttml'>"
@@ -131,16 +131,17 @@ def bench_full_pipeline(gops=4):
 
     enc = JpegEncoder(quality=85)
     def one_gop(g):
-        frames = gradient_ball_frames(1088, 1920, 8, jnp.float32(g * 8))
+        frames = gradient_ball_frames(h, w, 8, jnp.float32(g * 8))
         burned = overlay_on_frames(frames, overlay)
         return enc.encode_gop_finalize(
-            enc.encode_gop_dispatch(burned, 1080, 1920))
+            enc.encode_gop_dispatch(burned, out_h, w))
     one_gop(0)
     t0 = time.time()
     for g in range(gops):
         payloads = one_gop(g)
     dt = time.time() - t0
-    report("encode_plus_burnin_fps", gops * 8 / dt, "frames/s")
+    name = "encode_plus_burnin_fps" if w < 3000 else "encode_plus_burnin_4k_fps"
+    report(name, gops * 8 / dt, "frames/s")
 
 
 def bench_fvc(gops=4, motion=False):
@@ -180,6 +181,8 @@ def main():
     if "fvc" in which:
         bench_fvc()
         bench_fvc(motion=True)
+    if "full4k" in which:
+        bench_full_pipeline(gops=2, w=3840, h=2160, out_h=2160)
 
 
 if __name__ == "__main__":

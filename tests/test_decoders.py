@@ -72,3 +72,17 @@ def test_decode_overlay_pipeline():
     assert all(b is not None for b in got)
     assert [b.pts for b in got] == [i * MSECOND for i in range(8)]
     assert any(b.meta.get("processed") for b in got)
+
+
+def test_fvc_motion_roundtrip_pipeline():
+    """v2 container through the element pair: fvcenc motion=true ! fvcdec."""
+    h = Harness("fvcenc quality=90 gop-size=4 motion=true search-range=5 "
+                "! fvcdec")
+    h.set_src_caps(CAPS)
+    frames = push_video(h, 8, pattern="ball")
+    h.push_eos()
+    for i in range(8):
+        out = h.pull(timeout=30)
+        assert out.pts == i * MSECOND
+        assert psnr(frames[i], np.asarray(out.data)) > 30
+    h.teardown()
