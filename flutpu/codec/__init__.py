@@ -10,7 +10,7 @@ from .base import VideoEncoder
 from .encoder import TpuJpegEnc
 from .fvc import FvcDecoder, FvcEnc, FvcEncoder
 from .decoders import FvcDec, JpegDec
-from .avimux import AviMux
+from .avimux import AviDemux, AviMux
 
 __all__ = ["VideoEncoder", "TpuJpegEnc", "FvcDecoder", "FvcEnc",
-           "FvcEncoder", "FvcDec", "JpegDec", "AviMux"]
+           "FvcEncoder", "FvcDec", "JpegDec", "AviMux", "AviDemux"]

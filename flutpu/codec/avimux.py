@@ -103,3 +103,85 @@ class AviMux(Element):
             self._frames = []
             return self.srcpad.push_event(event)
         return self.srcpad.push_event(event)
+
+
+def parse_avi(data: bytes):
+    """Minimal RIFF/AVI reader: returns (frames, width, height, fps) for the
+    first MJPG video stream. Walks LIST/chunk structure; tolerates missing
+    idx1 (frames come from the movi list in order)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    width = height = 0
+    rate, scale = 30, 1
+    frames: List[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal width, height, rate, scale
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fourcc == b"LIST":
+                walk(buf, body_start + 4, body_end)
+            elif fourcc == b"strh" and size >= 40:
+                typ, handler = buf[body_start:body_start + 4], \
+                    buf[body_start + 4:body_start + 8]
+                if typ == b"vids":
+                    scale, rate = struct.unpack(
+                        "<II", buf[body_start + 20:body_start + 28])
+            elif fourcc == b"strf" and size >= 16 and not width:
+                width, height = struct.unpack(
+                    "<ii", buf[body_start + 4:body_start + 12])
+            elif fourcc[2:4] == b"dc":
+                frames.append(buf[body_start:body_end])
+            pos = body_end + (size & 1)
+
+    walk(data, 12, 8 + struct.unpack("<I", data[4:8])[0])
+    fps = Fraction(rate or 30, scale or 1)
+    return {"frames": frames, "width": width, "height": abs(height),
+            "fps": fps}
+
+
+@register
+class AviDemux(Element):
+    """avidemux — splits an MJPEG AVI buffer/stream back into one
+    image/jpeg buffer per frame (the inverse of avimux; completes
+    container roundtrips: tpujpegenc ! avimux ! filesink / filesrc !
+    avidemux ! jpegdec)."""
+
+    FACTORY = "avidemux"
+
+    def __init__(self, name=None, **props):
+        super().__init__(name, **props)
+        self.sinkpad = self.add_pad(Pad(
+            "sink", PadDirection.SINK, self,
+            template_caps=Caps.from_string("video/x-msvideo")))
+        self.srcpad = self.add_pad(Pad("src", PadDirection.SRC, self))
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._sink_event
+        self._pending = b""
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        self._pending += bytes(buf.data)
+        return FlowReturn.OK
+
+    def _sink_event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.EOS:
+            info = parse_avi(self._pending)
+            self._pending = b""
+            if info is None:
+                return self.srcpad.push_event(event)
+            from ..core import CapsEvent
+            fps = info["fps"]
+            self.srcpad.push_event(CapsEvent(Caps.new(
+                "image/jpeg", parsed=True, width=info["width"],
+                height=info["height"], framerate=fps)))
+            dur = int(1_000_000_000 * fps.denominator / max(1, fps.numerator))
+            for i, f in enumerate(info["frames"]):
+                self.srcpad.push(Buffer(f, pts=i * dur, duration=dur,
+                                        offset=i))
+            return self.srcpad.push_event(event)
+        if event.type == EventType.CAPS:
+            return True
+        return self.srcpad.push_event(event)

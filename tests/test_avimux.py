@@ -42,3 +42,39 @@ def test_avi_structure_and_frames(tmp_path):
     assert len(found) == 4
     for i, payload in enumerate(found):
         assert psnr(frames[i], decode_jpeg(payload)) > 30
+
+
+def test_avi_roundtrip_demux():
+    """tpujpegenc ! avimux → avidemux ! jpegdec recovers the frames."""
+    import numpy as np
+    from flutpu.codec.jpeg import psnr
+    from flutpu.core import Buffer, Harness, MSECOND
+    from flutpu.core.elements import make_test_frame
+
+    enc = Harness("tpujpegenc quality=90 batch-frames=4 ! avimux")
+    enc.set_src_caps("video/x-raw, format=RGB, width=64, height=48, "
+                     "framerate=30/1")
+    frames = []
+    for i in range(4):
+        f = make_test_frame("gradient", 64, 48, i)
+        frames.append(f)
+        enc.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+    enc.push_eos()
+    avi = bytes(enc.pull(timeout=30).data)
+    enc.teardown()
+
+    dec = Harness("avidemux ! jpegdec")
+    dec.set_src_caps("video/x-msvideo")
+    dec.push(Buffer(avi, pts=0))
+    dec.push_eos()
+    for i in range(4):
+        out = dec.pull(timeout=30)
+        assert psnr(frames[i], np.asarray(out.data)) > 30, i
+    dec.teardown()
+
+
+def test_parse_avi_rejects_garbage():
+    from flutpu.codec.avimux import parse_avi
+    assert parse_avi(b"") is None
+    assert parse_avi(b"RIFFxxxxWAVE") is None
+    assert parse_avi(b"\x00" * 64) is None
