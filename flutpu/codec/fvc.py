@@ -540,22 +540,31 @@ class FvcEnc(VideoEncoder):
                                       "prediction with in-loop recon"),
         PropertySpec("search-range", 7, "motion full-search window (±px)"),
         PropertySpec("engine", "auto", "auto | device | host entropy coding"),
+        PropertySpec("bitrate", 0, "target bits/sec; 0 = constant quality. "
+                                   "Per-chunk log-proportional quality "
+                                   "controller (the rate-control role the "
+                                   "reference delegates to x264)"),
     ]
+
+    _RC_MIN_Q, _RC_MAX_Q = 10, 97
 
     def __init__(self, name=None, **props):
         super().__init__(name, **props)
-        self._encoder: Optional[FvcEncoder] = None
+        self._encoders: dict = {}
         self._pending: List[Buffer] = []
         self._chunk_gop: Optional[int] = None
+        self._rc_quality: Optional[float] = None
 
-    def _enc(self) -> FvcEncoder:
-        if self._encoder is None:
-            self._encoder = FvcEncoder(
-                int(self.get_property("quality")),
+    def _enc(self, quality: Optional[int] = None) -> FvcEncoder:
+        q = int(self.get_property("quality")) if quality is None else quality
+        enc = self._encoders.get(q)
+        if enc is None:
+            enc = self._encoders[q] = FvcEncoder(
+                q,
                 motion=bool(self.get_property("motion")),
                 search_range=int(self.get_property("search-range")),
                 engine=str(self.get_property("engine")))
-        return self._encoder
+        return enc
 
     def set_format(self, caps: Caps):
         fields = {k: v for k, v in caps.fields.items()
@@ -584,12 +593,44 @@ class FvcEnc(VideoEncoder):
         self._flush_chunk()
         return []
 
+    def _chunk_target_bytes(self, batch: List[Buffer]) -> Optional[int]:
+        bitrate = int(self.get_property("bitrate"))
+        if bitrate <= 0:
+            return None
+        dur_ns = sum((b.duration or 0) for b in batch)
+        if dur_ns <= 0 and self.input_caps is not None:
+            fr = self.input_caps.get("framerate")
+            if fr:
+                dur_ns = int(len(batch) * 1e9 * fr.denominator / fr.numerator)
+        if dur_ns <= 0:
+            dur_ns = int(len(batch) * 1e9 / 30)
+        return max(1, int(bitrate / 8 * dur_ns / 1e9))
+
     def _flush_chunk(self) -> None:
         if not self._pending:
             return
         batch, self._pending = self._pending, []
         frames = np.stack([np.asarray(b.data) for b in batch])
-        chunk = self._enc().encode_chunk(frames)
+        target = self._chunk_target_bytes(batch)
+        if target is None:
+            chunk = self._enc().encode_chunk(frames)
+        else:
+            # rate control: log-proportional per-chunk quality adaptation,
+            # one in-chunk retry when far over budget
+            if self._rc_quality is None:
+                self._rc_quality = float(self.get_property("quality"))
+            q = int(round(self._rc_quality))
+            chunk = self._enc(q).encode_chunk(frames)
+            if len(chunk) > target * 1.3:
+                q2 = max(self._RC_MIN_Q,
+                         q - int(round(12 * np.log2(len(chunk) / target))))
+                if q2 < q:
+                    chunk = self._enc(q2).encode_chunk(frames)
+                    q = q2
+            ratio = len(chunk) / target
+            self._rc_quality = float(np.clip(
+                q - 12 * np.log2(max(ratio, 1e-6)),
+                self._RC_MIN_Q, self._RC_MAX_Q))
         first = batch[0]
         last = batch[-1]
         duration = None

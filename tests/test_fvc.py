@@ -202,3 +202,42 @@ class TestFvcElement:
         assert dec.shape == frames.shape
         for i in (0, 5, 11):
             assert psnr(frames[i], dec[i]) > 30, f"frame {i}"
+
+
+class TestFvcRateControl:
+    def test_bitrate_converges(self):
+        """Per-chunk controller steers chunk sizes toward the budget."""
+        from flutpu.codec.fvc import FvcEnc
+        h = Harness("fvcenc gop-size=4 bitrate=600000")  # 600 kbit/s
+        h.set_src_caps(TestFvcElement.CAPS)
+        frames = video(24, w=128, h=96)
+        for i, f in enumerate(frames):
+            h.push(Buffer(f, pts=i * 33 * MSECOND,
+                          duration=33 * MSECOND, offset=i))
+        h.push_eos()
+        sizes = []
+        while True:
+            b = h.try_pull(timeout=20)
+            if b is None:
+                break
+            sizes.append(len(bytes(b.data)))
+        h.teardown()
+        assert len(sizes) == 6
+        # budget per 4-frame chunk at 600 kbit/s, 33 ms frames: ~9.9 KB
+        target = 600000 / 8 * (4 * 0.033)
+        # later chunks (post-adaptation) land within 2x of budget
+        for s in sizes[2:]:
+            assert s < target * 2, (s, target, sizes)
+
+    def test_bitrate_zero_is_constant_quality(self):
+        enc_sizes = []
+        for br in (0,):
+            h = Harness("fvcenc gop-size=4 bitrate=0 quality=90")
+            h.set_src_caps(TestFvcElement.CAPS)
+            for i, f in enumerate(video(4)):
+                h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+            h.push_eos()
+            b = h.pull(timeout=20)
+            enc_sizes.append(len(bytes(b.data)))
+            assert bytes(b.data)[10] == 90  # quality byte preserved
+            h.teardown()
