@@ -22,6 +22,22 @@ if os.environ.get("FLUTPU_CPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (same as bench.py): remote compiles
+    cost minutes per program; cached reruns skip them."""
+    try:
+        import jax
+        cache = os.environ.get("JAX_CACHE_DIR", "/tmp/flutpu-jax-cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 import numpy as np
 
 
@@ -182,6 +198,9 @@ def main():
         bench_fvc()
         bench_fvc(motion=True)
     if "full4k" in which:
+        # explicit-only: first-time 4K-shaped compiles through a tunneled
+        # remote compiler can take extremely long (observed >1h on axon);
+        # run with a warm /tmp/flutpu-jax-cache or on a local-compiler host
         bench_full_pipeline(gops=2, w=3840, h=2160, out_h=2160)
 
 
