@@ -63,6 +63,11 @@ class VideoEncoder(Element):
     def on_custom_event(self, event: Event) -> None:
         """Hook: observe custom downstream events (e.g. hype scene-new)."""
 
+    def reset(self) -> None:
+        """Drop internally batched state on a flushing seek. Subclasses
+        holding pending frames must clear them here — stale pre-seek frames
+        must never leak into post-seek chunks."""
+
     # -- plumbing ------------------------------------------------------------
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         keyframe = self._force_key_unit
@@ -92,5 +97,9 @@ class VideoEncoder(Element):
         if event.type == EventType.EOS:
             for out in self.finish():
                 self.srcpad.push(out)
+            return self.srcpad.push_event(event)
+        if event.type == EventType.FLUSH_STOP:
+            self.reset()
+            self._force_key_unit = True  # post-seek stream starts on a sync
             return self.srcpad.push_event(event)
         return self.srcpad.push_event(event)

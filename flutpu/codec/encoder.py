@@ -89,6 +89,10 @@ class TpuJpegEnc(VideoEncoder):
     def drain(self) -> None:
         self._flush_batch()
 
+    def reset(self) -> None:
+        self._pending = []
+        self._frames_in_chunk = 0
+
     def on_custom_event(self, event) -> None:
         from ..hype.events import SceneNewEvent
         scene = SceneNewEvent.parse(event)

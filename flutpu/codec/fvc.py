@@ -589,6 +589,9 @@ class FvcEnc(VideoEncoder):
     def drain(self) -> None:
         self._flush_chunk()
 
+    def reset(self) -> None:
+        self._pending = []
+
     def finish(self):
         self._flush_chunk()
         return []

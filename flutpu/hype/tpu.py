@@ -104,6 +104,9 @@ class TpuHype(VideoEncoder):
     def drain(self) -> None:
         self._flush()
 
+    def reset(self) -> None:
+        self._frames = []
+
     def finish(self):
         self._flush()
         return []

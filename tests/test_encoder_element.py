@@ -73,3 +73,36 @@ def test_hype_tpu_encoders_partial_last_chunk():
     assert [o.pts for o in outs] == [i * MSECOND for i in range(7)]
     assert psnr(frames[6], decode_jpeg(outs[6].data)) > 30
     h.teardown()
+
+
+def test_flushing_seek_drops_pending_frames():
+    """Pre-seek batched frames must not leak into post-seek chunks; the
+    post-seek stream restarts on a sync point."""
+    from flutpu.codec.fvc import FvcDecoder
+    from flutpu.core import Buffer, Harness, MSECOND
+    from flutpu.core.events import FlushStartEvent, FlushStopEvent
+    from flutpu.core.elements import make_test_frame
+
+    h = Harness("fvcenc quality=90 gop-size=4")
+    h.set_src_caps("video/x-raw, format=RGB, width=64, height=48, "
+                   "framerate=30/1")
+    for i in range(3):  # fewer than gop-size: stay pending
+        h.push(Buffer(make_test_frame("ball", 64, 48, i),
+                      pts=i * MSECOND, duration=MSECOND, offset=i))
+    h.push_event(FlushStartEvent())
+    h.push_event(FlushStopEvent())
+    post = [make_test_frame("ball", 64, 48, 10 + i) for i in range(4)]
+    for i, f in enumerate(post):
+        h.push(Buffer(f, pts=(10 + i) * MSECOND, duration=MSECOND,
+                      offset=10 + i))
+    h.push_eos()
+    chunks = []
+    while True:
+        b = h.try_pull(timeout=10)
+        if b is None:
+            break
+        chunks.append(bytes(b.data))
+    h.teardown()
+    assert len(chunks) == 1  # only the post-seek chunk
+    dec, info = FvcDecoder().decode_chunk(chunks[0])
+    assert dec.shape[0] == 4 and info["types"][0] == 0
