@@ -30,3 +30,12 @@ def test_http_date():
     from flutpu.io import parse_http_date
     assert parse_http_date("Wed, 21 Oct 2015 07:28:00 GMT") == 1445412480
     assert parse_http_date("not a date") is None
+
+
+def test_inspect_markdown_generates_all_elements():
+    """docs/ELEMENTS.md generator covers every registered factory."""
+    from flutpu.core import factories
+    from flutpu.inspect import _markdown
+    md = _markdown(factories())
+    for name in factories():
+        assert f"## `{name}`" in md, name
