@@ -167,7 +167,9 @@ class TpuHype(VideoEncoder):
         c, f = ry.shape[0], ry.shape[1]
         layout = mcu_layout(ry.shape[3], ry.shape[2],
                             rcb.shape[3], rcb.shape[2], True)
-        prefix = jenc.PREFIX_WORDS
+        prefix = min(jenc.PREFIX_WORDS,
+                     _pad_to(layout.n_blocks * jenc.CAP_LADDER[-1] // 32,
+                             jenc._WORD_BUCKET))
         combined = encode_gop_scans_combined(
             ry.reshape(c * f, *ry.shape[2:]),
             rcb.reshape(c * f, *rcb.shape[2:]),
@@ -222,7 +224,9 @@ class TpuHype(VideoEncoder):
                                              mcu_layout, stuff_and_finalize)
             layout = mcu_layout(yq.shape[3], yq.shape[2],
                                 cbq.shape[3], cbq.shape[2], True)
-            prefix = jenc.PREFIX_WORDS
+            prefix = min(jenc.PREFIX_WORDS,
+                         _pad_to(layout.n_blocks * jenc.CAP_LADDER[-1] // 32,
+                                 jenc._WORD_BUCKET))
             combined = encode_gop_scans_combined(
                 yq.reshape(c * f, *yq.shape[2:]),
                 cbq.reshape(c * f, *cbq.shape[2:]),
