@@ -71,10 +71,35 @@ def motion_compensate(prev: jnp.ndarray, mv: jnp.ndarray,
     prev: (H, W); mv: (H/mb_l, W/mb_l, 2) on the LUMA grid — for chroma
     pass mb=8 and the same mv (vectors are halved internally when
     mb != MB).
+
+    One flat gather from per-pixel source indices — (2r+1)² x less HBM
+    traffic than enumerating every candidate displacement as a masked
+    roll (the roll form stays available via FLUTPU_MC_ROLLS=1 for
+    hardware A/B; both are bit-identical).
     """
+    import os
+    if os.environ.get("FLUTPU_MC_ROLLS"):
+        return _motion_compensate_rolls(prev, mv, search_range, mb)
+    h, w = prev.shape
+    scale = MB // mb  # 1 luma, 2 chroma
+    dy = mv[..., 0] if scale == 1 else mv[..., 0] // 2
+    dx = mv[..., 1] if scale == 1 else mv[..., 1] // 2
+    dy_full = jnp.repeat(jnp.repeat(dy, mb, axis=0), mb, axis=1)
+    dx_full = jnp.repeat(jnp.repeat(dx, mb, axis=0), mb, axis=1)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # jnp.roll(a, s) places a[(i - s) % n] at out[i]
+    sy = (yy - dy_full) % h
+    sx = (xx - dx_full) % w
+    return prev.reshape(-1)[sy * w + sx]
+
+
+def _motion_compensate_rolls(prev: jnp.ndarray, mv: jnp.ndarray,
+                             search_range: int, mb: int):
+    """Candidate-enumeration formulation (reference for A/B)."""
     h, w = prev.shape
     n = 2 * search_range + 1
-    scale = MB // mb  # 1 luma, 2 chroma
+    scale = MB // mb
 
     def body(c, pred):
         dy = c // n - search_range

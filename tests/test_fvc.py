@@ -241,3 +241,21 @@ class TestFvcRateControl:
             enc_sizes.append(len(bytes(b.data)))
             assert bytes(b.data)[10] == 90  # quality byte preserved
             h.teardown()
+
+
+def test_motion_compensate_gather_equals_rolls():
+    """The single-gather prediction is bit-identical to the
+    candidate-enumeration formulation, luma and chroma grids."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops.motion import (motion_compensate,
+                                         _motion_compensate_rolls)
+    rng = np.random.default_rng(3)
+    mv = jnp.asarray(rng.integers(-7, 8, (4, 6, 2)).astype(np.int32))
+    luma = jnp.asarray(rng.random((64, 96)).astype(np.float32))
+    chroma = jnp.asarray(rng.random((32, 48)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(motion_compensate(luma, mv, search_range=7)),
+        np.asarray(_motion_compensate_rolls(luma, mv, 7, 16)))
+    np.testing.assert_array_equal(
+        np.asarray(motion_compensate(chroma, mv, search_range=7, mb=8)),
+        np.asarray(_motion_compensate_rolls(chroma, mv, 7, 8)))
