@@ -74,9 +74,10 @@ def fvc_residuals(yq, cbq, crq):
 
 
 @functools.partial(jax.jit, static_argnames=("pad_h", "pad_w",
-                                             "search_range"))
+                                             "search_range", "hier"))
 def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
-                        pad_h: int, pad_w: int, search_range: int = 7):
+                        pad_h: int, pad_w: int, search_range: int = 7,
+                        hier: bool = False):
     """Motion-compensated chunk encode (FVC v2): classic hybrid loop as a
     device scan — per frame: full-search motion estimation against the
     reconstructed reference (flutpu.codec.ops.motion), motion-compensated
@@ -89,7 +90,8 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     from .ops.colorspace import rgb_to_i420
     from .ops.dct import plane_dct, plane_idct
     from .ops.quant import dequantize, quantize, zigzag_flatten
-    from .ops.motion import motion_compensate, motion_search
+    from .ops.motion import (motion_compensate, motion_search,
+                             motion_search_hier)
 
     f, h, w, _ = frames.shape
     x = frames.astype(jnp.float32)
@@ -107,7 +109,8 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         rec_y, rec_cb, rec_cr, idx = carry
         cy, ccb, ccr = xs
         is_i = idx == 0
-        mv = motion_search(cy, rec_y, search_range=search_range)
+        search = motion_search_hier if hier else motion_search
+        mv = search(cy, rec_y, search_range=search_range)
         mv = jnp.where(is_i, jnp.zeros_like(mv), mv)
         pred_y = jnp.where(
             is_i, 128.0, motion_compensate(rec_y, mv,
@@ -161,16 +164,17 @@ def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "pad_h", "pad_w", "search_range", "layout", "prefix_words",
-    "use_pallas"))
+    "use_pallas", "hier"))
 def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
-                        prefix_words, use_pallas):
+                        prefix_words, use_pallas, hier=False):
     """v1 program with the motion-compensated hybrid loop; motion vectors
     are bitcast into extra uint32 columns of the combined output so the
     whole GOP is still ONE fetch."""
     from .ops.entropy import encode_gop_scans_combined
     ry, rcb, rcr, mvs = fvc_mc_encode_chunk(frames, qy, qc, pad_h=pad_h,
                                             pad_w=pad_w,
-                                            search_range=search_range)
+                                            search_range=search_range,
+                                            hier=hier)
     combined = encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
                                          prefix_words=prefix_words,
                                          use_pallas=use_pallas)
@@ -193,12 +197,13 @@ class FvcEncoder:
 
     def __init__(self, quality: int = 85, subsample: bool = True,
                  motion: bool = False, search_range: int = 7,
-                 engine: str = "auto"):
+                 engine: str = "auto", hier: bool = False):
         from .jpeg import JpegEncoder
         self.quality = quality
         self.subsample = subsample
         self.motion = motion
         self.search_range = search_range
+        self.hier = hier  # coarse-to-fine motion search (~7x fewer passes)
         self.qy = scale_qtable(LUMA_QTABLE, quality)
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
@@ -233,7 +238,8 @@ class FvcEncoder:
             arr = np.asarray(_fvc_gop_program_v2(
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
                 search_range=self.search_range, layout=layout,
-                prefix_words=prefix, use_pallas=sc.use_pallas))
+                prefix_words=prefix, use_pallas=sc.use_pallas,
+                hier=self.hier))
         else:
             arr = np.asarray(_fvc_gop_program_v1(
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
@@ -258,7 +264,8 @@ class FvcEncoder:
         if self.motion:
             ry, rcb, rcr, mvs = fvc_mc_encode_chunk(
                 jnp.asarray(frames), self._qy_dev, self._qc_dev,
-                pad_h=ph, pad_w=pw, search_range=self.search_range)
+                pad_h=ph, pad_w=pw, search_range=self.search_range,
+                hier=self.hier)
             mvs = list(np.asarray(mvs))
         else:
             coefs = encode_gop_to_coefs(jnp.asarray(frames), self._qy_dev,
@@ -540,6 +547,9 @@ class FvcEnc(VideoEncoder):
                                       "prediction with in-loop recon"),
         PropertySpec("search-range", 7, "motion full-search window (±px)"),
         PropertySpec("engine", "auto", "auto | device | host entropy coding"),
+        PropertySpec("search", "full", "full | hier motion estimation "
+                                       "(hier = coarse-to-fine, ~7x fewer "
+                                       "whole-frame passes)"),
         PropertySpec("bitrate", 0, "target bits/sec; 0 = constant quality. "
                                    "Per-chunk log-proportional quality "
                                    "controller (the rate-control role the "
@@ -563,7 +573,8 @@ class FvcEnc(VideoEncoder):
                 q,
                 motion=bool(self.get_property("motion")),
                 search_range=int(self.get_property("search-range")),
-                engine=str(self.get_property("engine")))
+                engine=str(self.get_property("engine")),
+                hier=str(self.get_property("search")) == "hier")
         return enc
 
     def set_format(self, caps: Caps):

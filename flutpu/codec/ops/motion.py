@@ -28,17 +28,17 @@ def _mb_sums(diff: jnp.ndarray, mb: int) -> jnp.ndarray:
     return diff.reshape(h // mb, mb, w // mb, mb).sum(axis=(1, 3))
 
 
-@functools.partial(jax.jit, static_argnames=("search_range",))
+@functools.partial(jax.jit, static_argnames=("search_range", "mb"))
 def motion_search(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
-                  search_range: int = 7):
+                  search_range: int = 7, mb: int = MB):
     """Full-search motion estimation.
 
-    cur_y/prev_y: (H, W) float luma (H, W multiples of 16).
+    cur_y/prev_y: (H, W) float luma (H, W multiples of mb).
     Returns mv (mbh, mbw, 2) int32 — per-macroblock (dy, dx) minimizing SAD
     over the ±search_range window (ties → first candidate scanned).
     """
     h, w = cur_y.shape
-    mbh, mbw = h // MB, w // MB
+    mbh, mbw = h // mb, w // mb
     n = 2 * search_range + 1
 
     def body(c, state):
@@ -46,7 +46,7 @@ def motion_search(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
         dy = c // n - search_range
         dx = c % n - search_range
         shifted = jnp.roll(prev_y, (dy, dx), axis=(0, 1))
-        cost = _mb_sums(jnp.abs(cur_y - shifted), MB)
+        cost = _mb_sums(jnp.abs(cur_y - shifted), mb)
         better = cost < best_cost
         best_cost = jnp.where(better, cost, best_cost)
         mv_c = jnp.stack([jnp.full_like(cost, dy, dtype=jnp.int32),
@@ -56,7 +56,7 @@ def motion_search(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
 
     # data-derived init (not jnp.full/zeros) so the loop carry keeps the
     # inputs' varying-manual-axes under shard_map
-    z = cur_y[::MB, ::MB].astype(jnp.float32) * 0  # (mbh, mbw)
+    z = cur_y[::mb, ::mb].astype(jnp.float32) * 0  # (mbh, mbw)
     init = (z + jnp.inf, jnp.stack([z, z], axis=-1).astype(jnp.int32))
     _, mv = jax.lax.fori_loop(0, n * n, body, init)
     return mv
@@ -112,3 +112,54 @@ def _motion_compensate_rolls(prev: jnp.ndarray, mv: jnp.ndarray,
         return jnp.where(mask, shifted, pred)
 
     return jax.lax.fori_loop(0, n * n, body, prev * 0)
+
+
+@functools.partial(jax.jit, static_argnames=("search_range",))
+def motion_search_hier(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
+                       search_range: int = 7):
+    """Two-level coarse-to-fine motion estimation.
+
+    Level 0 full-searches ±search_range//2 on 2x2-average-pooled frames
+    (8x8 blocks = the 16x16 luma macroblocks at half resolution); level 1
+    refines ±1 at full resolution by gathering one (MB+2)x(MB+2) window
+    per macroblock around the upscaled coarse vector and evaluating the
+    nine SADs. ~7x fewer whole-frame passes than the full search; vectors
+    stay within ±search_range so the container contract is unchanged.
+    """
+    h, w = cur_y.shape
+    mbh, mbw = h // MB, w // MB
+
+    def pool(x):
+        return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    coarse = motion_search(pool(cur_y), pool(prev_y),
+                           search_range=max(1, search_range // 2), mb=8)
+    base = jnp.clip(coarse * 2, -(search_range - 1), search_range - 1)
+
+    # one (MB+2)^2 window per macroblock around the base displacement
+    by = (jnp.arange(mbh) * MB)[:, None, None, None]
+    bx = (jnp.arange(mbw) * MB)[None, :, None, None]
+    wy = (jnp.arange(MB + 2) - 1)[None, None, :, None]
+    wx = (jnp.arange(MB + 2) - 1)[None, None, None, :]
+    sy = (by + wy - base[..., 0][..., None, None]) % h
+    sx = (bx + wx - base[..., 1][..., None, None]) % w
+    win = prev_y.reshape(-1)[sy * w + sx]          # (mbh, mbw, MB+2, MB+2)
+    cur_b = cur_y.reshape(mbh, MB, mbw, MB).transpose(0, 2, 1, 3)
+
+    z = cur_y[::MB, ::MB].astype(jnp.float32) * 0
+    best_cost = z + jnp.inf
+    best_mv = jnp.stack([z, z], axis=-1).astype(jnp.int32)
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            # candidate dy = base+oy → source pixel i reads window i-oy
+            cand = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(win, 1 - oy, MB, axis=2),
+                1 - ox, MB, axis=3)
+            cost = jnp.abs(cur_b - cand).sum(axis=(-1, -2))
+            off = jnp.stack([jnp.full_like(cost, oy, dtype=jnp.int32),
+                             jnp.full_like(cost, ox, dtype=jnp.int32)],
+                            axis=-1)
+            better = cost < best_cost
+            best_cost = jnp.where(better, cost, best_cost)
+            best_mv = jnp.where(better[..., None], base + off, best_mv)
+    return best_mv

@@ -259,3 +259,15 @@ def test_motion_compensate_gather_equals_rolls():
     np.testing.assert_array_equal(
         np.asarray(motion_compensate(chroma, mv, search_range=7, mb=8)),
         np.asarray(_motion_compensate_rolls(chroma, mv, 7, 8)))
+
+
+def test_hier_search_mode_roundtrips():
+    """Coarse-to-fine search produces a valid v2 stream with near-full
+    compression on moving content."""
+    frames = video(6, w=96, h=64)
+    full = FvcEncoder(quality=88, motion=True).encode_chunk(frames)
+    hier = FvcEncoder(quality=88, motion=True, hier=True).encode_chunk(frames)
+    dec, _ = FvcDecoder().decode_chunk(hier)
+    for i in range(6):
+        assert psnr(frames[i], dec[i]) > 30, i
+    assert len(hier) < len(full) * 1.25, (len(hier), len(full))
