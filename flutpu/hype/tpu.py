@@ -54,6 +54,7 @@ class TpuHype(VideoEncoder):
                                       "(one container buffer per chunk; "
                                       "fvc-motion = v2 hybrid loop)"),
         PropertySpec("search-range", 7, "fvc-motion full-search window"),
+        PropertySpec("search", "full", "full | hier fvc-motion estimation"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -159,9 +160,10 @@ class TpuHype(VideoEncoder):
             raise ValueError("codec=fvc needs spatial=1 (temporal scan + "
                              "motion wraparound don't row-stripe)")
         sr = int(self.get_property("search-range"))
-        out = fvc_chunks_sharded(jnp.asarray(chunks), jnp.asarray(jenc.qy),
-                                 jnp.asarray(jenc.qc), mesh=mesh,
-                                 motion=motion, search_range=sr)
+        out = fvc_chunks_sharded(
+            jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
+            mesh=mesh, motion=motion, search_range=sr,
+            hier=str(self.get_property("search")) == "hier")
         ry, rcb, rcr = out[:3]
         mvs = np.asarray(out[3]) if motion else None
         c, f = ry.shape[0], ry.shape[1]

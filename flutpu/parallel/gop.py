@@ -69,10 +69,11 @@ def encode_chunks_single(frames: jax.Array, qy: jax.Array, qc: jax.Array):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "motion", "search_range"))
+                   static_argnames=("mesh", "motion", "search_range",
+                                    "hier"))
 def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                        mesh: Mesh, motion: bool = False,
-                       search_range: int = 7):
+                       search_range: int = 7, hier: bool = False):
     """FVC GOP coding as an SPMD program: (C, F, H, W, 3) uint8, C sharded
     over the ``chunk`` mesh axis, each shard running an independent codec
     instance (frame 0 of every chunk is an I frame — the forced-keyframe
@@ -94,7 +95,7 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     def local_mc(fr, qy, qc):
         def one(chunk):
             return fvc_mc_encode_chunk(chunk, qy, qc, pad_h=h, pad_w=w,
-                                       search_range=search_range)
+                                       search_range=search_range, hier=hier)
         return jax.vmap(one)(fr)
 
     n_out = 4 if motion else 3
