@@ -117,6 +117,10 @@ def extract_runs(spans: List[Span], region_id: Optional[str],
         visible = style.get(AttrType.VISIBILITY)
         font_sizes = _style_lengths_px(style, AttrType.FONT_SIZE, 2,
                                        [defaults["font_size"]] * 2)
+        # hostile-input clamp: unbounded font sizes would rasterize
+        # decompression-bomb-sized glyph bitmaps (fuzz-found)
+        max_fs = max(64, 4 * int(defaults.get("frame_h") or 576))
+        font_sizes = [min(f, max_fs) for f in font_sizes]
         color_attr = style.get(AttrType.COLOR)
         color = _rgba_tuple(color_attr.value) if color_attr is not None \
             else (255, 255, 255, 255)

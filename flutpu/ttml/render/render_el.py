@@ -178,6 +178,7 @@ class TTMLRender(TTMLBase):
             "text_align": TextAlign(self.get_property("default-text-align")),
             "display_align": DisplayAlign(
                 self.get_property("default-display-align")),
+            "frame_h": h,  # bounds the hostile-font-size clamp
         }
         regions: List[RegionLayout] = []
         seen_ids = set()

@@ -126,3 +126,40 @@ class TestCoreFuzz:
             while h.try_pull(timeout=0.2) is not None:
                 pass
             h.teardown()
+
+
+class TestRenderHostileGeometry:
+    """ttmlrender must clamp hostile region geometry, not crash or
+    allocate absurd buffers."""
+
+    def _render(self, region_attrs, body="x"):
+        doc = ('<?xml version="1.0"?><tt xmlns="http://www.w3.org/ns/ttml" '
+               'xmlns:tts="http://www.w3.org/ns/ttml#styling"><head><layout>'
+               f'<region xml:id="r" {region_attrs}/></layout></head><body>'
+               f'<div><p begin="0s" end="1s" region="r">{body}</p></div>'
+               '</body></tt>')
+        h = Harness("ttmlrender window-width=160 window-height=96")
+        h.set_src_caps("application/ttml+xml")
+        h.push(Buffer(doc.encode(), pts=0))
+        h.push_eos()
+        frames = []
+        while True:
+            b = h.try_pull(timeout=2)
+            if b is None:
+                break
+            frames.append(b)
+        h.teardown()
+        return frames
+
+    def test_offscreen_origin(self):
+        self._render('tts:origin="500% 500%" tts:extent="10% 10%"')
+
+    def test_negative_origin(self):
+        self._render('tts:origin="-50px -50px" tts:extent="80% 80%"')
+
+    def test_zero_extent(self):
+        self._render('tts:extent="0px 0px"')
+
+    def test_huge_zindex_and_fontsize(self):
+        self._render('tts:extent="50% 50%" tts:zIndex="2147483647"',
+                     body='<span tts:fontSize="10000px">big</span>')
