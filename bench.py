@@ -147,6 +147,30 @@ def main():
     report = (lambda *a: print(*a, file=sys.stderr)) if "--verbose" in sys.argv \
         else (lambda *a: None)
 
+    # device health probe in a subprocess: a dead remote link hangs jax
+    # calls indefinitely (observed multi-hour axon outages) — fail with an
+    # honest zero instead of hanging the driver
+    import subprocess
+    on_cpu = (os.environ.get("JAX_PLATFORMS") == "cpu"
+              or bool(os.environ.get("FLUTPU_CPU")))
+    if not on_cpu:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "(jnp.ones((8,8))+1).block_until_ready();print('ok')"],
+                capture_output=True,
+                timeout=None if "--no-probe-timeout" in sys.argv else 300)
+            healthy = b"ok" in probe.stdout
+        except subprocess.TimeoutExpired:
+            healthy = False
+        if not healthy:
+            print(json.dumps({"metric": "1080p_encode_fps_per_chip",
+                              "value": 0.0, "unit": "frames/s",
+                              "vs_baseline": 0.0,
+                              "error": "accelerator unreachable"}))
+            return
+
     import jax
     backend = jax.devices()[0].platform
     n_gops = 40 if backend != "cpu" else 3
