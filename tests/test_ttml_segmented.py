@@ -110,3 +110,62 @@ def test_segmented_chain_to_render():
     assert frames, "no rendered frames from the segmented chain"
     # at least one interval has visible pixels
     assert any((img[..., 3] > 0).sum() > 20 for _, img in frames)
+
+
+def test_randomized_docs_roundtrip_property():
+    """Property test: for randomized cue sets, re-parsing the segmented
+    output yields the same (pts, duration, text) intervals as parsing the
+    original document directly (seeded: failures reproduce)."""
+    import numpy as np
+    from flutpu.core import Buffer, Harness
+
+    rng = np.random.default_rng(97)
+
+    def parse(doc, element):
+        h = Harness(element)
+        h.set_src_caps("application/ttml+xml")
+        h.push(Buffer(doc.encode(), pts=0))
+        h.push_eos()
+        out = []
+        while True:
+            b = h.try_pull(timeout=0.5)
+            if b is None:
+                break
+            out.append(b)
+        h.teardown()
+        return out
+
+    for trial in range(4):
+        n = int(rng.integers(2, 6))
+        cues = []
+        t = 0
+        for i in range(n):
+            t += int(rng.integers(0, 3))
+            dur = int(rng.integers(1, 4))
+            style = ' tts:fontWeight="bold"' if rng.integers(2) else ""
+            cues.append(f'<p begin="{t}s" end="{t + dur}s">'
+                        f'<span{style}>cue {trial}-{i}</span></p>')
+            t += dur
+        doc = ('<?xml version="1.0"?>'
+               '<tt xmlns="http://www.w3.org/ns/ttml" '
+               'xmlns:tts="http://www.w3.org/ns/ttml#styling"><body><div>'
+               + "".join(cues) + "</div></body></tt>")
+
+        direct = [(b.pts, b.duration, bytes(b.data).decode())
+                  for b in parse(doc, "ttmlparse")]
+        segs = parse(doc, "ttmlsegmentedparse")
+        reparsed = []
+        for s in segs:
+            for b in parse(bytes(s.data).decode(), "ttmlparse"):
+                # segment docs carry absolute interval times (reference
+                # dump semantics) — b.pts is already stream-absolute
+                if bytes(b.data).decode().strip():
+                    reparsed.append((b.pts, b.duration,
+                                     bytes(b.data).decode()))
+        direct_text = [(p, d, t.strip()) for p, d, t in direct if t.strip()]
+        assert len(reparsed) == len(direct_text), (trial, direct_text,
+                                                   reparsed)
+        for (p1, d1, t1), (p2, d2, t2) in zip(direct_text, reparsed):
+            assert p1 == p2 and d1 == d2, (trial, (p1, d1), (p2, d2))
+            # trailing-newline placement differs; markup content must match
+            assert t1.strip() == t2.strip(), (trial, t1, t2)
