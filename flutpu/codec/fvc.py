@@ -502,9 +502,10 @@ class FvcDecoder:
             out.append(np.clip(rgb + 0.5, 0, 255).astype(np.uint8)[:h, :w])
         return out
 
-    def decode_stream(self, data: bytes) -> np.ndarray:
-        """Concatenated chunks → all frames in order (the stitch reader)."""
-        out = []
+    def split_stream(self, data: bytes) -> List[bytes]:
+        """Walk a concatenated stream into per-chunk byte slices (cheap
+        header walk; raises ValueError on corrupt boundaries)."""
+        chunks = []
         off = 0
         while off < len(data):
             if len(data) - off < 12 or data[off:off + 4] != MAGIC:
@@ -524,9 +525,25 @@ class FvcDecoder:
                     end += 5 + plen
             if end > len(data):
                 raise ValueError("truncated chunk payload")
-            frames, _ = self.decode_chunk(data[off:end])
-            out.append(frames)
+            chunks.append(data[off:end])
             off = end
+        return chunks
+
+    def decode_stream(self, data: bytes, parallel: bool = True) -> np.ndarray:
+        """Concatenated chunks → all frames in order (the stitch reader).
+
+        Chunks are independently decodable by construction (forced I frame
+        at every chunk start), so they decode concurrently — the decode-side
+        mirror of hype's parallelism; the host C++ scan decoder releases
+        the GIL. Strict chunk order is preserved in the output."""
+        chunks = self.split_stream(data)
+        if parallel and len(chunks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, len(chunks))) as pool:
+                out = list(pool.map(lambda c: self.decode_chunk(c)[0],
+                                    chunks))
+        else:
+            out = [self.decode_chunk(c)[0] for c in chunks]
         return np.concatenate(out, axis=0)
 
 

@@ -271,3 +271,16 @@ def test_hier_search_mode_roundtrips():
     for i in range(6):
         assert psnr(frames[i], dec[i]) > 30, i
     assert len(hier) < len(full) * 1.25, (len(hier), len(full))
+
+
+def test_decode_stream_parallel_matches_serial():
+    """Chunk-concurrent decode must equal serial decode exactly (chunks
+    are independent; order preserved)."""
+    frames = video(12, w=96, h=64)
+    enc = FvcEncoder(quality=85, motion=True)
+    data = b"".join(enc.encode_chunk(frames[i:i + 3]) for i in (0, 3, 6, 9))
+    dec = FvcDecoder()
+    par = dec.decode_stream(data, parallel=True)
+    ser = dec.decode_stream(data, parallel=False)
+    np.testing.assert_array_equal(par, ser)
+    assert par.shape == frames.shape
