@@ -10,8 +10,13 @@ caps negotiations and per-element state changes.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+if os.environ.get("FLUTPU_CPU"):  # force CPU before any jax-touching element
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 from .core import (Bin, EventType, MessageType, Pad, PadDirection, State,
                    parse_launch)
