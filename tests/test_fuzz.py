@@ -163,3 +163,28 @@ class TestRenderHostileGeometry:
     def test_huge_zindex_and_fontsize(self):
         self._render('tts:extent="50% 50%" tts:zIndex="2147483647"',
                      body='<span tts:fontSize="10000px">big</span>')
+
+
+class TestJpegDecFuzz:
+    def test_corrupt_scan_contained(self):
+        """jpegdec on a valid JFIF with corrupted scan bytes: flow error
+        or decoded frame — never a crash."""
+        from flutpu.codec.jpeg import JpegEncoder
+        frame = np.random.default_rng(9).integers(0, 256, (1, 32, 32, 3),
+                                                  np.uint8)
+        payload = bytearray(
+            JpegEncoder(quality=80, engine="host").encode_gop(frame)[0])
+        rng = _rng()
+        sos = bytes(payload).find(b"\xff\xda")
+        for _ in range(8):
+            pos = int(rng.integers(sos + 14, len(payload) - 2))
+            orig = payload[pos]
+            payload[pos] ^= 0x55
+            h = Harness("jpegdec")
+            h.set_src_caps("image/jpeg")
+            h.push(Buffer(bytes(payload), pts=0))
+            h.push_eos()
+            while h.try_pull(timeout=1) is not None:
+                pass
+            h.teardown()
+            payload[pos] = orig

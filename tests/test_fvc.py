@@ -284,3 +284,13 @@ def test_decode_stream_parallel_matches_serial():
     ser = dec.decode_stream(data, parallel=False)
     np.testing.assert_array_equal(par, ser)
     assert par.shape == frames.shape
+
+
+def test_v1_444_roundtrip():
+    """FVC v1 without chroma subsampling (flags bit0 = 0)."""
+    frames = video(4, w=64, h=48)
+    chunk = FvcEncoder(quality=90, subsample=False).encode_chunk(frames)
+    assert chunk[5] & 1 == 0  # flags byte
+    dec, _ = FvcDecoder().decode_chunk(chunk)
+    for i in range(4):
+        assert psnr(frames[i], dec[i]) > 32, i
