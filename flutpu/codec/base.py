@@ -88,6 +88,9 @@ class VideoEncoder(Element):
             self.on_custom_event(event)
             return self.srcpad.push_event(event)
         if event.type == EventType.CAPS:
+            if self.input_caps is not None and event.caps != self.input_caps:
+                self.drain()  # geometry change: close the open batch first
+                self._force_key_unit = True  # new format starts on a sync
             self.input_caps = event.caps
             out_caps = self.set_format(event.caps)
             if out_caps is not None:

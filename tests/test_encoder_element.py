@@ -106,3 +106,38 @@ def test_flushing_seek_drops_pending_frames():
     assert len(chunks) == 1  # only the post-seek chunk
     dec, info = FvcDecoder().decode_chunk(chunks[0])
     assert dec.shape[0] == 4 and info["types"][0] == 0
+
+
+def test_mid_stream_resolution_change_splits_chunks():
+    """A caps change closes the open chunk; each resolution gets its own
+    independently decodable chunks (no mixed-size batches)."""
+    from flutpu.codec.fvc import FvcDecoder
+    from flutpu.core import Buffer, Harness, MSECOND
+    from flutpu.core.elements import make_test_frame
+    from flutpu.codec.jpeg import psnr
+
+    h = Harness("fvcenc quality=85 gop-size=8")
+    h.set_src_caps("video/x-raw, format=RGB, width=64, height=48, "
+                   "framerate=30/1")
+    small = [make_test_frame("ball", 64, 48, i) for i in range(3)]
+    for i, f in enumerate(small):
+        h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+    h.set_src_caps("video/x-raw, format=RGB, width=96, height=64, "
+                   "framerate=30/1")
+    big = [make_test_frame("ball", 96, 64, 3 + i) for i in range(3)]
+    for i, f in enumerate(big):
+        h.push(Buffer(f, pts=(3 + i) * MSECOND, duration=MSECOND,
+                      offset=3 + i))
+    h.push_eos()
+    chunks = []
+    while True:
+        b = h.try_pull(timeout=5)
+        if b is None:
+            break
+        chunks.append(bytes(b.data))
+    h.teardown()
+    assert len(chunks) == 2
+    d1, _ = FvcDecoder().decode_chunk(chunks[0])
+    d2, _ = FvcDecoder().decode_chunk(chunks[1])
+    assert d1.shape == (3, 48, 64, 3) and d2.shape == (3, 64, 96, 3)
+    assert psnr(small[1], d1[1]) > 30 and psnr(big[1], d2[1]) > 30
