@@ -32,8 +32,10 @@ class Queue(Element):
         PropertySpec("max-size-buffers", 40, "max queued items before upstream blocks"),
         # accepted for pipeline-description compatibility; only the buffer
         # count bounds this queue
-        PropertySpec("max-size-bytes", 0),
-        PropertySpec("max-size-time", 0),
+        PropertySpec("max-size-bytes", 0, "accepted for launch-string "
+                                          "compat; only buffer-count limits "
+                                          "are enforced"),
+        PropertySpec("max-size-time", 0, "accepted for launch-string compat"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
