@@ -145,10 +145,10 @@ def parse_avi(data: bytes):
 
 @register
 class AviDemux(Element):
-    """avidemux — splits an MJPEG AVI buffer/stream back into one
-    image/jpeg buffer per frame (the inverse of avimux; completes
-    container roundtrips: tpujpegenc ! avimux ! filesink / filesrc !
-    avidemux ! jpegdec)."""
+    """avidemux — splits an MJPEG AVI stream back into one image/jpeg
+    buffer per frame (the inverse of avimux). Streaming: frames are
+    emitted as soon as their movi chunk is fully buffered — no need to
+    wait for EOS or the idx1 index (works on live/partial files)."""
 
     FACTORY = "avidemux"
 
@@ -160,27 +160,96 @@ class AviDemux(Element):
         self.srcpad = self.add_pad(Pad("src", PadDirection.SRC, self))
         self.sinkpad.chain_function = self._chain
         self.sinkpad.event_function = self._sink_event
-        self._pending = b""
+        self._buf = bytearray()
+        self._pos = 0            # parse offset into _buf
+        self._stack: List[int] = []   # LIST end offsets we are inside
+        self._hdr = {"width": 0, "height": 0, "fps": Fraction(30, 1)}
+        self._caps_sent = False
+        self._frame_idx = 0
+        self._bad = False
+
+    def _emit_caps(self) -> None:
+        if self._caps_sent:
+            return
+        from ..core import CapsEvent
+        self.srcpad.push_event(CapsEvent(Caps.new(
+            "image/jpeg", parsed=True, width=self._hdr["width"],
+            height=self._hdr["height"], framerate=self._hdr["fps"])))
+        self._caps_sent = True
+
+    def _frame_dur(self) -> int:
+        fps = self._hdr["fps"]
+        return int(1_000_000_000 * fps.denominator / max(1, fps.numerator))
+
+    def _parse(self) -> None:
+        """Advance through buffered bytes, emitting complete frames."""
+        buf = self._buf
+        if self._bad:
+            return
+        if self._pos == 0:
+            if len(buf) < 12:
+                return
+            if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"AVI ":
+                self._bad = True
+                return
+            self._pos = 12
+        while True:
+            # leave finished LISTs
+            while self._stack and self._pos >= self._stack[-1]:
+                self._stack.pop()
+            if len(buf) - self._pos < 8:
+                return
+            fourcc = bytes(buf[self._pos:self._pos + 4])
+            size = struct.unpack("<I", buf[self._pos + 4:self._pos + 8])[0]
+            body = self._pos + 8
+            if fourcc == b"LIST":
+                if len(buf) - body < 4:
+                    return
+                self._stack.append(body + size)
+                self._pos = body + 4  # descend past the list kind
+                continue
+            end = body + size + (size & 1)
+            if fourcc in (b"strh", b"strf"):
+                if len(buf) < end:
+                    return
+                payload = bytes(buf[body:body + size])
+                if fourcc == b"strh" and size >= 28 and \
+                        payload[:4] == b"vids":
+                    scale, rate = struct.unpack("<II", payload[20:28])
+                    self._hdr["fps"] = Fraction(rate or 30, scale or 1)
+                elif fourcc == b"strf" and size >= 12 and \
+                        not self._hdr["width"]:
+                    w, h = struct.unpack("<ii", payload[4:12])
+                    self._hdr["width"], self._hdr["height"] = w, abs(h)
+            elif fourcc[2:4] == b"dc":
+                if len(buf) < end:
+                    return  # frame not fully buffered yet
+                self._emit_caps()
+                dur = self._frame_dur()
+                self.srcpad.push(Buffer(bytes(buf[body:body + size]),
+                                        pts=self._frame_idx * dur,
+                                        duration=dur,
+                                        offset=self._frame_idx))
+                self._frame_idx += 1
+            elif len(buf) < end:
+                return  # skipped chunk (avih, idx1, ...) still arriving
+            self._pos = end
 
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
-        self._pending += bytes(buf.data)
+        self._buf += bytes(buf.data)
+        self._parse()
         return FlowReturn.OK
 
     def _sink_event(self, pad: Pad, event: Event) -> bool:
         if event.type == EventType.EOS:
-            info = parse_avi(self._pending)
-            self._pending = b""
-            if info is None:
-                return self.srcpad.push_event(event)
-            from ..core import CapsEvent
-            fps = info["fps"]
-            self.srcpad.push_event(CapsEvent(Caps.new(
-                "image/jpeg", parsed=True, width=info["width"],
-                height=info["height"], framerate=fps)))
-            dur = int(1_000_000_000 * fps.denominator / max(1, fps.numerator))
-            for i, f in enumerate(info["frames"]):
-                self.srcpad.push(Buffer(f, pts=i * dur, duration=dur,
-                                        offset=i))
+            self._parse()
+            return self.srcpad.push_event(event)
+        if event.type == EventType.FLUSH_STOP:
+            self._buf = bytearray()
+            self._pos = 0
+            self._stack = []
+            self._frame_idx = 0
+            self._bad = False
             return self.srcpad.push_event(event)
         if event.type == EventType.CAPS:
             return True

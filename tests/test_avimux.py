@@ -78,3 +78,46 @@ def test_parse_avi_rejects_garbage():
     assert parse_avi(b"") is None
     assert parse_avi(b"RIFFxxxxWAVE") is None
     assert parse_avi(b"\x00" * 64) is None
+
+
+def test_avidemux_streams_before_eos():
+    """Frames emit as their bytes arrive — pushed one byte... well, in
+    small slices — with NO EOS; the index at the tail is never needed."""
+    import numpy as np
+    from flutpu.codec.jpeg import psnr
+    from flutpu.core import Buffer, Harness, MSECOND
+    from flutpu.core.elements import make_test_frame
+
+    enc = Harness("tpujpegenc quality=90 batch-frames=4 ! avimux")
+    enc.set_src_caps("video/x-raw, format=RGB, width=64, height=48, "
+                     "framerate=30/1")
+    frames = []
+    for i in range(4):
+        f = make_test_frame("gradient", 64, 48, i)
+        frames.append(f)
+        enc.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+    enc.push_eos()
+    avi = bytes(enc.pull(timeout=30).data)
+    enc.teardown()
+
+    dec = Harness("avidemux ! jpegdec")
+    dec.set_src_caps("video/x-msvideo")
+    got = []
+    first_out_at = None
+    step = 777
+    for off in range(0, len(avi), step):
+        dec.push(Buffer(avi[off:off + step], pts=0))
+        while True:
+            b = dec.try_pull(timeout=0.05)
+            if b is None:
+                break
+            got.append(np.asarray(b.data))
+        if got and first_out_at is None:
+            first_out_at = off
+    # everything out without ever pushing EOS, and the first frame came
+    # out long before the file ended (no waiting for idx1)
+    assert len(got) == 4
+    assert first_out_at is not None and first_out_at < len(avi) // 2
+    for i in range(4):
+        assert psnr(frames[i], got[i]) > 30, i
+    dec.teardown()
