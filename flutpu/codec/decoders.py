@@ -128,15 +128,62 @@ class FvcDec(Element):
         self.sinkpad.event_function = self._sink_event
         self._decoder = FvcDecoder()
         self._caps_sent = False
+        self._tail = b""  # partial chunk bytes (byte-stream inputs)
+        self._frame_count = 0
 
     def _sink_event(self, pad: Pad, event: Event) -> bool:
         if event.type == EventType.CAPS:
             return True
+        if event.type == EventType.FLUSH_STOP:
+            self._tail = b""
         return self.srcpad.push_event(event)
 
+    def _take_complete_chunk(self, data: bytes):
+        """(chunk, remainder) if a full chunk is buffered, else (None,
+        data). Mirrors FvcDecoder.split_stream but tolerates truncation
+        (a streaming source delivers arbitrary byte blocks)."""
+        import struct as _s
+        from .fvc import MAGIC
+        if len(data) < 12:
+            return None, data
+        if data[:4] != MAGIC:
+            raise ValueError("bad FVC chunk boundary")
+        ver, _, _, _, _, f = _s.unpack(">BBHHBB", data[4:12])
+        end = 13 if ver >= 2 else 12
+        hdr = 7 if ver >= 2 else 5
+        for _i in range(f):
+            if len(data) - end < hdr:
+                return None, data
+            if ver >= 2:
+                _, mv_len, plen = _s.unpack(">BHI", data[end:end + 7])
+                end += 7 + mv_len + plen
+            else:
+                _, plen = _s.unpack(">BI", data[end:end + 5])
+                end += 5 + plen
+        if len(data) < end:
+            return None, data
+        return data[:end], data[end:]
+
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        data = self._tail + bytes(buf.data)
+        ret = FlowReturn.OK
+        while True:
+            try:
+                chunk, data = self._take_complete_chunk(data)
+            except ValueError:
+                self._tail = b""
+                return FlowReturn.ERROR
+            if chunk is None:
+                break
+            ret = self._decode_and_push(chunk, buf)
+            if ret != FlowReturn.OK:
+                break
+        self._tail = data
+        return ret
+
+    def _decode_and_push(self, chunk: bytes, buf: Buffer) -> FlowReturn:
         try:
-            frames, info = self._decoder.decode_chunk(bytes(buf.data))
+            frames, info = self._decoder.decode_chunk(chunk)
         except ValueError:
             return FlowReturn.ERROR
         if not self._caps_sent:
@@ -148,10 +195,20 @@ class FvcDec(Element):
         pts_list = buf.meta.get("frame_pts") or [None] * len(frames)
         dur = (buf.duration // len(frames)
                if buf.duration is not None else None)
+        if dur is None:  # byte-stream input: synthesize from caps framerate
+            fr = (self.sinkpad.caps.get("framerate")
+                  if self.sinkpad.caps is not None else None)
+            from fractions import Fraction
+            fr = fr or Fraction(30, 1)
+            dur = int(1_000_000_000 * fr.denominator / max(1, fr.numerator))
         for i in range(frames.shape[0]):
             pts = pts_list[i] if i < len(pts_list) else None
-            if pts is None and buf.pts is not None and dur is not None:
+            if pts is None and buf.pts is not None and \
+                    buf.meta.get("frame_pts"):
                 pts = buf.pts + i * dur
+            if pts is None:
+                pts = self._frame_count * dur
+            self._frame_count += 1
             ret = self.srcpad.push(Buffer(frames[i], pts=pts, duration=dur))
             if ret != FlowReturn.OK:
                 return ret

@@ -86,3 +86,29 @@ def test_fvc_motion_roundtrip_pipeline():
         assert out.pts == i * MSECOND
         assert psnr(frames[i], np.asarray(out.data)) > 30
     h.teardown()
+
+
+def test_fvcdec_reassembles_byte_stream():
+    """fvcdec consumes arbitrary byte blocks (filesrc-style), reassembling
+    chunks and synthesizing monotonic pts."""
+    from flutpu.codec.fvc import FvcEncoder
+    frames = [make_test_frame("ball", 64, 48, i) for i in range(8)]
+    enc = FvcEncoder(quality=88)
+    data = (enc.encode_chunk(np.stack(frames[:4]))
+            + enc.encode_chunk(np.stack(frames[4:])))
+    h = Harness("fvcdec")
+    h.set_src_caps("video/x-fvc")
+    for off in range(0, len(data), 333):
+        h.push(Buffer(data[off:off + 333], pts=0))
+    h.push_eos()
+    out = []
+    while True:
+        b = h.try_pull(timeout=5)
+        if b is None:
+            break
+        out.append(b)
+    h.teardown()
+    assert len(out) == 8
+    assert [b.pts for b in out] == sorted(b.pts for b in out)
+    for i in (0, 3, 7):
+        assert psnr(frames[i], np.asarray(out[i].data)) > 30, i
