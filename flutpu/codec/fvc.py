@@ -23,9 +23,10 @@ Bitstream (container): per-GOP chunk header
 version 1: per frame  u8 frame_type (0=I 1=P) | u32 payload_len | payload
 (payload = byte-stuffed entropy scan of the residual planes).
 version 2 (motion mode): one extra header byte u8 search_range, then per
-frame  u8 frame_type | u16 mv_len | u32 payload_len | mv_len int8 motion
-vector bytes (P frames; (H/16)x(W/16)x2 dy,dx on the luma macroblock
-grid) | payload. v2 P frames code the pixel-domain residual against the
+frame  u8 frame_type | u16 mv_len | u32 payload_len | mv_len motion vector
+bytes (P frames; (H/16)x(W/16)x2 int8 dy,dx on the luma macroblock grid,
+zlib-compressed when header flags bit1 is set — raw vectors cost
+2 B/macroblock and compress ~100x on smooth fields) | payload. v2 P frames code the pixel-domain residual against the
 motion-compensated previous reconstruction (hybrid loop with in-loop
 recon — see fvc_mc_encode_chunk).
 """
@@ -291,6 +292,8 @@ class FvcEncoder:
             payloads, mvs = self._encode_host(frames, ph, pw)
         version = 2 if self.motion else VERSION
         flags = 1 if self.subsample else 0
+        if self.motion:
+            flags |= 2  # motion vectors are zlib-compressed
         out = [MAGIC, struct.pack(">BBHHBB", version, flags, w, h,
                                   self.quality, f)]
         if self.motion:
@@ -301,8 +304,11 @@ class FvcEncoder:
             payload = payloads[i]
             ftype = 0 if i == 0 else 1
             if self.motion:
+                # raw vectors cost 2 B/macroblock (~16 KB/frame at 1080p);
+                # they are mostly smooth/zero, so zlib cuts them ~100x
+                import zlib
                 mv_bytes = b"" if ftype == 0 else \
-                    mvs[i].astype(np.int8).tobytes()
+                    zlib.compress(mvs[i].astype(np.int8).tobytes(), 6)
                 out.append(struct.pack(">BHI", ftype, len(mv_bytes),
                                        len(payload)))
                 out.append(mv_bytes)
@@ -421,11 +427,20 @@ class FvcDecoder:
                 off += 7
                 mv = None
                 if mv_len:
-                    if (len(data) - off < mv_len or
-                            mv_len != (ph // 16) * (pw // 16) * 2):
+                    if len(data) - off < mv_len:
                         raise ValueError(f"bad motion block (frame {i})")
-                    mv = np.frombuffer(data[off:off + mv_len],
-                                       np.int8).reshape(ph // 16, pw // 16, 2)
+                    raw = data[off:off + mv_len]
+                    if flags & 2:
+                        import zlib
+                        try:
+                            raw = zlib.decompress(raw)
+                        except zlib.error as e:
+                            raise ValueError(
+                                f"corrupt motion block (frame {i}): {e}")
+                    if len(raw) != (ph // 16) * (pw // 16) * 2:
+                        raise ValueError(f"bad motion block (frame {i})")
+                    mv = np.frombuffer(raw, np.int8).reshape(
+                        ph // 16, pw // 16, 2)
                     off += mv_len
                 mvs.append(mv)
             else:

@@ -184,13 +184,14 @@ class TpuHype(VideoEncoder):
         payloads = [stuff_and_finalize(arr[i, 1:], int(bits[i]))
                     for i in range(c * f)]
         version = 2 if motion else 1
+        cflags = 1 | (2 if motion else 0)  # 4:2:0 | compressed mvs
         ph, pw = chunks.shape[2], chunks.shape[3]
         for ci in range(c):
             first = ci * gop
             if first >= n:
                 break  # wholly padding
             real = min(gop, n - first)
-            parts = [MAGIC, struct.pack(">BBHHBB", version, 1, w, h,
+            parts = [MAGIC, struct.pack(">BBHHBB", version, cflags, w, h,
                                         jenc.quality, real)]
             if motion:
                 parts.append(struct.pack(">B", sr))
@@ -198,8 +199,10 @@ class TpuHype(VideoEncoder):
                 payload = payloads[ci * gop + fi]
                 ftype = 0 if fi == 0 else 1
                 if motion:
+                    import zlib
                     mv = b"" if ftype == 0 else \
-                        mvs[ci, fi].astype(np.int8).tobytes()
+                        zlib.compress(mvs[ci, fi].astype(np.int8).tobytes(),
+                                      6)
                     parts.append(struct.pack(">BHI", ftype, len(mv),
                                              len(payload)))
                     parts.append(mv)

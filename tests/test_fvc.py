@@ -136,8 +136,11 @@ class TestFvcMotion:
             off += 7
             mv = None
             if mv_len:
-                mv = np.frombuffer(chunk[off:off + mv_len],
-                                   np.int8).reshape(ph // 16, pw // 16, 2)
+                import zlib
+                raw = zlib.decompress(chunk[off:off + mv_len]) \
+                    if flags & 2 else chunk[off:off + mv_len]
+                mv = np.frombuffer(raw, np.int8).reshape(
+                    ph // 16, pw // 16, 2)
                 off += mv_len
             mvs.append(mv)
             planes.append(decode_scan_to_coefs(chunk[off:off + plen],
