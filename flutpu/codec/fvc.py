@@ -109,13 +109,18 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     def step(carry, xs):
         rec_y, rec_cb, rec_cr, idx = carry
         cy, ccb, ccr = xs
-        is_i = idx == 0
         search = motion_search_hier if hier else motion_search
         mv = search(cy, rec_y, search_range=search_range)
+        pred_p_y = motion_compensate(rec_y, mv, search_range=search_range)
+        # per-frame mode decision: an I frame here IS "predict flat 128",
+        # so whichever prediction leaves less luma residual wins — this is
+        # the scene-cut detector inside the codec (a cut makes the motion
+        # prediction worse than flat)
+        sad_p = jnp.abs(cy - pred_p_y).sum()
+        sad_i = jnp.abs(cy - 128.0).sum()
+        is_i = (idx == 0) | (sad_i < sad_p)
         mv = jnp.where(is_i, jnp.zeros_like(mv), mv)
-        pred_y = jnp.where(
-            is_i, 128.0, motion_compensate(rec_y, mv,
-                                           search_range=search_range))
+        pred_y = jnp.where(is_i, 128.0, pred_p_y)
         pred_cb = jnp.where(
             is_i, 128.0, motion_compensate(rec_cb, mv,
                                            search_range=search_range, mb=8))
@@ -129,12 +134,13 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         rec_cb = jnp.clip(pred_cb + rcb_rec, 0.0, 255.0)
         rec_cr = jnp.clip(pred_cr + rcr_rec, 0.0, 255.0)
         return (rec_y, rec_cb, rec_cr, idx + 1), (oy, ocb, ocr,
-                                                  mv.astype(jnp.int8))
+                                                  mv.astype(jnp.int8),
+                                                  is_i.astype(jnp.int8))
 
     # data-derived zero init: keeps shard_map varying-manual-axes consistent
     init = (y[0] * 0.0, cb[0] * 0.0, cr[0] * 0.0, jnp.int32(0))
-    _, (ry, rcb, rcr, mvs) = jax.lax.scan(step, init, (y, cb, cr))
-    return ry, rcb, rcr, mvs
+    _, (ry, rcb, rcr, mvs, itypes) = jax.lax.scan(step, init, (y, cb, cr))
+    return ry, rcb, rcr, mvs, itypes
 
 
 @jax.jit
@@ -172,10 +178,9 @@ def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
     are bitcast into extra uint32 columns of the combined output so the
     whole GOP is still ONE fetch."""
     from .ops.entropy import encode_gop_scans_combined
-    ry, rcb, rcr, mvs = fvc_mc_encode_chunk(frames, qy, qc, pad_h=pad_h,
-                                            pad_w=pad_w,
-                                            search_range=search_range,
-                                            hier=hier)
+    ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
+        frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
+        search_range=search_range, hier=hier)
     combined = encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
                                          prefix_words=prefix_words,
                                          use_pallas=use_pallas)
@@ -186,7 +191,8 @@ def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
         flat = jnp.pad(flat, ((0, 0), (0, pad)))
     mv_words = jax.lax.bitcast_convert_type(
         flat.reshape(f, -1, 4), jnp.uint32)
-    return jnp.concatenate([combined, mv_words], axis=1)
+    itype_word = itypes.astype(jnp.uint32)[:, None]
+    return jnp.concatenate([combined, mv_words, itype_word], axis=1)
 
 
 class FvcEncoder:
@@ -229,8 +235,8 @@ class FvcEncoder:
 
     def _encode_device(self, frames: np.ndarray, ph: int, pw: int):
         """Fused single-dispatch + single-fetch GOP encode. Returns
-        (payloads, mvs) or (None, None) when the compressed prefix
-        overflowed (dense content → caller falls back)."""
+        (payloads, mvs, itypes) or (None, None, None) when the compressed
+        prefix overflowed (dense content → caller falls back)."""
         from .ops.entropy import stuff_and_finalize
         layout, prefix = self._layout_prefix(ph, pw)
         sc = self._scan_coder
@@ -248,33 +254,35 @@ class FvcEncoder:
                 prefix_words=prefix, use_pallas=sc.use_pallas))
         bits = arr[:, 0].astype(np.int64)
         if (bits > prefix * 32).any():
-            return None, None
+            return None, None, None
         payloads = [stuff_and_finalize(arr[i, 1:1 + prefix], int(bits[i]))
                     for i in range(arr.shape[0])]
-        mvs = None
+        mvs = itypes = None
         if self.motion:
             mv_len = (ph // 16) * (pw // 16) * 2
-            mvs = [np.frombuffer(arr[i, 1 + prefix:].tobytes(),
+            mvs = [np.frombuffer(arr[i, 1 + prefix:-1].tobytes(),
                                  np.int8)[:mv_len].reshape(
                                      ph // 16, pw // 16, 2)
                    for i in range(arr.shape[0])]
-        return payloads, mvs
+            itypes = arr[:, -1].astype(np.int64)  # 1 = I frame
+        return payloads, mvs, itypes
 
     def _encode_host(self, frames: np.ndarray, ph: int, pw: int):
         """Reference path: residual planes fetched, host C++ scan coder."""
         if self.motion:
-            ry, rcb, rcr, mvs = fvc_mc_encode_chunk(
+            ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
                 jnp.asarray(frames), self._qy_dev, self._qc_dev,
                 pad_h=ph, pad_w=pw, search_range=self.search_range,
                 hier=self.hier)
             mvs = list(np.asarray(mvs))
+            itypes = np.asarray(itypes).astype(np.int64)
         else:
             coefs = encode_gop_to_coefs(jnp.asarray(frames), self._qy_dev,
                                         self._qc_dev, pad_h=ph, pad_w=pw,
                                         subsample=self.subsample)
             ry, rcb, rcr = fvc_residuals(*coefs)
-            mvs = None
-        return self._scan_coder._scans_host((ry, rcb, rcr)), mvs
+            mvs = itypes = None
+        return self._scan_coder._scans_host((ry, rcb, rcr)), mvs, itypes
 
     def encode_chunk(self, frames: np.ndarray) -> bytes:
         """(F, H, W, 3) uint8 → one FVC chunk (frame 0 is the I frame)."""
@@ -283,13 +291,13 @@ class FvcEncoder:
         ph, pw = _pad_to(h, mult), _pad_to(w, mult)
         if self.motion and not self.subsample:
             raise ValueError("motion mode requires 4:2:0")
-        payloads = mvs = None
+        payloads = mvs = itypes = None
         if self.engine in ("device", "auto"):
-            payloads, mvs = self._encode_device(frames, ph, pw)
+            payloads, mvs, itypes = self._encode_device(frames, ph, pw)
             if payloads is None and self.engine == "device":
                 raise OverflowError("device entropy cap exceeded")
         if payloads is None:
-            payloads, mvs = self._encode_host(frames, ph, pw)
+            payloads, mvs, itypes = self._encode_host(frames, ph, pw)
         version = 2 if self.motion else VERSION
         flags = 1 if self.subsample else 0
         if self.motion:
@@ -302,7 +310,12 @@ class FvcEncoder:
             out.append(struct.pack(">B", self.search_range))
         for i in range(f):
             payload = payloads[i]
-            ftype = 0 if i == 0 else 1
+            if self.motion:
+                # per-frame mode decision (device scan): mid-chunk scene
+                # cuts become I frames instead of expensive P frames
+                ftype = 0 if (i == 0 or int(itypes[i])) else 1
+            else:
+                ftype = 0 if i == 0 else 1
             if self.motion:
                 # raw vectors cost 2 B/macroblock (~16 KB/frame at 1080p);
                 # they are mostly smooth/zero, so zlib cuts them ~100x
@@ -319,12 +332,13 @@ class FvcEncoder:
 
 
 @functools.partial(jax.jit, static_argnames=("search_range",))
-def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, qy, qc, search_range: int = 7):
+def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, itypes, qy, qc,
+                        search_range: int = 7):
     """Device mirror of fvc_mc_encode_chunk's in-loop reconstruction.
 
     ry/rcb/rcr: (F, BH, BW, 64) int16 zigzag residual coefficients;
-    mvs: (F, mbh, mbw, 2) int8 (frame 0 ignored). Returns reconstructed
-    (F, H, W) float planes."""
+    mvs: (F, mbh, mbw, 2) int8; itypes: (F,) int8 — 1 where the frame is
+    intra-coded (flat-128 prediction). Returns (F, H, W) float planes."""
     from .ops.dct import plane_idct
     from .ops.motion import motion_compensate
     from .ops.quant import dequantize, zigzag_unflatten
@@ -335,8 +349,8 @@ def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, qy, qc, search_range: int = 7):
 
     def step(carry, xs):
         rec_y, rec_cb, rec_cr, idx = carry
-        qy_c, qcb_c, qcr_c, mv = xs
-        is_i = idx == 0
+        qy_c, qcb_c, qcr_c, mv, it = xs
+        is_i = (idx == 0) | (it != 0)
         mv = mv.astype(jnp.int32)
         pred_y = jnp.where(
             is_i, 128.0, motion_compensate(rec_y, mv,
@@ -356,7 +370,8 @@ def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, qy, qc, search_range: int = 7):
     ch, cw = rcb.shape[1] * 8, rcb.shape[2] * 8
     init = (jnp.zeros((h, w)), jnp.zeros((ch, cw)), jnp.zeros((ch, cw)),
             jnp.int32(0))
-    _, (oy, ocb, ocr) = jax.lax.scan(step, init, (ry, rcb, rcr, mvs))
+    _, (oy, ocb, ocr) = jax.lax.scan(step, init,
+                                     (ry, rcb, rcr, mvs, itypes))
     return oy, ocb, ocr
 
 
@@ -485,11 +500,14 @@ class FvcDecoder:
         rcr = jnp.asarray(np.stack([p[2] for p in planes]))
         mbh, mbw = ry.shape[1] // 2, ry.shape[2] // 2
         mv_arr = np.zeros((f, mbh, mbw, 2), np.int8)
+        itypes = np.zeros(f, np.int8)
         for i, mv in enumerate(mvs):
             if mv is not None:
                 mv_arr[i] = mv
+            else:
+                itypes[i] = 1  # no vectors → intra frame (flat-128 pred)
         oy, ocb, ocr = fvc_mc_decode_chunk(
-            ry, rcb, rcr, jnp.asarray(mv_arr), qy, qc,
+            ry, rcb, rcr, jnp.asarray(mv_arr), jnp.asarray(itypes), qy, qc,
             search_range=int(search_range))
         rgb = np.asarray(_i420_frames_to_rgb(oy, ocb, ocr))
         return [rgb[i, :h, :w] for i in range(f)]

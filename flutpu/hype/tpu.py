@@ -166,6 +166,7 @@ class TpuHype(VideoEncoder):
             hier=str(self.get_property("search")) == "hier")
         ry, rcb, rcr = out[:3]
         mvs = np.asarray(out[3]) if motion else None
+        itypes = np.asarray(out[4]) if motion else None
         c, f = ry.shape[0], ry.shape[1]
         layout = mcu_layout(ry.shape[3], ry.shape[2],
                             rcb.shape[3], rcb.shape[2], True)
@@ -197,7 +198,10 @@ class TpuHype(VideoEncoder):
                 parts.append(struct.pack(">B", sr))
             for fi in range(real):
                 payload = payloads[ci * gop + fi]
-                ftype = 0 if fi == 0 else 1
+                if motion:
+                    ftype = 0 if (fi == 0 or int(itypes[ci, fi])) else 1
+                else:
+                    ftype = 0 if fi == 0 else 1
                 if motion:
                     import zlib
                     mv = b"" if ftype == 0 else \

@@ -80,8 +80,8 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     contract that makes chunks independent, reference
     hype/src/outputselector/imp.rs:39-43). Zero collectives.
 
-    Returns (ry, rcb, rcr) int16 residual planes, plus mvs int8 when
-    ``motion`` (the v2 hybrid loop per chunk). H/W must be multiples of 16
+    Returns (ry, rcb, rcr) int16 residual planes, plus mvs int8 and
+    itypes int8 when ``motion`` (the v2 hybrid loop per chunk). H/W must be multiples of 16
     (pad upstream).
     """
     from ..codec.fvc import fvc_mc_encode_chunk, fvc_residuals
@@ -98,7 +98,7 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                                        search_range=search_range, hier=hier)
         return jax.vmap(one)(fr)
 
-    n_out = 4 if motion else 3
+    n_out = 5 if motion else 3
     fn = shard_map(
         local_mc if motion else local_v1, mesh=mesh,
         in_specs=(P("chunk", None, None, None, None), P(), P()),

@@ -297,3 +297,20 @@ def test_v1_444_roundtrip():
     dec, _ = FvcDecoder().decode_chunk(chunk)
     for i in range(4):
         assert psnr(frames[i], dec[i]) > 32, i
+
+
+def test_mid_chunk_scene_cut_gets_i_frame():
+    """Content that hard-cuts inside a chunk: the mode decision codes the
+    cut frame as I (flat prediction beats motion from the dead scene) and
+    quality holds across the cut."""
+    a = video(4, w=96, h=64, pattern="ball")
+    b = np.stack([make_test_frame("gradient", 96, 64, 40 + i)
+                  for i in range(4)])
+    frames = np.concatenate([a, 255 - b], axis=0)  # hard cut at frame 4
+    chunk = FvcEncoder(quality=88, motion=True).encode_chunk(frames)
+    dec, info = FvcDecoder().decode_chunk(chunk)
+    assert info["types"][0] == 0
+    assert info["types"][4] == 0, info["types"]  # the cut became an I frame
+    assert all(t == 1 for t in info["types"][1:4])
+    for i in (3, 4, 7):
+        assert psnr(frames[i], dec[i]) > 30, i

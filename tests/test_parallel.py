@@ -81,14 +81,16 @@ class TestShardedFvc:
         qy, qc = qtabs
         frames = self._frames(c=8, f=3)
         mesh = make_chunk_mesh(8)
-        ry, rcb, rcr, mvs = fvc_chunks_sharded(frames, qy, qc, mesh,
-                                               motion=True, search_range=3)
+        ry, rcb, rcr, mvs, itypes = fvc_chunks_sharded(
+            frames, qy, qc, mesh, motion=True, search_range=3)
         assert mvs.shape == (8, 3, 2, 2, 2) and mvs.dtype == jnp.int8
         for c in (0, 5):
             e = fvc_mc_encode_chunk(frames[c], qy, qc, pad_h=32, pad_w=32,
                                     search_range=3)
             np.testing.assert_array_equal(np.asarray(ry[c]), np.asarray(e[0]))
             np.testing.assert_array_equal(np.asarray(mvs[c]), np.asarray(e[3]))
+            np.testing.assert_array_equal(np.asarray(itypes[c]),
+                                          np.asarray(e[4]))
 
     def test_output_stays_sharded(self, qtabs):
         from flutpu.parallel.gop import fvc_chunks_sharded
