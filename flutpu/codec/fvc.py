@@ -28,7 +28,9 @@ bytes (P frames; (H/16)x(W/16)x2 int8 dy,dx on the luma macroblock grid,
 zlib-compressed when header flags bit1 is set — raw vectors cost
 2 B/macroblock and compress ~100x on smooth fields) | payload. v2 P frames code the pixel-domain residual against the
 motion-compensated previous reconstruction (hybrid loop with in-loop
-recon — see fvc_mc_encode_chunk).
+recon — see fvc_mc_encode_chunk). Frame types are decided per frame in
+the encode scan (intra wins when flat prediction beats motion — the
+in-codec scene-cut detector); any frame may be I, not just chunk starts.
 """
 
 from __future__ import annotations
