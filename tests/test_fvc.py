@@ -314,3 +314,20 @@ def test_mid_chunk_scene_cut_gets_i_frame():
     assert all(t == 1 for t in info["types"][1:4])
     for i in (3, 4, 7):
         assert psnr(frames[i], dec[i]) > 30, i
+
+
+def test_quality_monotonic_size_and_psnr():
+    """Higher quality → larger chunks and better reconstruction, for both
+    FVC modes (the quality knob must actually steer the RD point)."""
+    frames = video(4, w=96, h=64)
+    for motion in (False, True):
+        sizes, quals = [], []
+        for q in (30, 60, 90):
+            enc = FvcEncoder(quality=q, motion=motion)
+            chunk = enc.encode_chunk(frames)
+            dec, _ = FvcDecoder().decode_chunk(chunk)
+            sizes.append(len(chunk))
+            quals.append(np.mean([psnr(frames[i], dec[i])
+                                  for i in range(4)]))
+        assert sizes[0] < sizes[1] < sizes[2], (motion, sizes)
+        assert quals[0] < quals[1] < quals[2], (motion, quals)
