@@ -77,10 +77,11 @@ def fvc_residuals(yq, cbq, crq):
 
 
 @functools.partial(jax.jit, static_argnames=("pad_h", "pad_w",
-                                             "search_range", "hier"))
+                                             "search_range", "hier",
+                                             "subpel"))
 def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                         pad_h: int, pad_w: int, search_range: int = 7,
-                        hier: bool = False):
+                        hier: bool = False, subpel: bool = True):
     """Motion-compensated chunk encode (FVC v2): classic hybrid loop as a
     device scan — per frame: full-search motion estimation against the
     reconstructed reference (flutpu.codec.ops.motion), motion-compensated
@@ -93,8 +94,9 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     from .ops.colorspace import rgb_to_i420
     from .ops.dct import plane_dct, plane_idct
     from .ops.quant import dequantize, quantize, zigzag_flatten
-    from .ops.motion import (motion_compensate, motion_search,
-                             motion_search_hier)
+    from .ops.motion import (motion_compensate, motion_compensate_subpel,
+                             motion_search, motion_search_hier,
+                             subpel_refine)
 
     f, h, w, _ = frames.shape
     x = frames.astype(jnp.float32)
@@ -113,7 +115,17 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         cy, ccb, ccr = xs
         search = motion_search_hier if hier else motion_search
         mv = search(cy, rec_y, search_range=search_range)
-        pred_p_y = motion_compensate(rec_y, mv, search_range=search_range)
+        if subpel:
+            # half-pel refinement: vectors leave in HALF-PIXEL units
+            mv = subpel_refine(cy, rec_y, mv)
+            mc_y = lambda p, m: motion_compensate_subpel(p, m)
+            mc_c = lambda p, m: motion_compensate_subpel(p, m, mb=8)
+        else:
+            mc_y = lambda p, m: motion_compensate(p, m,
+                                                  search_range=search_range)
+            mc_c = lambda p, m: motion_compensate(
+                p, m, search_range=search_range, mb=8)
+        pred_p_y = mc_y(rec_y, mv)
         # per-frame mode decision: an I frame here IS "predict flat 128",
         # so whichever prediction leaves less luma residual wins — this is
         # the scene-cut detector inside the codec (a cut makes the motion
@@ -123,12 +135,8 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         is_i = (idx == 0) | (sad_i < sad_p)
         mv = jnp.where(is_i, jnp.zeros_like(mv), mv)
         pred_y = jnp.where(is_i, 128.0, pred_p_y)
-        pred_cb = jnp.where(
-            is_i, 128.0, motion_compensate(rec_cb, mv,
-                                           search_range=search_range, mb=8))
-        pred_cr = jnp.where(
-            is_i, 128.0, motion_compensate(rec_cr, mv,
-                                           search_range=search_range, mb=8))
+        pred_cb = jnp.where(is_i, 128.0, mc_c(rec_cb, mv))
+        pred_cr = jnp.where(is_i, 128.0, mc_c(rec_cr, mv))
         oy, ry_rec = code_plane(cy - pred_y, qy)
         ocb, rcb_rec = code_plane(ccb - pred_cb, qc)
         ocr, rcr_rec = code_plane(ccr - pred_cr, qc)
@@ -173,16 +181,16 @@ def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "pad_h", "pad_w", "search_range", "layout", "prefix_words",
-    "use_pallas", "hier"))
+    "use_pallas", "hier", "subpel"))
 def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
-                        prefix_words, use_pallas, hier=False):
+                        prefix_words, use_pallas, hier=False, subpel=True):
     """v1 program with the motion-compensated hybrid loop; motion vectors
     are bitcast into extra uint32 columns of the combined output so the
     whole GOP is still ONE fetch."""
     from .ops.entropy import encode_gop_scans_combined
     ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
         frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
-        search_range=search_range, hier=hier)
+        search_range=search_range, hier=hier, subpel=subpel)
     combined = encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
                                          prefix_words=prefix_words,
                                          use_pallas=use_pallas)
@@ -206,13 +214,15 @@ class FvcEncoder:
 
     def __init__(self, quality: int = 85, subsample: bool = True,
                  motion: bool = False, search_range: int = 7,
-                 engine: str = "auto", hier: bool = False):
+                 engine: str = "auto", hier: bool = False,
+                 subpel: bool = True):
         from .jpeg import JpegEncoder
         self.quality = quality
         self.subsample = subsample
         self.motion = motion
         self.search_range = search_range
         self.hier = hier  # coarse-to-fine motion search (~7x fewer passes)
+        self.subpel = subpel  # half-pel refinement + bilinear compensation
         self.qy = scale_qtable(LUMA_QTABLE, quality)
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
@@ -248,7 +258,7 @@ class FvcEncoder:
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
                 search_range=self.search_range, layout=layout,
                 prefix_words=prefix, use_pallas=sc.use_pallas,
-                hier=self.hier))
+                hier=self.hier, subpel=self.subpel))
         else:
             arr = np.asarray(_fvc_gop_program_v1(
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
@@ -275,7 +285,7 @@ class FvcEncoder:
             ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
                 jnp.asarray(frames), self._qy_dev, self._qc_dev,
                 pad_h=ph, pad_w=pw, search_range=self.search_range,
-                hier=self.hier)
+                hier=self.hier, subpel=self.subpel)
             mvs = list(np.asarray(mvs))
             itypes = np.asarray(itypes).astype(np.int64)
         else:
@@ -304,6 +314,8 @@ class FvcEncoder:
         flags = 1 if self.subsample else 0
         if self.motion:
             flags |= 2  # motion vectors are zlib-compressed
+            if self.subpel:
+                flags |= 4  # vectors are in half-pel units
         out = [MAGIC, struct.pack(">BBHHBB", version, flags, w, h,
                                   self.quality, f)]
         if self.motion:
@@ -333,36 +345,40 @@ class FvcEncoder:
         return b"".join(out)
 
 
-@functools.partial(jax.jit, static_argnames=("search_range",))
+@functools.partial(jax.jit, static_argnames=("search_range", "subpel"))
 def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, itypes, qy, qc,
-                        search_range: int = 7):
+                        search_range: int = 7, subpel: bool = True):
     """Device mirror of fvc_mc_encode_chunk's in-loop reconstruction.
 
     ry/rcb/rcr: (F, BH, BW, 64) int16 zigzag residual coefficients;
     mvs: (F, mbh, mbw, 2) int8; itypes: (F,) int8 — 1 where the frame is
     intra-coded (flat-128 prediction). Returns (F, H, W) float planes."""
     from .ops.dct import plane_idct
-    from .ops.motion import motion_compensate
+    from .ops.motion import motion_compensate, motion_compensate_subpel
     from .ops.quant import dequantize, zigzag_unflatten
 
     def resid(q, qtab):
         return plane_idct(dequantize(zigzag_unflatten(q.astype(jnp.float32)),
                                      qtab))
 
+    if subpel:
+        mc_y = lambda p, m: motion_compensate_subpel(p, m)
+        mc_c = lambda p, m: motion_compensate_subpel(p, m, mb=8)
+    else:
+        mc_y = lambda p, m: motion_compensate(p, m,
+                                              search_range=search_range)
+        mc_c = lambda p, m: motion_compensate(p, m,
+                                              search_range=search_range,
+                                              mb=8)
+
     def step(carry, xs):
         rec_y, rec_cb, rec_cr, idx = carry
         qy_c, qcb_c, qcr_c, mv, it = xs
         is_i = (idx == 0) | (it != 0)
         mv = mv.astype(jnp.int32)
-        pred_y = jnp.where(
-            is_i, 128.0, motion_compensate(rec_y, mv,
-                                           search_range=search_range))
-        pred_cb = jnp.where(
-            is_i, 128.0, motion_compensate(rec_cb, mv,
-                                           search_range=search_range, mb=8))
-        pred_cr = jnp.where(
-            is_i, 128.0, motion_compensate(rec_cr, mv,
-                                           search_range=search_range, mb=8))
+        pred_y = jnp.where(is_i, 128.0, mc_y(rec_y, mv))
+        pred_cb = jnp.where(is_i, 128.0, mc_c(rec_cb, mv))
+        pred_cr = jnp.where(is_i, 128.0, mc_c(rec_cr, mv))
         rec_y = jnp.clip(pred_y + resid(qy_c, qy), 0.0, 255.0)
         rec_cb = jnp.clip(pred_cb + resid(qcb_c, qc), 0.0, 255.0)
         rec_cr = jnp.clip(pred_cr + resid(qcr_c, qc), 0.0, 255.0)
@@ -382,6 +398,30 @@ def _i420_frames_to_rgb(y, cb, cr):
     from .ops.colorspace import i420_to_rgb
     rgb = i420_to_rgb(y, cb, cr)
     return jnp.clip(rgb + 0.5, 0, 255).astype(jnp.uint8)
+
+
+def _mc_np_subpel(prev: np.ndarray, mv_hp: np.ndarray, mb: int,
+                  chroma: bool) -> np.ndarray:
+    """numpy mirror of ops.motion.motion_compensate_subpel (half-pel
+    bilinear between the four integer-shift rolls)."""
+    out = np.empty_like(prev)
+    mbh, mbw = mv_hp.shape[:2]
+    for by in range(mbh):
+        for bx in range(mbw):
+            dy, dx = int(mv_hp[by, bx, 0]), int(mv_hp[by, bx, 1])
+            if chroma:
+                dy, dx = dy // 2, dx // 2
+            iy, ix = dy // 2, dx // 2
+            fy, fx = (dy - 2 * iy) * 0.5, (dx - 2 * ix) * 0.5
+            sl = (slice(by * mb, (by + 1) * mb),
+                  slice(bx * mb, (bx + 1) * mb))
+            p00 = np.roll(prev, (iy, ix), (0, 1))[sl]
+            p10 = np.roll(prev, (iy + 1, ix), (0, 1))[sl]
+            p01 = np.roll(prev, (iy, ix + 1), (0, 1))[sl]
+            p11 = np.roll(prev, (iy + 1, ix + 1), (0, 1))[sl]
+            out[sl] = ((1 - fy) * (1 - fx) * p00 + fy * (1 - fx) * p10
+                       + (1 - fy) * fx * p01 + fy * fx * p11)
+    return out
 
 
 def _mc_np(prev: np.ndarray, mv: np.ndarray, mb: int,
@@ -481,7 +521,8 @@ class FvcDecoder:
         qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, quality))
         if version >= 2:
             frames = self._reconstruct_mc(planes, mvs, qy, qc, h, w,
-                                          search_range)
+                                          search_range,
+                                          subpel=bool(flags & 4))
         else:
             ry = jnp.asarray(np.stack([p[0] for p in planes]))
             rcb = jnp.asarray(np.stack([p[1] for p in planes]))
@@ -494,7 +535,7 @@ class FvcDecoder:
                                   "width": w, "height": h}
 
     def _reconstruct_mc(self, planes, mvs, qy, qc, h: int, w: int,
-                        search_range: int = 7):
+                        search_range: int = 7, subpel: bool = True):
         """Whole-chunk device reconstruction (one jitted scan)."""
         f = len(planes)
         ry = jnp.asarray(np.stack([p[0] for p in planes]))
@@ -510,11 +551,12 @@ class FvcDecoder:
                 itypes[i] = 1  # no vectors → intra frame (flat-128 pred)
         oy, ocb, ocr = fvc_mc_decode_chunk(
             ry, rcb, rcr, jnp.asarray(mv_arr), jnp.asarray(itypes), qy, qc,
-            search_range=int(search_range))
+            search_range=int(search_range), subpel=subpel)
         rgb = np.asarray(_i420_frames_to_rgb(oy, ocb, ocr))
         return [rgb[i, :h, :w] for i in range(f)]
 
-    def _reconstruct_mc_np(self, planes, mvs, qy, qc, h: int, w: int):
+    def _reconstruct_mc_np(self, planes, mvs, qy, qc, h: int, w: int,
+                           subpel: bool = True):
         from .ops.colorspace import i420_to_rgb
         rec_y = rec_cb = rec_cr = None
         out = []
@@ -525,9 +567,10 @@ class FvcDecoder:
             if i == 0 or mvs[i] is None:
                 py = pcb = pcr = 128.0
             else:
-                py = _mc_np(rec_y, mvs[i], 16, chroma=False)
-                pcb = _mc_np(rec_cb, mvs[i], 8, chroma=True)
-                pcr = _mc_np(rec_cr, mvs[i], 8, chroma=True)
+                mc = _mc_np_subpel if subpel else _mc_np
+                py = mc(rec_y, mvs[i], 16, chroma=False)
+                pcb = mc(rec_cb, mvs[i], 8, chroma=True)
+                pcr = mc(rec_cr, mvs[i], 8, chroma=True)
             rec_y = np.clip(py + ry, 0.0, 255.0)
             rec_cb = np.clip(pcb + rcb, 0.0, 255.0)
             rec_cr = np.clip(pcr + rcr, 0.0, 255.0)
@@ -602,6 +645,8 @@ class FvcEnc(VideoEncoder):
         PropertySpec("search", "full", "full | hier motion estimation "
                                        "(hier = coarse-to-fine, ~7x fewer "
                                        "whole-frame passes)"),
+        PropertySpec("subpel", True, "half-pel motion refinement + bilinear "
+                                     "compensation"),
         PropertySpec("bitrate", 0, "target bits/sec; 0 = constant quality. "
                                    "Per-chunk log-proportional quality "
                                    "controller (the rate-control role the "
@@ -626,7 +671,8 @@ class FvcEnc(VideoEncoder):
                 motion=bool(self.get_property("motion")),
                 search_range=int(self.get_property("search-range")),
                 engine=str(self.get_property("engine")),
-                hier=str(self.get_property("search")) == "hier")
+                hier=str(self.get_property("search")) == "hier",
+                subpel=bool(self.get_property("subpel")))
         return enc
 
     def set_format(self, caps: Caps):

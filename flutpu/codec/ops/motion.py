@@ -163,3 +163,89 @@ def motion_search_hier(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
             best_cost = jnp.where(better, cost, best_cost)
             best_mv = jnp.where(better[..., None], base + off, best_mv)
     return best_mv
+
+
+@functools.partial(jax.jit, static_argnames=("mb",))
+def motion_compensate_subpel(prev: jnp.ndarray, mv_hp: jnp.ndarray,
+                             mb: int = MB):
+    """Half-pel motion compensation: ``mv_hp`` is in HALF-PIXEL units on
+    the luma grid (chroma: pass mb=8 — vectors are floor-halved onto the
+    chroma grid, still in half-pel units). Bilinear between the four
+    neighboring integer-shift samples; four flat gathers total."""
+    h, w = prev.shape
+    scale = MB // mb
+    d = mv_hp if scale == 1 else mv_hp // 2
+    dyf = jnp.repeat(jnp.repeat(d[..., 0], mb, axis=0), mb, axis=1)
+    dxf = jnp.repeat(jnp.repeat(d[..., 1], mb, axis=0), mb, axis=1)
+    iy = dyf // 2
+    ix = dxf // 2
+    fy = (dyf - 2 * iy).astype(jnp.float32) * 0.5  # 0 or .5
+    fx = (dxf - 2 * ix).astype(jnp.float32) * 0.5
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    flat = prev.reshape(-1)
+
+    def g(ddy, ddx):
+        sy = (yy - ddy) % h
+        sx = (xx - ddx) % w
+        return flat[sy * w + sx]
+
+    p00 = g(iy, ix)
+    p10 = g(iy + 1, ix)
+    p01 = g(iy, ix + 1)
+    p11 = g(iy + 1, ix + 1)
+    return ((1 - fy) * (1 - fx) * p00 + fy * (1 - fx) * p10
+            + (1 - fy) * fx * p01 + fy * fx * p11)
+
+
+@jax.jit
+def subpel_refine(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
+                  int_mv: jnp.ndarray) -> jnp.ndarray:
+    """±half-pel refinement around integer vectors.
+
+    Gathers one (MB+2)x(MB+2) window per macroblock at the integer vector
+    and evaluates the nine half-pel candidates from bilinear slice
+    averages (window-local — no further gathers). Returns vectors in
+    HALF-PIXEL units: 2*int_mv + offset, offset ∈ {-1,0,1}^2."""
+    h, w = cur_y.shape
+    mbh, mbw = h // MB, w // MB
+    base = int_mv
+    by = (jnp.arange(mbh) * MB)[:, None, None, None]
+    bx = (jnp.arange(mbw) * MB)[None, :, None, None]
+    wy = (jnp.arange(MB + 2) - 1)[None, None, :, None]
+    wx = (jnp.arange(MB + 2) - 1)[None, None, None, :]
+    sy = (by + wy - base[..., 0][..., None, None]) % h
+    sx = (bx + wx - base[..., 1][..., None, None]) % w
+    win = prev_y.reshape(-1)[sy * w + sx]          # (mbh, mbw, MB+2, MB+2)
+    cur_b = cur_y.reshape(mbh, MB, mbw, MB).transpose(0, 2, 1, 3)
+
+    def rows(a):
+        # source row j = i + 1 - a/2 for half-offset a ∈ {-1, 0, 1}
+        if a == 0:
+            return win[:, :, 1:1 + MB, :]
+        if a == 1:
+            return 0.5 * (win[:, :, 0:MB, :] + win[:, :, 1:1 + MB, :])
+        return 0.5 * (win[:, :, 1:1 + MB, :] + win[:, :, 2:2 + MB, :])
+
+    def cols(x, a):
+        if a == 0:
+            return x[..., 1:1 + MB]
+        if a == 1:
+            return 0.5 * (x[..., 0:MB] + x[..., 1:1 + MB])
+        return 0.5 * (x[..., 1:1 + MB] + x[..., 2:2 + MB])
+
+    z = cur_y[::MB, ::MB].astype(jnp.float32) * 0
+    best_cost = z + jnp.inf
+    best_mv = jnp.stack([z, z], axis=-1).astype(jnp.int32)
+    for ay in (-1, 0, 1):
+        r = rows(ay)
+        for ax in (-1, 0, 1):
+            cand = cols(r, ax)
+            cost = jnp.abs(cur_b - cand).sum(axis=(-1, -2))
+            off = jnp.stack([jnp.full_like(cost, ay, dtype=jnp.int32),
+                             jnp.full_like(cost, ax, dtype=jnp.int32)],
+                            axis=-1)
+            better = cost < best_cost
+            best_cost = jnp.where(better, cost, best_cost)
+            best_mv = jnp.where(better[..., None], 2 * base + off, best_mv)
+    return best_mv

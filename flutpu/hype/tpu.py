@@ -55,6 +55,7 @@ class TpuHype(VideoEncoder):
                                       "fvc-motion = v2 hybrid loop)"),
         PropertySpec("search-range", 7, "fvc-motion full-search window"),
         PropertySpec("search", "full", "full | hier fvc-motion estimation"),
+        PropertySpec("subpel", True, "half-pel fvc-motion refinement"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -160,10 +161,11 @@ class TpuHype(VideoEncoder):
             raise ValueError("codec=fvc needs spatial=1 (temporal scan + "
                              "motion wraparound don't row-stripe)")
         sr = int(self.get_property("search-range"))
+        subpel = bool(self.get_property("subpel"))
         out = fvc_chunks_sharded(
             jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
             mesh=mesh, motion=motion, search_range=sr,
-            hier=str(self.get_property("search")) == "hier")
+            hier=str(self.get_property("search")) == "hier", subpel=subpel)
         ry, rcb, rcr = out[:3]
         mvs = np.asarray(out[3]) if motion else None
         itypes = np.asarray(out[4]) if motion else None
@@ -186,6 +188,8 @@ class TpuHype(VideoEncoder):
                     for i in range(c * f)]
         version = 2 if motion else 1
         cflags = 1 | (2 if motion else 0)  # 4:2:0 | compressed mvs
+        if motion and subpel:
+            cflags |= 4  # half-pel vectors
         ph, pw = chunks.shape[2], chunks.shape[3]
         for ci in range(c):
             first = ci * gop

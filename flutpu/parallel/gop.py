@@ -70,10 +70,11 @@ def encode_chunks_single(frames: jax.Array, qy: jax.Array, qc: jax.Array):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "motion", "search_range",
-                                    "hier"))
+                                    "hier", "subpel"))
 def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                        mesh: Mesh, motion: bool = False,
-                       search_range: int = 7, hier: bool = False):
+                       search_range: int = 7, hier: bool = False,
+                       subpel: bool = True):
     """FVC GOP coding as an SPMD program: (C, F, H, W, 3) uint8, C sharded
     over the ``chunk`` mesh axis, each shard running an independent codec
     instance (frame 0 of every chunk is an I frame — the forced-keyframe
@@ -95,7 +96,8 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     def local_mc(fr, qy, qc):
         def one(chunk):
             return fvc_mc_encode_chunk(chunk, qy, qc, pad_h=h, pad_w=w,
-                                       search_range=search_range, hier=hier)
+                                       search_range=search_range, hier=hier,
+                                       subpel=subpel)
         return jax.vmap(one)(fr)
 
     n_out = 5 if motion else 3

@@ -331,3 +331,26 @@ def test_quality_monotonic_size_and_psnr():
                                   for i in range(4)]))
         assert sizes[0] < sizes[1] < sizes[2], (motion, sizes)
         assert quals[0] < quals[1] < quals[2], (motion, quals)
+
+
+def test_halfpel_beats_integer_on_fractional_motion():
+    """Content translating by half-pixel steps: half-pel compensation must
+    shrink the residual payload vs integer-only vectors."""
+    rng = np.random.default_rng(12)
+    base = rng.random((64, 96)).astype(np.float32) * 200 + 20
+    frames = []
+    for i in range(6):
+        hp = i * 3  # 1.5 px/frame: alternates integer / half-pel positions
+        ip, frac = hp // 2, hp % 2
+        img = np.roll(base, (0, ip), (0, 1))
+        if frac:
+            img = 0.5 * (img + np.roll(base, (0, ip + 1), (0, 1)))
+        frames.append(np.repeat(img[..., None], 3, axis=2).astype(np.uint8))
+    frames = np.stack(frames)
+    sub = FvcEncoder(quality=88, motion=True, subpel=True)
+    intg = FvcEncoder(quality=88, motion=True, subpel=False)
+    s_len = len(sub.encode_chunk(frames))
+    i_len = len(intg.encode_chunk(frames))
+    assert s_len < i_len, (s_len, i_len)
+    dec, _ = FvcDecoder().decode_chunk(sub.encode_chunk(frames))
+    assert psnr(frames[5], dec[5]) > 30
