@@ -26,7 +26,8 @@ version 2 (motion mode): one extra header byte u8 search_range, then per
 frame  u8 frame_type | u16 mv_len | u32 payload_len | mv_len motion vector
 bytes (P frames; (H/16)x(W/16)x2 int8 dy,dx on the luma macroblock grid,
 zlib-compressed when header flags bit1 is set — raw vectors cost
-2 B/macroblock and compress ~100x on smooth fields) | payload. v2 P frames code the pixel-domain residual against the
+2 B/macroblock and compress ~100x on smooth fields; in HALF-PIXEL units
+when flags bit2 is set) | payload. v2 P frames code the pixel-domain residual against the
 motion-compensated previous reconstruction (hybrid loop with in-loop
 recon — see fvc_mc_encode_chunk). Frame types are decided per frame in
 the encode scan (intra wins when flat prediction beats motion — the
