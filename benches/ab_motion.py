@@ -27,7 +27,8 @@ def measure(hier: bool, gops: int = 3) -> float:
     import jax.numpy as jnp
     from flutpu.codec.fvc import FvcEncoder
     from flutpu.codec.ops.testsrc import gradient_ball_frames
-    enc = FvcEncoder(quality=85, motion=True, hier=hier)
+    enc = FvcEncoder(quality=85, motion=True, hier=hier,
+                     subpel=not os.environ.get("_AB_NO_SUBPEL"))
     enc.encode_chunk(gradient_ball_frames(1080, 1920, 8, jnp.float32(0)))
     t0 = time.time()
     for g in range(gops):
@@ -42,7 +43,9 @@ def main():
         print(json.dumps({
             "metric": f"fvc_motion_{os.environ['_AB_ARM']}"
                       + ("_rolls" if os.environ.get("FLUTPU_MC_ROLLS")
-                         else "_gather"),
+                         else "_gather")
+                      + ("_intpel" if os.environ.get("_AB_NO_SUBPEL")
+                         else "_halfpel"),
             "value": round(measure(hier), 2), "unit": "frames/s"}),
             flush=True)
         return
@@ -51,8 +54,12 @@ def main():
             env = dict(os.environ, _AB_ARM=arm)
             if rolls:
                 env["FLUTPU_MC_ROLLS"] = rolls
+                env["_AB_NO_SUBPEL"] = "1"  # rolls path is integer-only
             subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, check=False)
+    env = dict(os.environ, _AB_ARM="full", _AB_NO_SUBPEL="1")
+    subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                   check=False)
 
 
 if __name__ == "__main__":
