@@ -11,6 +11,8 @@ from .encoder import TpuJpegEnc
 from .fvc import FvcDecoder, FvcEnc, FvcEncoder
 from .decoders import FvcDec, JpegDec
 from .avimux import AviDemux, AviMux
+from .ladder import FvcLadderEnc, Rung, encode_ladder_chunk, parse_rungs
 
 __all__ = ["VideoEncoder", "TpuJpegEnc", "FvcDecoder", "FvcEnc",
-           "FvcEncoder", "FvcDec", "JpegDec", "AviMux", "AviDemux"]
+           "FvcEncoder", "FvcDec", "JpegDec", "AviMux", "AviDemux",
+           "FvcLadderEnc", "Rung", "encode_ladder_chunk", "parse_rungs"]
