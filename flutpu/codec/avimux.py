@@ -162,6 +162,7 @@ class AviDemux(Element):
         self.sinkpad.event_function = self._sink_event
         self._buf = bytearray()
         self._pos = 0            # parse offset into _buf
+        self._started = False    # RIFF header consumed
         self._stack: List[int] = []   # LIST end offsets we are inside
         self._hdr = {"width": 0, "height": 0, "fps": Fraction(30, 1)}
         self._caps_sent = False
@@ -186,13 +187,14 @@ class AviDemux(Element):
         buf = self._buf
         if self._bad:
             return
-        if self._pos == 0:
+        if not self._started:
             if len(buf) < 12:
                 return
             if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"AVI ":
                 self._bad = True
                 return
             self._pos = 12
+            self._started = True
         while True:
             # leave finished LISTs
             while self._stack and self._pos >= self._stack[-1]:
@@ -238,6 +240,12 @@ class AviDemux(Element):
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         self._buf += bytes(buf.data)
         self._parse()
+        # bound memory on long streams: drop fully consumed bytes
+        if self._pos > (1 << 20):
+            shift = self._pos
+            del self._buf[:shift]
+            self._pos = 0
+            self._stack = [e - shift for e in self._stack]
         return FlowReturn.OK
 
     def _sink_event(self, pad: Pad, event: Event) -> bool:
@@ -247,6 +255,7 @@ class AviDemux(Element):
         if event.type == EventType.FLUSH_STOP:
             self._buf = bytearray()
             self._pos = 0
+            self._started = False
             self._stack = []
             self._frame_idx = 0
             self._bad = False

@@ -121,3 +121,33 @@ def test_avidemux_streams_before_eos():
     for i in range(4):
         assert psnr(frames[i], got[i]) > 30, i
     dec.teardown()
+
+
+def test_avidemux_long_stream_bounded_memory():
+    """A multi-megabyte AVI streamed in blocks: internal buffer stays
+    bounded (consumed prefix trimmed) and all frames emerge."""
+    import numpy as np
+    from flutpu.core import Buffer, Harness, MSECOND
+    from flutpu.codec.avimux import build_avi
+    from fractions import Fraction
+
+    rng = np.random.default_rng(4)
+    frame = rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
+    avi = build_avi([frame] * 64, 64, 48, Fraction(30, 1))  # ~2.5 MB
+    h = Harness("avidemux")
+    h.set_src_caps("video/x-msvideo")
+    el = h.element if hasattr(h, "element") else None
+    n = 0
+    for off in range(0, len(avi), 65536):
+        h.push(Buffer(avi[off:off + 65536], pts=0))
+        while h.try_pull(timeout=0.05) is not None:
+            n += 1
+    h.push_eos()
+    while h.try_pull(timeout=0.5) is not None:
+        n += 1
+    demux = [e for e in h.pipeline.iterate_elements()
+             if e.FACTORY == "avidemux"][0] if hasattr(h, "pipeline") else None
+    if demux is not None:
+        assert len(demux._buf) < 1.2 * (1 << 20), len(demux._buf)
+    h.teardown()
+    assert n == 64
