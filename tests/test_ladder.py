@@ -48,3 +48,10 @@ def test_ladder_element_three_rungs():
     assert psnr(frames[5], dhi[5]) > 30
     # the low rung carries fewer bytes than the high rung
     assert sum(map(len, lo_chunks)) < sum(map(len, hi_chunks))
+
+
+def test_parse_rungs_garbage():
+    import pytest
+    for bad in ("", "x", "12x", "@85", "axb@c"):
+        with pytest.raises(ValueError):
+            parse_rungs(bad)
