@@ -140,3 +140,27 @@ class TestInjectBin:
         tagged = [i for i, b in enumerate(got) if b.meta.get("tags") == ["mid"]]
         assert tagged == list(range(10, 25))
         assert [b.pts for b in got] == sorted(b.pts for b in got)
+
+    def test_swapped_out_element_is_collectable(self):
+        """Leak check (reference injectbin.c:42-53 weak-ref pattern): after
+        a swap, the old element must hold no references from the bin or
+        pads and be garbage-collectable."""
+        import gc
+        import weakref
+        from flutpu.core import Buffer, make, parse_launch
+
+        p = parse_launch("appsrc name=src caps='video/x-raw, format=RGB' "
+                         "! injectbin name=ib ! fakesink")
+        src, ib = p.get_by_name("src"), p.get_by_name("ib")
+        p.play()
+        old = make("identity")
+        ref = weakref.ref(old)
+        ib.set_property("element", old)
+        src.push(Buffer(b"a", pts=0))   # completes the swap-in
+        new = make("identity")
+        ib.set_property("element", new)
+        src.push(Buffer(b"b", pts=1))   # swap-out of `old` happens here
+        del old
+        gc.collect()
+        assert ref() is None, "swapped-out element leaked"
+        p.stop()
