@@ -203,11 +203,18 @@ class AviDemux(Element):
                 return
             fourcc = bytes(buf[self._pos:self._pos + 4])
             size = struct.unpack("<I", buf[self._pos + 4:self._pos + 8])[0]
+            # corrupt-stream guards: a fourcc must be printable ASCII and a
+            # declared size plausible — otherwise _parse would wait forever
+            # for bytes that never come while _buf grows unboundedly
+            if size > (1 << 28) or not all(0x20 <= c < 0x7F for c in fourcc):
+                self._bad = True
+                return
             body = self._pos + 8
             if fourcc == b"LIST":
                 if len(buf) - body < 4:
                     return
-                self._stack.append(body + size)
+                # RIFF pads odd-sized chunks with one byte — LISTs included
+                self._stack.append(body + size + (size & 1))
                 self._pos = body + 4  # descend past the list kind
                 continue
             end = body + size + (size & 1)

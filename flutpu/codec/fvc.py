@@ -221,6 +221,14 @@ class FvcEncoder:
         self.quality = quality
         self.subsample = subsample
         self.motion = motion
+        # vectors travel as int8 in the bitstream; with subpel they are in
+        # half-pixel units up to ±(2*search_range+1) — bound the range so
+        # they can never wrap (ADVICE r1: silent int8 overflow)
+        limit = 62 if subpel else 126
+        if not 0 < search_range <= limit:
+            raise ValueError(
+                f"search_range must be in 1..{limit} "
+                f"(subpel={subpel}; vectors are int8 in the bitstream)")
         self.search_range = search_range
         self.hier = hier  # coarse-to-fine motion search (~7x fewer passes)
         self.subpel = subpel  # half-pel refinement + bilinear compensation

@@ -43,7 +43,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # ALWAYS invoke make (a no-op when up to date): loading only when
+        # the .so is absent silently tests stale binaries after C++ edits.
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)

@@ -332,11 +332,15 @@ void run_http_task(Session* s, Task* t) {
   }
   std::string headers;
   std::string body_carry;
+  std::string cbuf;              // chunked-transfer reassembly buffer
   char buf[64 * 1024];
   bool in_headers = true;
   bool chunked = false;
   long remaining = -1;           // content-length remaining
-  long chunk_remaining = 0;      // current chunk payload remaining
+  // chunked state machine: >0 = payload bytes remaining in current chunk;
+  // 0 = at a size line; -1 = awaiting the 2-byte CRLF chunk terminator
+  // (which may arrive split across recv() boundaries); -2 = done.
+  long chunk_remaining = 0;
   bool crossed75 = false;
   int idle_ms = 0;
   const int kPoll = 100;
@@ -412,7 +416,6 @@ void run_http_task(Session* s, Task* t) {
     }
     // body bytes in [data, len)
     if (chunked) {
-      static thread_local std::string cbuf;
       cbuf.append(data, len);
       for (;;) {
         if (chunk_remaining > 0) {
@@ -421,15 +424,23 @@ void run_http_task(Session* s, Task* t) {
           if (!deliver(s, t, cbuf.data(), take)) return finish(TASK_ABORTED);
           cbuf.erase(0, take);
           chunk_remaining -= (long)take;
-          if (chunk_remaining == 0) {
-            if (cbuf.size() < 2) break;
-            cbuf.erase(0, 2);  // CRLF after chunk
-          }
+          if (chunk_remaining == 0) chunk_remaining = -1;
+          continue;
+        }
+        if (chunk_remaining == -1) {  // consume exactly the CRLF terminator
+          if (cbuf.size() < 2) break;
+          if (cbuf[0] != '\r' || cbuf[1] != '\n')
+            return finish(TASK_RECV_ERROR);
+          cbuf.erase(0, 2);
+          chunk_remaining = 0;
           continue;
         }
         size_t eol = cbuf.find("\r\n");
         if (eol == std::string::npos) break;
-        long sz = strtol(cbuf.c_str(), nullptr, 16);
+        char* endp = nullptr;
+        long sz = strtol(cbuf.c_str(), &endp, 16);
+        if (endp == cbuf.c_str() || sz < 0)  // malformed size line
+          return finish(TASK_RECV_ERROR);
         cbuf.erase(0, eol + 2);
         if (sz == 0) {
           chunk_remaining = -2;  // done marker

@@ -151,3 +151,65 @@ def test_avidemux_long_stream_bounded_memory():
         assert len(demux._buf) < 1.2 * (1 << 20), len(demux._buf)
     h.teardown()
     assert n == 64
+
+def test_avidemux_odd_sized_list_pad_byte():
+    """RIFF pads odd-sized chunks (LISTs included) to even offsets; the
+    streaming demux must resume aligned after an odd-sized LIST (round-1
+    ADVICE: LIST ends lacked the size&1 adjustment)."""
+    import struct
+    from flutpu.core import Buffer, Harness
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    strh = b"vids" + b"\x00" * 16 + struct.pack("<II", 1, 30) + b"\x00" * 8
+    strf = struct.pack("<I", 40) + struct.pack("<ii", 16, 12) + b"\x00" * 28
+    # last subchunk left unpadded → the LIST's declared size is odd and the
+    # pad byte lands AFTER the LIST (the case the round-1 parser missed)
+    junk_raw = b"JUNK" + struct.pack("<I", 7) + b"x" * 7
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf) + junk_raw
+    assert len(strl) & 1 == 1
+    hdrl = b"hdrl" + chunk(b"avih", b"\x00" * 56) \
+        + chunk(b"LIST", strl)
+    frames = [bytes([i]) * 100 for i in range(3)]
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    h = Harness("avidemux")
+    h.set_src_caps("video/x-msvideo")
+    got = []
+    for off in range(0, len(avi), 37):  # misalign the pushes too
+        h.push(Buffer(avi[off:off + 37], pts=0))
+        while True:
+            b = h.try_pull(timeout=0.05)
+            if b is None:
+                break
+            got.append(bytes(b.data))
+    h.push_eos()
+    while True:
+        b = h.try_pull(timeout=0.2)
+        if b is None:
+            break
+        got.append(bytes(b.data))
+    h.teardown()
+    assert got == frames
+
+
+def test_avidemux_corrupt_size_stops_parsing():
+    """A chunk declaring an absurd size (or a garbage fourcc) marks the
+    stream bad instead of buffering forever."""
+    import struct
+    from flutpu.codec.avimux import AviDemux
+    from flutpu.core import Buffer, Harness
+
+    bad = (b"RIFF" + struct.pack("<I", 100) + b"AVI "
+           + b"\x01\x02\x03\x04" + struct.pack("<I", 0xFFFFFFF0) + b"junk")
+    h = Harness("avidemux")
+    h.set_src_caps("video/x-msvideo")
+    h.push(Buffer(bad, pts=0))
+    demux = [e for e in h.pipeline.iterate_elements()
+             if isinstance(e, AviDemux)][0]
+    assert demux._bad
+    h.teardown()

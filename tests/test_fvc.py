@@ -354,3 +354,19 @@ def test_halfpel_beats_integer_on_fractional_motion():
     assert s_len < i_len, (s_len, i_len)
     dec, _ = FvcDecoder().decode_chunk(sub.encode_chunk(frames))
     assert psnr(frames[5], dec[5]) > 30
+
+
+def test_search_range_bounds_validated():
+    """Vectors are int8 in the bitstream (half-pel units under subpel):
+    out-of-range search_range must raise instead of silently wrapping."""
+    import pytest
+    from flutpu.codec.fvc import FvcEncoder
+
+    FvcEncoder(motion=True, search_range=62, subpel=True)
+    FvcEncoder(motion=True, search_range=126, subpel=False)
+    with pytest.raises(ValueError):
+        FvcEncoder(motion=True, search_range=63, subpel=True)
+    with pytest.raises(ValueError):
+        FvcEncoder(motion=True, search_range=127, subpel=False)
+    with pytest.raises(ValueError):
+        FvcEncoder(motion=True, search_range=0)

@@ -240,6 +240,106 @@ class TestNativeDownloaderSpecifics:
                            TaskOutcome.COULD_NOT_CONNECT,
                            TaskOutcome.ERROR)
 
+    @pytest.mark.parametrize("split_mode", ["whole", "terminator_split",
+                                            "byte_dribble"])
+    def test_chunked_transfer_adversarial_splits(self, split_mode):
+        """Chunked encoding with the CRLF chunk terminator (and even the
+        size lines) split across recv() boundaries — regression for the
+        round-1 mis-framing bug where a leftover terminator was fed to the
+        size-line parser and payload bytes were silently corrupted."""
+        import socket
+
+        chunks = [b"A" * 7, b"B" * 1, b"chunk-three" * 20, b"Z" * 64]
+        expect = b"".join(chunks)
+
+        def serve(conn):
+            conn.recv(4096)  # request
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+            def send(b, pause=0.0):
+                conn.sendall(b)
+                if pause:
+                    time.sleep(pause)
+
+            send(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n",
+                 0.05)
+            for c in chunks:
+                size_line = f"{len(c):x}\r\n".encode()
+                if split_mode == "whole":
+                    send(size_line + c + b"\r\n")
+                elif split_mode == "terminator_split":
+                    # payload ends the send; CRLF terminator arrives alone,
+                    # one byte at a time, in later recv()s
+                    send(size_line, 0.03)
+                    send(c, 0.03)
+                    send(b"\r", 0.03)
+                    send(b"\n", 0.03)
+                else:  # byte_dribble: everything one byte at a time
+                    for byte in size_line + c + b"\r\n":
+                        send(bytes([byte]), 0.002)
+            send(b"0\r\n\r\n")
+            conn.close()
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+
+        def accept_loop():
+            conn, _ = srv.accept()
+            serve(conn)
+
+        t = threading.Thread(target=accept_loop, daemon=True)
+        t.start()
+        try:
+            with DownloadHelper() as h:
+                data, outcome, status = h.download(
+                    f"http://127.0.0.1:{port}/chunked", timeout=30)
+            assert outcome == TaskOutcome.OK
+            assert status == 200
+            assert data == expect
+        finally:
+            srv.close()
+
+    def test_chunked_no_stale_state_across_tasks(self):
+        """An aborted chunked transfer must not leak buffered bytes into
+        the next chunked download on the same session (round-1 ADVICE:
+        thread_local cbuf persisted across tasks)."""
+        import socket
+
+        def serve_truncated(conn):
+            conn.recv(4096)
+            conn.sendall(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked"
+                         b"\r\n\r\n10\r\nonly-part")  # declared 16, sent 9
+            time.sleep(0.05)
+            conn.close()  # mid-chunk EOF → RECV_ERROR
+
+        def serve_good(conn):
+            conn.recv(4096)
+            conn.sendall(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked"
+                         b"\r\n\r\n5\r\nhello\r\n0\r\n\r\n")
+            conn.close()
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+
+        def accept_loop():
+            for fn in (serve_truncated, serve_good):
+                conn, _ = srv.accept()
+                fn(conn)
+
+        t = threading.Thread(target=accept_loop, daemon=True)
+        t.start()
+        try:
+            with DownloadHelper() as h:
+                _, outcome1, _ = h.download(
+                    f"http://127.0.0.1:{port}/bad", timeout=30)
+                data2, outcome2, _ = h.download(
+                    f"http://127.0.0.1:{port}/good", timeout=30)
+            assert outcome1 == TaskOutcome.RECV_ERROR
+            assert outcome2 == TaskOutcome.OK
+            assert data2 == b"hello"
+        finally:
+            srv.close()
+
     def test_pause_resume(self, http_server):
         base, root = http_server
         got = []
