@@ -148,22 +148,42 @@ def main():
         else (lambda *a: None)
 
     # device health probe in a subprocess: a dead remote link hangs jax
-    # calls indefinitely (observed multi-hour axon outages) — fail with an
-    # honest zero instead of hanging the driver
+    # calls indefinitely (observed multi-hour axon outages) — retry with
+    # backoff within a bounded budget (a single bad probe forfeited the
+    # round-1 number), then fail with an honest zero instead of hanging
+    # the driver
     import subprocess
     on_cpu = (os.environ.get("JAX_PLATFORMS") == "cpu"
               or bool(os.environ.get("FLUTPU_CPU")))
+    if on_cpu:
+        # env vars alone are defeated by this image's sitecustomize (it
+        # pre-imports jax with the axon TPU plugin); config.update is the
+        # only reliable override
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if not on_cpu:
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "(jnp.ones((8,8))+1).block_until_ready();print('ok')"],
-                capture_output=True,
-                timeout=None if "--no-probe-timeout" in sys.argv else 300)
-            healthy = b"ok" in probe.stdout
-        except subprocess.TimeoutExpired:
-            healthy = False
+        budget = float(os.environ.get("FLUTPU_PROBE_BUDGET_S", "1200"))
+        deadline = time.time() + budget
+        healthy = False
+        delay = 30.0
+        while True:
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "(jnp.ones((8,8))+1).block_until_ready();print('ok')"],
+                    capture_output=True,
+                    timeout=None if "--no-probe-timeout" in sys.argv
+                    else min(300, max(30, deadline - time.time())))
+                healthy = b"ok" in probe.stdout
+            except subprocess.TimeoutExpired:
+                healthy = False
+            if healthy or time.time() + delay >= deadline:
+                break
+            report(f"probe failed; retrying in {delay:.0f}s "
+                   f"({deadline - time.time():.0f}s budget left)")
+            time.sleep(delay)
+            delay = min(delay * 2, 300.0)
         if not healthy:
             print(json.dumps({"metric": "1080p_encode_fps_per_chip",
                               "value": 0.0, "unit": "frames/s",
@@ -174,7 +194,14 @@ def main():
     import jax
     backend = jax.devices()[0].platform
     n_gops = 40 if backend != "cpu" else 3
-    fps = run_pipeline(n_gops, report)
+    try:
+        fps = run_pipeline(n_gops, report)
+    except Exception as e:  # keep the one-JSON-line contract on link death
+        print(json.dumps({"metric": "1080p_encode_fps_per_chip",
+                          "value": 0.0, "unit": "frames/s",
+                          "vs_baseline": 0.0,
+                          "error": f"{type(e).__name__}: {e}"[:200]}))
+        return
     report(f"{backend} fps: {fps:.1f}")
 
     # measured CPU baseline (same contracts, CPU backend) in a subprocess

@@ -23,6 +23,22 @@ if os.environ.get("FLUTPU_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (same as bench.py): the axon remote
+    compiler costs minutes per program; cached reruns skip it."""
+    try:
+        import jax
+        cache = os.environ.get("JAX_CACHE_DIR", "/tmp/flutpu-jax-cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def measure(hier: bool, gops: int = 3) -> float:
     import jax.numpy as jnp
     from flutpu.codec.fvc import FvcEncoder

@@ -5,8 +5,10 @@ pipelining, outcome taxonomy, pause/resume, fault injection; a synchronous
 helper facade; every payload feeds the global fluc bandwidth meter.
 """
 
-from .downloader import Downloader, Task, TaskOutcome, outcome_string
+from .downloader import (Downloader, SslStatus, Task, TaskOutcome,
+                         outcome_string)
 from .helper import DownloadHelper, download_sync, parse_http_date
 
-__all__ = ["Downloader", "Task", "TaskOutcome", "outcome_string",
+__all__ = ["Downloader", "SslStatus", "Task", "TaskOutcome",
+           "outcome_string",
            "DownloadHelper", "download_sync", "parse_http_date"]

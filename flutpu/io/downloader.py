@@ -38,6 +38,25 @@ class TaskOutcome(enum.IntEnum):
     NO_TASK = 13
 
 
+class SslStatus(enum.IntEnum):
+    """SSL status taxonomy (reference fludownloader.h:50-82)."""
+    OK = 0
+    CONNECT_ERROR = 1
+    ENGINE_NOT_FOUND = 2
+    ENGINE_SET_FAILED = 3
+    CERTPROBLEM = 4
+    CIPHER = 5
+    CACERT = 6
+    ENGINE_INIT_FAILED = 7
+    CACERT_BADFILE = 8
+    SHUTDOWN_FAILED = 9
+    CRL_BADFILE = 10
+    ISSUER_ERROR = 11
+    PINNEDPUBKEYNOTMATCH = 12
+    INVALIDCERTSTATUS = 13
+    NO_TASK = 14
+
+
 DataCallback = Callable[[bytes, "Task"], bool]
 DoneCallback = Callable[[TaskOutcome, int, int, "Task"], Optional[bool]]
 
@@ -51,6 +70,7 @@ class Task:
     http_status: int = 0
     downloaded: int = 0
     content_length: int = 0
+    ssl_status: SslStatus = SslStatus.OK
     _native_handle: Optional[int] = None
     _session: object = None
     _forced: bool = False
@@ -124,6 +144,8 @@ class Downloader:
         task.http_status = http_status
         task.content_length = int(
             self._lib.flu_dl_task_get_length(task_handle)) or task.downloaded
+        task.ssl_status = SslStatus(int(
+            self._lib.flu_dl_task_get_ssl_status(task_handle)))
         task._native_handle = None
         if self.done_cb is not None:
             if self.done_cb(task.outcome, http_status, size, task):
@@ -179,6 +201,18 @@ class Downloader:
     def set_proxy(self, proxy: str):
         if self._lib is not None:
             self._lib.flu_dl_set_proxy(self._ctx, proxy.encode())
+        else:
+            self._py.proxy = proxy
+
+    def set_ssl(self, verify: bool = True, ca_file: Optional[str] = None):
+        """TLS configuration: certificate verification on/off and an
+        optional CA bundle override (tests, private roots)."""
+        if self._lib is not None:
+            self._lib.flu_dl_set_ssl(self._ctx, 1 if verify else 0,
+                                     (ca_file or "").encode())
+        else:
+            self._py.ssl_verify = verify
+            self._py.ca_file = ca_file
 
     def set_polling_period(self, period_us: int):
         if self._lib is not None:
@@ -211,6 +245,9 @@ class _PythonWorker:
         self.session = session
         self.queue: "_pyqueue.Queue" = _pyqueue.Queue()
         self.barrier = Barrier(True)
+        self.proxy: Optional[str] = None
+        self.ssl_verify = True
+        self.ca_file: Optional[str] = None
         self.running = True
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -255,12 +292,22 @@ class _PythonWorker:
                 self._finish(task, TaskOutcome.ABORTED)
                 continue
             try:
+                import ssl as _ssl
                 req = urllib.request.Request(task.url)
                 if task.range and task.range != "HEAD":
                     req.add_header("Range", f"bytes={task.range}")
                 if task.range == "HEAD":
                     req.get_method = lambda: "HEAD"
-                with urllib.request.urlopen(req, timeout=10) as resp:
+                sctx = _ssl.create_default_context(cafile=self.ca_file)
+                if not self.ssl_verify:
+                    sctx.check_hostname = False
+                    sctx.verify_mode = _ssl.CERT_NONE
+                handlers = [urllib.request.HTTPSHandler(context=sctx)]
+                if self.proxy:
+                    handlers.append(urllib.request.ProxyHandler(
+                        {"http": self.proxy, "https": self.proxy}))
+                opener = urllib.request.build_opener(*handlers)
+                with opener.open(req, timeout=10) as resp:
                     task.http_status = getattr(resp, "status", 200) or 200
                     length = resp.headers.get("Content-Length") \
                         if hasattr(resp, "headers") else None
@@ -283,5 +330,12 @@ class _PythonWorker:
                 self._finish(task, TaskOutcome.HTTP_ERROR)
             except FileNotFoundError:
                 self._finish(task, TaskOutcome.FILE_NOT_FOUND)
+            except urllib.error.URLError as e:
+                import ssl as _ssl
+                if isinstance(getattr(e, "reason", None), _ssl.SSLError):
+                    task.ssl_status = SslStatus.CACERT
+                    self._finish(task, TaskOutcome.SSL_ERROR)
+                else:
+                    self._finish(task, TaskOutcome.ERROR)
             except Exception:
                 self._finish(task, TaskOutcome.ERROR)

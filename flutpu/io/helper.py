@@ -19,6 +19,8 @@ class DownloadHelper:
     def __init__(self, user_agent: Optional[str] = None,
                  cookies: Optional[str] = None,
                  proxy: Optional[str] = None,
+                 ssl_verify: bool = True,
+                 ca_file: Optional[str] = None,
                  force_python: bool = False):
         self._chunks: list = []
         self._done = threading.Event()
@@ -32,6 +34,8 @@ class DownloadHelper:
             self._dl.set_cookies(cookies)
         if proxy:
             self._dl.set_proxy(proxy)
+        if not ssl_verify or ca_file:
+            self._dl.set_ssl(ssl_verify, ca_file)
 
     def _on_data(self, data: bytes, task: Task) -> bool:
         self._chunks.append(data)

@@ -149,5 +149,9 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.flu_dl_set_user_agent.argtypes = [c.c_void_p, c.c_char_p]
     lib.flu_dl_set_cookies.argtypes = [c.c_void_p, c.c_char_p]
     lib.flu_dl_set_proxy.argtypes = [c.c_void_p, c.c_char_p]
+    lib.flu_dl_set_ssl.argtypes = [c.c_void_p, c.c_int, c.c_char_p]
+    lib.flu_dl_ssl_available.restype = c.c_int
+    lib.flu_dl_task_get_ssl_status.restype = c.c_int
+    lib.flu_dl_task_get_ssl_status.argtypes = [c.c_void_p]
     lib.flu_dl_get_tasks_count.restype = c.c_int
     lib.flu_dl_get_tasks_count.argtypes = [c.c_void_p]

@@ -39,6 +39,7 @@
 #include <vector>
 
 #include "../fluc/fluc_threads.hpp"
+#include "flutls.hpp"
 
 extern "C" void flu_bwmeter_data(uint64_t bytes);
 
@@ -90,6 +91,15 @@ struct Task {
   // pipelined connection state (prepared ahead of execution)
   int sock = -1;
   bool request_sent = false;
+  flutls::Conn* tls = nullptr;   // non-null for https transfers
+  int ssl_status = 0;            // flutls::SslStatus (fludownloader.h:50-82)
+
+  void close_transport() {
+    delete tls;
+    tls = nullptr;
+    if (sock >= 0) close(sock);
+    sock = -1;
+  }
 };
 
 struct Session {
@@ -106,6 +116,8 @@ struct Session {
   std::string user_agent = "flutpu-downloader/1.0";
   std::string cookies;
   std::string proxy;
+  std::atomic<bool> ssl_verify{true};
+  std::string ca_file;  // optional CA bundle override (tests, pinning)
   fluc::Monitor wakeup;
   std::atomic<uint64_t> discard_window{0};  // post-resume bw-stat discard
 
@@ -206,6 +218,47 @@ bool send_all(int fd, const std::string& data, long timeout_ms) {
   return true;
 }
 
+// "host:port", with optional http:// prefix (curl-style proxy string).
+bool parse_proxy(const std::string& proxy, std::string* host, int* port) {
+  std::string p = proxy;
+  size_t scheme = p.find("://");
+  if (scheme != std::string::npos) p = p.substr(scheme + 3);
+  while (!p.empty() && p.back() == '/') p.pop_back();
+  size_t colon = p.rfind(':');
+  if (colon == std::string::npos) {
+    *host = p;
+    *port = 8080;
+  } else {
+    *host = p.substr(0, colon);
+    *port = atoi(p.c_str() + colon + 1);
+  }
+  return !host->empty() && *port > 0;
+}
+
+// Read the proxy's reply to a CONNECT until the blank line; require 200.
+bool read_connect_reply(int fd, long timeout_ms, long idle_ms) {
+  std::string reply;
+  long waited = 0;
+  while (reply.find("\r\n\r\n") == std::string::npos) {
+    struct pollfd pfd = {fd, POLLIN, 0};
+    int rc = poll(&pfd, 1, (int)timeout_ms);
+    if (rc == 0) {
+      waited += timeout_ms;
+      if (waited >= idle_ms) return false;
+      continue;
+    }
+    if (rc < 0) return false;
+    char buf[4096];
+    ssize_t n = recv(fd, buf, sizeof(buf), 0);
+    if (n <= 0) return false;
+    reply.append(buf, (size_t)n);
+    if (reply.size() > 64 * 1024) return false;
+  }
+  int status = 0;
+  sscanf(reply.c_str(), "HTTP/%*s %d", &status);
+  return status == 200;
+}
+
 bool prepare_http(Session* s, Task* t, int* outcome) {
   std::string scheme, host, path;
   int port = 80;
@@ -213,14 +266,66 @@ bool prepare_http(Session* s, Task* t, int* outcome) {
     *outcome = TASK_ERROR;
     return false;
   }
-  if (scheme == "https") {
-    *outcome = TASK_SSL_ERROR;  // no TLS backend in this build
-    return false;
+  bool https = scheme == "https";
+  if (https) {
+    if (port == 80) port = 443;
+    if (!flutls::available()) {
+      t->ssl_status = flutls::SSL_STATUS_ENGINE_NOT_FOUND;
+      *outcome = TASK_SSL_ERROR;
+      return false;
+    }
   }
-  int fd = connect_host(host, port, s->connect_timeout_ms.load(), outcome);
-  if (fd < 0) return false;
+  long cto = s->connect_timeout_ms.load();
+  bool via_proxy = !s->proxy.empty();
+  int fd;
+  if (via_proxy) {
+    std::string phost;
+    int pport;
+    if (!parse_proxy(s->proxy, &phost, &pport)) {
+      *outcome = TASK_ERROR;
+      return false;
+    }
+    fd = connect_host(phost, pport, cto, outcome);
+    if (fd < 0) return false;
+    if (https) {
+      // tunnel: CONNECT host:port, then TLS over the tunnel
+      // (reference: curl CONNECT via CURLOPT_PROXY, fludownloader.c:710-748)
+      char portstr[16];
+      snprintf(portstr, sizeof(portstr), "%d", port);
+      std::string connect_req = "CONNECT " + host + ":" + portstr +
+                                " HTTP/1.1\r\nHost: " + host + ":" + portstr +
+                                "\r\nUser-Agent: " + s->user_agent +
+                                "\r\n\r\n";
+      if (!send_all(fd, connect_req, cto)) {
+        close(fd);
+        *outcome = TASK_SEND_ERROR;
+        return false;
+      }
+      if (!read_connect_reply(fd, cto, s->idle_timeout_ms.load())) {
+        close(fd);
+        *outcome = TASK_COULD_NOT_CONNECT;
+        return false;
+      }
+    }
+  } else {
+    fd = connect_host(host, port, cto, outcome);
+    if (fd < 0) return false;
+  }
+  if (https) {
+    bool timed_out = false;
+    t->tls = flutls::Conn::handshake(fd, host, s->ssl_verify.load(),
+                                     s->ca_file, cto, &t->ssl_status,
+                                     &timed_out);
+    if (t->tls == nullptr) {
+      close(fd);
+      *outcome = timed_out ? TASK_TIMEOUT : TASK_SSL_ERROR;
+      return false;
+    }
+  }
   bool head = t->range == "HEAD";
-  std::string req = std::string(head ? "HEAD " : "GET ") + path +
+  // plain-http proxy requests use the absolute URI form
+  std::string target = (via_proxy && !https) ? t->url : path;
+  std::string req = std::string(head ? "HEAD " : "GET ") + target +
                     " HTTP/1.1\r\nHost: " + host +
                     "\r\nUser-Agent: " + s->user_agent +
                     "\r\nConnection: close\r\n";
@@ -228,7 +333,12 @@ bool prepare_http(Session* s, Task* t, int* outcome) {
     req += "Range: bytes=" + t->range + "\r\n";
   if (!s->cookies.empty()) req += "Cookie: " + s->cookies + "\r\n";
   req += "\r\n";
-  if (!send_all(fd, req, s->connect_timeout_ms.load())) {
+  bool sent = t->tls != nullptr
+                  ? t->tls->write_all(req.data(), (int)req.size(), fd, cto)
+                  : send_all(fd, req, cto);
+  if (!sent) {
+    delete t->tls;
+    t->tls = nullptr;
     close(fd);
     *outcome = TASK_SEND_ERROR;
     return false;
@@ -253,7 +363,9 @@ void maybe_pipeline_next(Session* s, Task* current) {
   }
   if (next == nullptr || next->request_sent || next->abort_requested.load())
     return;
-  if (next->url.rfind("http://", 0) != 0) return;  // only http pipelines
+  if (next->url.rfind("http://", 0) != 0 &&
+      next->url.rfind("https://", 0) != 0)
+    return;  // only http(s) pipelines
   int outcome = TASK_ERROR;
   prepare_http(s, next, &outcome);  // best-effort; retried at execution
 }
@@ -346,8 +458,7 @@ void run_http_task(Session* s, Task* t) {
   const int kPoll = 100;
 
   auto finish = [&](int oc) {
-    if (t->sock >= 0) close(t->sock);
-    t->sock = -1;
+    t->close_transport();
     if (t->outcome.load() == TASK_PENDING) t->outcome = oc;
   };
 
@@ -355,17 +466,30 @@ void run_http_task(Session* s, Task* t) {
     if (!s->pause_barrier.trypass_for_ms(4000)) continue;
     long pp = s->polling_period_us.load();
     if (pp > 0) usleep((useconds_t)pp);
-    struct pollfd pfd = {t->sock, POLLIN, 0};
-    int rc = poll(&pfd, 1, kPoll);
-    if (rc == 0) {
-      idle_ms += kPoll;
-      if (idle_ms >= s->idle_timeout_ms.load()) return finish(TASK_TIMEOUT);
-      continue;
+    // decrypted bytes may already be buffered inside OpenSSL, in which
+    // case the socket never becomes readable again — skip the poll
+    bool tls_buffered = t->tls != nullptr && t->tls->pending() > 0;
+    if (!tls_buffered) {
+      struct pollfd pfd = {t->sock, POLLIN, 0};
+      int rc = poll(&pfd, 1, kPoll);
+      if (rc == 0) {
+        idle_ms += kPoll;
+        if (idle_ms >= s->idle_timeout_ms.load()) return finish(TASK_TIMEOUT);
+        continue;
+      }
+      if (rc < 0) return finish(TASK_RECV_ERROR);
     }
-    if (rc < 0) return finish(TASK_RECV_ERROR);
     idle_ms = 0;
-    ssize_t n = recv(t->sock, buf, sizeof(buf), 0);
-    if (n < 0) return finish(TASK_RECV_ERROR);
+    ssize_t n;
+    if (t->tls != nullptr) {
+      int rn = t->tls->read(buf, (int)sizeof(buf));
+      if (rn == -2) continue;  // record incomplete; poll for more bytes
+      if (rn < 0) return finish(TASK_RECV_ERROR);
+      n = rn;
+    } else {
+      n = recv(t->sock, buf, sizeof(buf), 0);
+      if (n < 0) return finish(TASK_RECV_ERROR);
+    }
     if (n == 0) {  // connection closed
       if (in_headers) return finish(TASK_RECV_ERROR);
       if (remaining > 0 || (chunked && chunk_remaining != -2))
@@ -482,7 +606,8 @@ void worker_loop(Session* s) {
     if (!t->outcome_forced.load() && !t->abort_requested.load()) {
       if (t->url.rfind("file://", 0) == 0) {
         run_file_task(s, t);
-      } else if (t->url.rfind("http://", 0) == 0) {
+      } else if (t->url.rfind("http://", 0) == 0 ||
+                 t->url.rfind("https://", 0) == 0) {
         run_http_task(s, t);
       } else {
         t->outcome = TASK_ERROR;
@@ -503,7 +628,7 @@ void worker_loop(Session* s) {
         for (Task* q : s->queue) q->abort_requested = true;
       }
     }
-    if (t->sock >= 0) close(t->sock);
+    t->close_transport();
     delete t;
   }
   // drain: abort queued tasks
@@ -635,6 +760,18 @@ void flu_dl_set_cookies(void* ctx, const char* cookies) {
 
 void flu_dl_set_proxy(void* ctx, const char* proxy) {
   static_cast<Session*>(ctx)->proxy = proxy ? proxy : "";
+}
+
+void flu_dl_set_ssl(void* ctx, int verify, const char* ca_file) {
+  Session* s = static_cast<Session*>(ctx);
+  s->ssl_verify = verify != 0;
+  s->ca_file = ca_file ? ca_file : "";
+}
+
+int flu_dl_ssl_available(void) { return flutls::available() ? 1 : 0; }
+
+int flu_dl_task_get_ssl_status(void* task) {
+  return static_cast<Task*>(task)->ssl_status;
 }
 
 int flu_dl_get_tasks_count(void* ctx) {

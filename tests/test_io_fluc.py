@@ -11,7 +11,7 @@ import pytest
 
 from flutpu.fluc import Barrier, Monitor, Mutex
 from flutpu.fluc.bwmeter import BwMeter
-from flutpu.io import (DownloadHelper, Downloader, TaskOutcome,
+from flutpu.io import (DownloadHelper, Downloader, SslStatus, TaskOutcome,
                        download_sync, outcome_string)
 from flutpu import native
 
@@ -357,3 +357,222 @@ class TestNativeDownloaderSpecifics:
             assert before < sum(got)
         finally:
             dl.destroy()
+
+
+# ---------------------------------------------------------------------------
+# TLS + proxy (reference: curl SSL/proxy setup, fludownloader.c:710-748 and
+# the SSL status taxonomy, fludownloader.h:50-82)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tls_server(tmp_path_factory):
+    """Local HTTPS server with a freshly generated self-signed cert for
+    'localhost' (the cryptography package is in the image)."""
+    import datetime
+    import ssl
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    root = tmp_path_factory.mktemp("tls-www")
+    (root / "secure.txt").write_bytes(b"over TLS" * 400)
+    certdir = tmp_path_factory.mktemp("certs")
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(days=1))
+            .not_valid_after(now + datetime.timedelta(days=10))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.DNSName("localhost")]), critical=False)
+            .sign(key, hashes.SHA256()))
+    certfile = certdir / "cert.pem"
+    keyfile = certdir / "key.pem"
+    certfile.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    keyfile.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption()))
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            if rng and rng.startswith("bytes="):
+                with open(self.translate_path(self.path), "rb") as f:
+                    data = f.read()
+                a, _, b = rng[6:].partition("-")
+                start = int(a)
+                end = int(b) if b else len(data) - 1
+                body = data[start:end + 1]
+                self.send_response(206)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header(
+                    "Content-Range", f"bytes {start}-{end}/{len(data)}")
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            super().do_GET()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    sctx = __import__("ssl").SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(str(certfile), str(keyfile))
+    srv.socket = sctx.wrap_socket(srv.socket, server_side=True)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield (f"https://localhost:{srv.server_address[1]}", root, str(certfile))
+    srv.shutdown()
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+class TestTls:
+    def test_https_get(self, tls_server, force_python):
+        base, root, ca = tls_server
+        with DownloadHelper(ca_file=ca, force_python=force_python) as h:
+            data, outcome, status = h.download(f"{base}/secure.txt")
+        assert outcome == TaskOutcome.OK
+        assert status == 200
+        assert data == (root / "secure.txt").read_bytes()
+
+    def test_https_untrusted_ca_fails_with_status(self, tls_server,
+                                                  force_python):
+        base, _, _ = tls_server
+        done = threading.Event()
+        seen = {}
+
+        def done_cb(outcome, status, size, task):
+            seen["outcome"] = outcome
+            seen["ssl_status"] = task.ssl_status
+            done.set()
+
+        dl = Downloader(lambda d, t: True, done_cb,
+                        force_python=force_python)
+        try:
+            dl.new_task(f"{base}/secure.txt")
+            assert done.wait(30)
+        finally:
+            dl.destroy()
+        assert seen["outcome"] == TaskOutcome.SSL_ERROR
+        assert seen["ssl_status"] == SslStatus.CACERT
+
+    def test_https_verify_off(self, tls_server, force_python):
+        base, root, _ = tls_server
+        with DownloadHelper(ssl_verify=False,
+                            force_python=force_python) as h:
+            data, outcome, _ = h.download(f"{base}/secure.txt")
+        assert outcome == TaskOutcome.OK
+        assert data == (root / "secure.txt").read_bytes()
+
+    def test_https_range(self, tls_server, force_python):
+        base, root, ca = tls_server
+        full = (root / "secure.txt").read_bytes()
+        with DownloadHelper(ca_file=ca, force_python=force_python) as h:
+            data, outcome, status = h.download(f"{base}/secure.txt",
+                                               range="10-99")
+        assert outcome == TaskOutcome.OK
+        assert data == full[10:100]
+
+
+@pytest.fixture()
+def mini_proxy():
+    """Minimal HTTP proxy: absolute-URI GET forwarding + CONNECT tunnels.
+    Records what it served so tests can assert traffic went through it."""
+    import socket
+    import urllib.request
+
+    served = {"abs": 0, "connect": 0}
+    srv = socket.create_server(("127.0.0.1", 0))
+    srv.settimeout(30)
+    port = srv.getsockname()[1]
+    running = [True]
+
+    def pump(a, b):
+        try:
+            while True:
+                d = a.recv(65536)
+                if not d:
+                    break
+                b.sendall(d)
+        except OSError:
+            pass
+        finally:
+            try:
+                b.shutdown(socket.SHUT_WR)
+            except OSError:
+                pass
+
+    def handle(conn):
+        try:
+            req = b""
+            while b"\r\n\r\n" not in req:
+                d = conn.recv(4096)
+                if not d:
+                    return
+                req += d
+            line = req.split(b"\r\n", 1)[0].decode()
+            method, target, _ = line.split(" ", 2)
+            if method == "CONNECT":
+                served["connect"] += 1
+                host, _, p = target.partition(":")
+                up = socket.create_connection((host, int(p)), timeout=10)
+                conn.sendall(b"HTTP/1.1 200 Connection established\r\n\r\n")
+                t1 = threading.Thread(target=pump, args=(conn, up),
+                                      daemon=True)
+                t1.start()
+                pump(up, conn)
+                t1.join(5)
+                up.close()
+            elif method == "GET" and target.startswith("http://"):
+                served["abs"] += 1
+                with urllib.request.urlopen(target, timeout=10) as r:
+                    body = r.read()
+                conn.sendall(b"HTTP/1.1 200 OK\r\nContent-Length: "
+                             + str(len(body)).encode()
+                             + b"\r\nConnection: close\r\n\r\n" + body)
+        except Exception:
+            pass
+        finally:
+            conn.close()
+
+    def loop():
+        while running[0]:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=handle, args=(conn,),
+                             daemon=True).start()
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{port}", served
+    running[0] = False
+    srv.close()
+
+
+class TestProxy:
+    def test_http_via_proxy_absolute_uri(self, http_server, mini_proxy):
+        base, root = http_server
+        proxy, served = mini_proxy
+        with DownloadHelper(proxy=proxy) as h:
+            data, outcome, status = h.download(f"{base}/hello.txt")
+        assert outcome == TaskOutcome.OK
+        assert data == (root / "hello.txt").read_bytes()
+        assert served["abs"] == 1
+
+    def test_https_via_connect_tunnel(self, tls_server, mini_proxy):
+        base, root, ca = tls_server
+        proxy, served = mini_proxy
+        with DownloadHelper(proxy=proxy, ca_file=ca) as h:
+            data, outcome, status = h.download(f"{base}/secure.txt")
+        assert outcome == TaskOutcome.OK
+        assert data == (root / "secure.txt").read_bytes()
+        assert served["connect"] == 1
