@@ -216,7 +216,7 @@ class FvcEncoder:
     def __init__(self, quality: int = 85, subsample: bool = True,
                  motion: bool = False, search_range: int = 7,
                  engine: str = "auto", hier: bool = False,
-                 subpel: bool = True):
+                 subpel: bool = False):
         from .jpeg import JpegEncoder
         self.quality = quality
         self.subsample = subsample
@@ -654,7 +654,7 @@ class FvcEnc(VideoEncoder):
         PropertySpec("search", "full", "full | hier motion estimation "
                                        "(hier = coarse-to-fine, ~7x fewer "
                                        "whole-frame passes)"),
-        PropertySpec("subpel", True, "half-pel motion refinement + bilinear "
+        PropertySpec("subpel", False, "half-pel motion refinement + bilinear "
                                      "compensation"),
         PropertySpec("bitrate", 0, "target bits/sec; 0 = constant quality. "
                                    "Per-chunk log-proportional quality "

@@ -72,13 +72,21 @@ def motion_compensate(prev: jnp.ndarray, mv: jnp.ndarray,
     pass mb=8 and the same mv (vectors are halved internally when
     mb != MB).
 
-    One flat gather from per-pixel source indices — (2r+1)² x less HBM
-    traffic than enumerating every candidate displacement as a masked
-    roll (the roll form stays available via FLUTPU_MC_ROLLS=1 for
-    hardware A/B; both are bit-identical).
+    Two bit-identical formulations, chosen by backend at trace time:
+    masked rolls on TPU, flat gather elsewhere. The round-2 hardware A/B
+    (benches/ab_motion.py, v5e: rolls 17.4 fps vs gather 13.6 fps at
+    1080p intpel) showed dynamic gathers lose to candidate-enumeration
+    rolls on TPU — the exact opposite of the CPU result (gather 2.2x
+    faster), so the switch keys on jax.default_backend().
+    FLUTPU_MC_ROLLS=1/0 still forces either form.
     """
     import os
-    if os.environ.get("FLUTPU_MC_ROLLS"):
+    forced = os.environ.get("FLUTPU_MC_ROLLS")
+    if forced is not None:
+        use_rolls = forced not in ("", "0")
+    else:
+        use_rolls = jax.default_backend() == "tpu"
+    if use_rolls:
         return _motion_compensate_rolls(prev, mv, search_range, mb)
     h, w = prev.shape
     scale = MB // mb  # 1 luma, 2 chroma

@@ -74,7 +74,7 @@ def encode_chunks_single(frames: jax.Array, qy: jax.Array, qc: jax.Array):
 def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                        mesh: Mesh, motion: bool = False,
                        search_range: int = 7, hier: bool = False,
-                       subpel: bool = True):
+                       subpel: bool = False):
     """FVC GOP coding as an SPMD program: (C, F, H, W, 3) uint8, C sharded
     over the ``chunk`` mesh axis, each shard running an independent codec
     instance (frame 0 of every chunk is an I frame — the forced-keyframe

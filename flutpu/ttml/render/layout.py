@@ -46,6 +46,7 @@ class RunSpec:
     decorations: TextDecoration
     outline: Optional[TextOutline]
     outline_color: Tuple[int, int, int, int]
+    rtl: bool = False  # RTL base direction (affects run order + alignment)
     metrics: RunMetrics = None  # filled during measuring
 
     def measure(self) -> RunMetrics:
@@ -143,11 +144,16 @@ def extract_runs(spans: List[Span], region_id: Optional[str],
         if outline is not None and not outline.use_current_color:
             out_color = _rgba_tuple(outline.color)
         direction = _style_enum(style, AttrType.DIRECTION, Direction.LTR)
+        bidi = _style_enum(style, AttrType.UNICODE_BIDI, UnicodeBidi.NORMAL)
 
         text = span.chars
-        if direction == Direction.RTL:
-            # reference reverses glyph order for RTL runs
-            # (gstttmlrender.c RTL-reverse custom attr)
+        rtl = direction == Direction.RTL
+        if rtl and bidi == UnicodeBidi.BIDI_OVERRIDE:
+            # unicodeBidi=bidiOverride forces visual order regardless of
+            # script: the reference implements this as a glyph-reversing
+            # custom pango attribute (gstttmlrender.c:858-898). Plain
+            # direction=rtl must NOT reverse characters — it sets the base
+            # direction (run order within the line + start/end mapping).
             text = "\n".join(part[::-1] for part in text.split("\n"))
         for i, frag in enumerate(text.split("\n")):
             if i > 0:
@@ -158,7 +164,11 @@ def extract_runs(spans: List[Span], region_id: Optional[str],
                 frag, family, int(round(font_sizes[0])),
                 fweight == FontWeight.BOLD,
                 fstyle in (FontStyle.ITALIC, FontStyle.OBLIQUE),
-                color, bgcolor, deco, outline, out_color))
+                color, bgcolor, deco, outline, out_color, rtl))
+    # RTL base direction lays runs out right-to-left within the line
+    for line in lines:
+        if any(r.rtl for r in line):
+            line.reverse()
     return [l for l in lines]
 
 
@@ -187,7 +197,8 @@ def wrap_lines(lines: List[List[RunSpec]], max_width: int,
                         cur.append(RunSpec(pending, run.family, run.size_px,
                                            run.bold, run.italic, run.color,
                                            run.bgcolor, run.decorations,
-                                           run.outline, run.outline_color))
+                                           run.outline, run.outline_color,
+                                           run.rtl))
                     if cur:
                         out.append(cur)
                     cur = []
@@ -199,7 +210,7 @@ def wrap_lines(lines: List[List[RunSpec]], max_width: int,
                 cur.append(RunSpec(pending, run.family, run.size_px,
                                    run.bold, run.italic, run.color,
                                    run.bgcolor, run.decorations,
-                                   run.outline, run.outline_color))
+                                   run.outline, run.outline_color, run.rtl))
                 cur_w += measure_run(pending, run.family, run.size_px,
                                      run.bold, run.italic).width
         if cur:
@@ -288,9 +299,9 @@ def draw_region_layer(width: int, height: int, lines: List[List[RunSpec]],
         y = int(pad_t)
 
     for line, (w, asc, desc), adv in zip(lines, metrics, advances):
-        if text_align in (TextAlign.CENTER,):
+        if _resolve_align(text_align, line) == "center":
             x = int(pad_l + (inner_w - w) / 2)
-        elif text_align in (TextAlign.RIGHT, TextAlign.END):
+        elif _resolve_align(text_align, line) == "right":
             x = int(pad_l + inner_w - w)
         else:
             x = int(pad_l)
@@ -325,8 +336,9 @@ def draw_region_layer(width: int, height: int, lines: List[List[RunSpec]],
             x += m.width
         y += int(adv)
 
-    if not overflow_visible:
-        pass  # drawing already clipped to the layer bounds
+    # host-path note: drawing is inherently clipped to the region layer;
+    # overflow=visible is honored by the device instance path
+    # (layout_region_instances clips to the window instead of the region)
 
     if vertical:
         # tbrl: rotate 90° cw; tblr: rotate 90° ccw
@@ -388,3 +400,118 @@ def _blit_rgba(layer: np.ndarray, src: np.ndarray, x: int, y: int):
     else:
         layer[y0:y1, x0:x1, :3] = sub
         layer[y0:y1, x0:x1, 3] = 255
+
+
+def _resolve_align(text_align: TextAlign, line: List[RunSpec]) -> str:
+    """start/end map through the line's base direction (RTL base flips
+    them, matching pango's resolved alignment in the reference)."""
+    rtl = any(r.rtl for r in line)
+    if text_align == TextAlign.CENTER:
+        return "center"
+    if text_align == TextAlign.LEFT:
+        return "left"
+    if text_align == TextAlign.RIGHT:
+        return "right"
+    if text_align == TextAlign.END:
+        return "left" if rtl else "right"
+    return "right" if rtl else "left"  # START
+
+
+def layout_region_instances(
+        inst, atlas, region_box: Tuple[int, int, int, int],
+        lines: List[List[RunSpec]],
+        *, padding: Tuple[float, float, float, float] = (0, 0, 0, 0),
+        bgcolor: Optional[Tuple[int, int, int, int]] = None,
+        text_align: TextAlign = TextAlign.START,
+        display_align: DisplayAlign = DisplayAlign.BEFORE,
+        line_height_px: Optional[float] = None,
+        overflow_visible: bool = False,
+        opacity: float = 1.0,
+        window_w: int = DEFAULT_WINDOW_W,
+        window_h: int = DEFAULT_WINDOW_H,
+        par_scale: float = 1.0) -> None:
+    """Emit one region's draw ops into a device InstanceList (the
+    glyph-atlas fast path; horizontal writing modes).
+
+    Geometry is produced directly in window coordinates; clipping is a
+    per-instance clip rect — the region box for overflow=hidden, the whole
+    window for overflow=visible (the reference's overflow clip switch,
+    gstttmlrender.c:1235-1385). ``par_scale`` horizontally scales glyph
+    bitmaps and advances for anamorphic PAR (gstttmlrender.c:745-857).
+    """
+    rx, ry, rw, rh = region_box
+    pad_t, pad_r, pad_b, pad_l = padding
+    inner_w = max(1, int(rw - pad_l - pad_r))
+    clip = (rx, ry, rx + rw, ry + rh) if not overflow_visible \
+        else (0, 0, window_w, window_h)
+
+    if bgcolor is not None and bgcolor[3] > 0:
+        # region background always clips to the region box
+        inst.add_rect(rx, ry, rw, rh, bgcolor, opacity,
+                      (rx, ry, rx + rw, ry + rh))
+
+    def scaled_w(run: RunSpec) -> int:
+        return max(1, int(round(run.measure().width * par_scale)))
+
+    metrics = []
+    for line in lines:
+        if not line:
+            metrics.append((0, 0, 0))
+            continue
+        w = sum(scaled_w(r) for r in line)
+        asc = max(r.measure().ascent for r in line)
+        desc = max(r.measure().descent for r in line)
+        metrics.append((w, asc, desc))
+    advances = [line_height_px if line_height_px else (a + d)
+                for (_, a, d) in metrics]
+    total_h = int(sum(advances))
+
+    if display_align == DisplayAlign.CENTER:
+        y = int(ry + (rh - pad_t - pad_b - total_h) / 2 + pad_t)
+    elif display_align == DisplayAlign.AFTER:
+        y = int(ry + rh - pad_b - total_h)
+    else:
+        y = int(ry + pad_t)
+
+    for line, (w, asc, desc), adv in zip(lines, metrics, advances):
+        align = _resolve_align(text_align, line)
+        if align == "center":
+            x = int(rx + pad_l + (inner_w - w) / 2)
+        elif align == "right":
+            x = int(rx + pad_l + inner_w - w)
+        else:
+            x = int(rx + pad_l)
+        baseline = y + asc
+        for run in line:
+            m = run.measure()
+            rw_px = scaled_w(run)
+            ytop = baseline - m.ascent
+            if run.bgcolor is not None and run.bgcolor[3] > 0:
+                inst.add_rect(x, ytop, rw_px, m.height, run.bgcolor,
+                              opacity, clip)
+            if run.outline is not None:
+                r_px = int(round(run.outline.lengths[0].value)) \
+                    if run.outline.lengths[0].present else 1
+                blur_px = int(round(run.outline.lengths[1].value)) \
+                    if run.outline.lengths[1].present else 0
+                stroked = atlas.stroked_entry(
+                    run.text, run.family, run.size_px, run.bold,
+                    run.italic, max(1, r_px), blur_px, par_scale)
+                inst.add_entry(stroked, x, ytop, run.outline_color,
+                               opacity, clip)
+            entry = atlas.run_entry(run.text, run.family, run.size_px,
+                                    run.bold, run.italic, par_scale)
+            inst.add_entry(entry, x, ytop, run.color, opacity, clip)
+            if run.decorations:
+                thickness = max(1, run.size_px // 14)
+                if run.decorations & TextDecoration.UNDERLINE:
+                    inst.add_rect(x, baseline + 1, rw_px, thickness,
+                                  run.color, opacity, clip)
+                if run.decorations & TextDecoration.STRIKETHROUGH:
+                    inst.add_rect(x, baseline - m.ascent // 3, rw_px,
+                                  thickness, run.color, opacity, clip)
+                if run.decorations & TextDecoration.OVERLINE:
+                    inst.add_rect(x, ytop, rw_px, thickness, run.color,
+                                  opacity, clip)
+            x += rw_px
+        y += int(adv)

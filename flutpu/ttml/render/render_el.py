@@ -25,10 +25,13 @@ from ..base import TTMLBase
 from ..enums import (AttrType, DisplayAlign, LengthUnit, Overflow,
                      ShowBackground, TextAlign, WrapOption, WritingMode)
 from ..style import Style
+from .atlas import get_atlas
 from .composite import compose_window, place_layers
+from .device import InstanceList, composite_instances
 from .layout import (DEFAULT_WINDOW_H, DEFAULT_WINDOW_W, RegionLayout,
                      _rgba_tuple, _style_enum, _style_lengths_px,
-                     draw_region_layer, extract_runs, wrap_lines)
+                     draw_region_layer, extract_runs, layout_region_instances,
+                     wrap_lines)
 
 
 @register
@@ -47,6 +50,13 @@ class TTMLRender(TTMLBase):
         PropertySpec("window-height", DEFAULT_WINDOW_H),
         PropertySpec("use-device-composite", True,
                      "composite region layers on the accelerator"),
+        PropertySpec("render-engine", "atlas",
+                     "atlas: glyph-atlas device rasterization; layers: "
+                     "host-drawn region layers + device composite; host: "
+                     "pure CPU (baseline)"),
+        PropertySpec("device-out", False,
+                     "emit buffers holding device arrays (no host fetch); "
+                     "downstream burn-in consumes them on-device"),
     ]
 
     def frame_dimensions(self) -> Tuple[int, int]:
@@ -83,8 +93,11 @@ class TTMLRender(TTMLBase):
         return (int(origin[0]), int(origin[1]),
                 max(1, int(extent[0])), max(1, int(extent[1])))
 
-    def _build_region(self, region_id: Optional[str], style: Style,
-                      defaults: dict) -> Optional[RegionLayout]:
+    def _region_params(self, region_id: Optional[str], style: Style,
+                       defaults: dict):
+        """Parsed style surface of one region (shared by the host-layer
+        path and the glyph-atlas device path); None when not rendered."""
+        from types import SimpleNamespace as NS
         x, y, rw, rh = self._region_box(style)
         lines = extract_runs(list(self.active_spans), region_id, defaults,
                              region_style=style)
@@ -137,15 +150,28 @@ class TTMLRender(TTMLBase):
                                     WritingMode.TB)
         inner_w = (rh if vertical else rw) - padding[1] - padding[3]
         wrapped = wrap_lines(lines, int(inner_w), wrap == WrapOption.WRAP)
+        return NS(region_id=region_id, box=(x, y, rw, rh), lines=wrapped,
+                  padding=padding, bgcolor=bgcolor, bg_image=bg_image,
+                  bg_pos=bg_pos, text_align=text_align,
+                  display_align=display_align, line_height=line_height,
+                  overflow_visible=overflow_visible, opacity=opacity,
+                  zindex=zindex, writing_mode=writing_mode,
+                  vertical=vertical)
+
+    def _layer_from_params(self, p) -> RegionLayout:
+        """Host-drawn region layer (the layers/host engines and the
+        fallback for vertical writing modes and background images)."""
+        x, y, rw, rh = p.box
         layer = draw_region_layer(
-            rw, rh, wrapped,
-            padding=(padding[0], padding[1], padding[2], padding[3]),
-            bgcolor=bgcolor, bg_image=bg_image, bg_image_pos=bg_pos,
-            text_align=text_align, display_align=display_align,
-            line_height_px=line_height, overflow_visible=overflow_visible,
-            writing_mode=writing_mode)
-        return RegionLayout(region_id or "", x, y, rw, rh, zindex, layer,
-                            opacity)
+            rw, rh, p.lines,
+            padding=tuple(p.padding),
+            bgcolor=p.bgcolor, bg_image=p.bg_image, bg_image_pos=p.bg_pos,
+            text_align=p.text_align, display_align=p.display_align,
+            line_height_px=p.line_height,
+            overflow_visible=p.overflow_visible,
+            writing_mode=p.writing_mode)
+        return RegionLayout(p.region_id or "", x, y, rw, rh, p.zindex,
+                            layer, p.opacity)
 
     def _fetch_image(self, ref: str) -> Optional[np.ndarray]:
         """Embedded '#id' images from saved_data; URLs via the downloader
@@ -170,9 +196,8 @@ class TTMLRender(TTMLBase):
             return None
 
     # ------------------------------------------------------------------
-    def gen_buffer(self, begin: int, end: int) -> Optional[Buffer]:
-        w, h = self.frame_dimensions()
-        defaults = {
+    def _defaults(self, h: int) -> dict:
+        return {
             "font_family": self.get_property("default-font-family"),
             "font_size": self._default_font_size(),
             "text_align": TextAlign(self.get_property("default-text-align")),
@@ -180,36 +205,89 @@ class TTMLRender(TTMLBase):
                 self.get_property("default-display-align")),
             "frame_h": h,  # bounds the hostile-font-size clamp
         }
-        regions: List[RegionLayout] = []
+
+    def _active_region_params(self, defaults: dict) -> list:
+        """Parsed params for every renderable region of the interval,
+        z-ordered (named regions + the anonymous fallback region)."""
+        params = []
         seen_ids = set()
         for rid, style in self.active_regions.items():
             seen_ids.add(rid)
-            rl = self._build_region(rid, style, defaults)
-            if rl is not None:
-                regions.append(rl)
+            p = self._region_params(rid, style, defaults)
+            if p is not None:
+                params.append(p)
         # anonymous region for spans without a region reference (or whose
         # region is not currently active)
         anon_spans = [s for s in self.active_spans
                       if (s.region_id or None) is None
                       or s.region_id not in seen_ids]
         if anon_spans:
-            anon_style = Style()
-            rl = self._build_region(
+            p = self._region_params(
                 anon_spans[0].region_id if anon_spans[0].region_id else None,
-                anon_style, defaults)
-            if rl is not None:
-                regions.append(rl)
-        regions.sort(key=lambda r: r.zindex)
+                Style(), defaults)
+            if p is not None:
+                params.append(p)
+        params.sort(key=lambda p: p.zindex)
+        return params
 
-        layers, boxes, ops = place_layers(regions, h, w)
-        if bool(self.get_property("use-device-composite")):
+    def _par_scale(self) -> float:
+        """Anamorphic glyph pre-scale: with PAR num:den, storage pixels
+        display num/den times wider, so glyph bitmaps and advances shrink
+        by den/num to keep displayed proportions (the reference's manually
+        scaled per-glyph extents, gstttmlrender.c:745-857)."""
+        num = max(1, self.parse_state.par_num)
+        den = max(1, self.parse_state.par_den)
+        return den / num
+
+    def render_window(self, begin: int, end: int, *, device_out: bool = False):
+        """Render the active interval to a BGRA window.
+
+        device_out=True returns the device array un-fetched (the burn-in
+        pipeline keeps overlays on-device; only encoded bits ever cross
+        the host link)."""
+        w, h = self.frame_dimensions()
+        params = self._active_region_params(self._defaults(h))
+        engine = str(self.get_property("render-engine"))
+        atlas_ok = engine == "atlas" and all(
+            not p.vertical and p.bg_image is None for p in params)
+
+        if atlas_ok:
+            atlas = get_atlas()
+            inst = InstanceList()
+            par = self._par_scale()
+            for p in params:
+                layout_region_instances(
+                    inst, atlas, p.box, p.lines, padding=tuple(p.padding),
+                    bgcolor=p.bgcolor, text_align=p.text_align,
+                    display_align=p.display_align,
+                    line_height_px=p.line_height,
+                    overflow_visible=p.overflow_visible, opacity=p.opacity,
+                    window_w=w, window_h=h, par_scale=par)
             import jax.numpy as jnp
-            frame = np.asarray(compose_window(
+            ints, cols = inst.arrays(h, w)
+            frame = composite_instances(
+                atlas.device_array(), jnp.asarray(ints), jnp.asarray(cols),
+                window_h=h, window_w=w)
+            return frame if device_out else np.asarray(frame)
+
+        regions = [self._layer_from_params(p) for p in params]
+        layers, boxes, ops = place_layers(regions, h, w)
+        if engine != "host" and bool(
+                self.get_property("use-device-composite")):
+            import jax.numpy as jnp
+            frame = compose_window(
                 jnp.asarray(layers), jnp.asarray(boxes), jnp.asarray(ops),
-                window_h=h, window_w=w))
-        else:
-            frame = _compose_host(layers, ops)
-        return Buffer(frame)
+                window_h=h, window_w=w)
+            return frame if device_out else np.asarray(frame)
+        frame = _compose_host(layers, ops)
+        if device_out:
+            import jax.numpy as jnp
+            frame = jnp.asarray(frame)
+        return frame
+
+    def gen_buffer(self, begin: int, end: int) -> Optional[Buffer]:
+        return Buffer(self.render_window(
+            begin, end, device_out=bool(self.get_property("device-out"))))
 
 
 def _compose_host(layers: np.ndarray, opacities: np.ndarray) -> np.ndarray:

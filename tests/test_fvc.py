@@ -149,7 +149,8 @@ class TestFvcMotion:
             off += plen
         qy = jnp.asarray(scale_qtable(LUMA_QTABLE, quality))
         qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, quality))
-        ref = dec._reconstruct_mc_np(planes, mvs, qy, qc, h, w)
+        ref = dec._reconstruct_mc_np(planes, mvs, qy, qc, h, w,
+                                     subpel=bool(flags & 4))
         for i in range(f):
             diff = np.abs(dev[i].astype(int) - ref[i].astype(int))
             assert diff.max() <= 1, (i, diff.max())  # f32 vs f64 rounding

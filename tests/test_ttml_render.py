@@ -255,3 +255,148 @@ class TestRegionStyleInheritance:
         # yellow in BGRA: B low, G/R high
         assert (lit[:, 1] > 200).mean() > 0.8
         assert (lit[:, 0] < 64).mean() > 0.8
+
+
+def render_engine(doc, engine, w=320, h=240):
+    h_el = Harness(f"ttmlrender window-width={w} window-height={h} "
+                   f"render-engine={engine}")
+    h_el.set_src_caps("application/ttml+xml")
+    h_el.push(Buffer(doc.encode(), pts=0))
+    h_el.push_eos()
+    frames = []
+    while True:
+        b = h_el.try_pull(timeout=0.3)
+        if b is None:
+            break
+        frames.append(np.asarray(b.data))
+    h_el.teardown()
+    return frames
+
+
+class TestAtlasEngine:
+    """The glyph-atlas device rasterizer (VERDICT r1 #4): fidelity vs the
+    host-layer engine, plus the round-1 fidelity gaps (unicodeBidi,
+    overflow=visible, anamorphic PAR)."""
+
+    def test_atlas_matches_layers_engine(self):
+        from flutpu.codec.jpeg import psnr
+        for doc in (DOC_BASIC, DOC_REGION):
+            a = render_engine(doc, "atlas")
+            b = render_engine(doc, "layers")
+            assert len(a) == len(b) and a
+            for fa, fb in zip(a, b):
+                assert fa.shape == fb.shape
+                # identical geometry; blending rounds once per path
+                assert psnr(fa, fb) > 40
+
+    def test_atlas_outline_and_decoration_match(self):
+        from flutpu.codec.jpeg import psnr
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <body><div>
+    <p begin="0s" end="2s" tts:color="white"
+       tts:textOutline="black 2px 1px"
+       tts:textDecoration="underline">Outlined</p>
+  </div></body>
+</tt>"""
+        a = render_engine(doc, "atlas")[0]
+        b = render_engine(doc, "layers")[0]
+        assert (a[..., 3] > 0).any()
+        # outline stroke present in both: some opaque black-ish pixels
+        assert psnr(a, b) > 28  # stroke kernels differ slightly (device
+        # reduce_window square vs host iterated cross dilate)
+
+    def test_unicode_bidi_override_reverses_chars(self):
+        base = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <body><div>
+    <p begin="0s" end="2s" tts:direction="rtl"{bidi}>ab</p>
+  </div></body>
+</tt>"""
+        from flutpu.ttml.render.fonts import rasterize_run
+        # rendered with override must equal rendering of the reversed
+        # string without any bidi; without override chars keep order
+        ov = render_engine(base.format(
+            bidi=' tts:unicodeBidi="bidiOverride"'), "atlas")[0]
+        plain_rev = render_engine(base.replace("ab", "ba").format(bidi=""),
+                                  "atlas")[0]
+        plain = render_engine(base.format(bidi=""), "atlas")[0]
+        assert (ov == plain_rev).all()
+        assert not (ov == plain).all()
+
+    def test_rtl_direction_flips_start_alignment(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <head><layout>
+    <region xml:id="r" tts:origin="0% 0%" tts:extent="100% 100%"
+            tts:textAlign="start"/>
+  </layout></head>
+  <body><div>
+    <p begin="0s" end="2s" region="r" tts:color="white"{dir}>hi</p>
+  </div></body>
+</tt>"""
+        ltr = render_engine(doc.format(dir=""), "atlas")[0]
+        rtl = render_engine(doc.format(dir=' tts:direction="rtl"'),
+                            "atlas")[0]
+        w = ltr.shape[1]
+        # text mass sits left for LTR start, right for RTL start
+        xs_l = np.nonzero(ltr[..., 3].any(axis=0))[0]
+        xs_r = np.nonzero(rtl[..., 3].any(axis=0))[0]
+        assert xs_l.size and xs_r.size
+        assert xs_l.mean() < w / 2 < xs_r.mean()
+
+    def test_overflow_visible_escapes_region(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <head><layout>
+    <region xml:id="tiny" tts:origin="40px 40px" tts:extent="30px 12px"
+            tts:overflow="{ovf}" tts:wrapOption="noWrap"/>
+  </layout></head>
+  <body><div>
+    <p begin="0s" end="2s" region="tiny" tts:color="white"
+       tts:fontSize="20px">WIDE TEXT OVERFLOWS</p>
+  </div></body>
+</tt>"""
+        hidden = render_engine(doc.format(ovf="hidden"), "atlas")[0]
+        visible = render_engine(doc.format(ovf="visible"), "atlas")[0]
+        # hidden: nothing drawn right of the region edge (x >= 70)
+        assert not hidden[:, 70:, 3].any()
+        # visible: the text escapes the 30px-wide region box
+        assert visible[:, 70:, 3].any()
+        assert visible[..., 3].sum() > hidden[..., 3].sum()
+
+    def test_par_scales_glyphs_horizontally(self):
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"
+    xmlns:tts="http://www.w3.org/ns/ttml#styling"
+    xmlns:ttp="http://www.w3.org/ns/ttml#parameter"{par}>
+  <body><div>
+    <p begin="0s" end="2s" tts:color="white">MMMM</p>
+  </div></body>
+</tt>"""
+        sq = render_engine(doc.format(par=""), "atlas")[0]
+        an = render_engine(doc.format(
+            par=' ttp:pixelAspectRatio="2 1"'), "atlas")[0]
+        xs_sq = np.nonzero(sq[..., 3].any(axis=0))[0]
+        xs_an = np.nonzero(an[..., 3].any(axis=0))[0]
+        assert xs_sq.size and xs_an.size
+        w_sq = xs_sq.max() - xs_sq.min()
+        w_an = xs_an.max() - xs_an.min()
+        # PAR 2:1 → glyphs pre-squeezed to ~half width
+        assert 0.35 < w_an / max(1, w_sq) < 0.65
+
+    def test_atlas_reuses_tiles_across_intervals(self):
+        from flutpu.ttml.render.atlas import get_atlas
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <body><div>
+    <p begin="0s" end="1s" tts:color="white">repeat me</p>
+    <p begin="1s" end="2s" tts:color="white">repeat me</p>
+    <p begin="2s" end="3s" tts:color="white">repeat me</p>
+  </div></body>
+</tt>"""
+        atlas = get_atlas()
+        render_engine(doc, "atlas")
+        n_before = len(atlas._tiles)
+        render_engine(doc, "atlas")  # same content again
+        assert len(atlas._tiles) == n_before
