@@ -48,7 +48,7 @@ class McuLayout:
     Hashable by geometry key so it can be a jit static argument."""
 
     __slots__ = ("block_sel", "comp_is_chroma", "prev_same_comp",
-                 "n_blocks", "_key")
+                 "n_blocks", "max_span", "_key")
 
     def __init__(self, block_sel, comp_is_chroma, prev_same_comp,
                  n_blocks, key):
@@ -56,6 +56,10 @@ class McuLayout:
         self.comp_is_chroma = comp_is_chroma  # (B,) 0/1
         self.prev_same_comp = prev_same_comp  # (B,) prev same-comp idx, -1 first
         self.n_blocks = n_blocks
+        # worst-case blocks overlapping one 32-bit output word, derived
+        # from the actual Huffman-table minima (vs the conservative
+        # _MAX_SPAN): fewer overlap candidates = fewer gathers in concat
+        self.max_span = _layout_max_span(comp_is_chroma)
         self._key = key
 
     def __hash__(self):
@@ -66,6 +70,40 @@ class McuLayout:
 
     def __repr__(self):
         return f"McuLayout{self._key}"
+
+
+@functools.lru_cache()
+def _min_block_bits() -> Tuple[int, int]:
+    """Provable minimum bits of one encoded block, per component class.
+
+    A block always emits a DC slot (code + size extra bits) and ends with
+    either an EOB code or — when coefficient 63 is nonzero — at least one
+    AC code + extra bits; take the minimum over both tails."""
+    dc_code, dc_len, ac_code, ac_len = _device_tables()
+    mins = []
+    for comp in range(2):
+        dc_min = min(int(dc_len[comp, s]) + s for s in range(12))
+        tail_min = int(ac_len[comp, 0x00])  # EOB
+        for run in range(16):
+            for size in range(1, 11):
+                tail_min = min(tail_min,
+                               int(ac_len[comp, (run << 4) | size]) + size)
+        mins.append(dc_min + tail_min)
+    return mins[0], mins[1]
+
+
+def _layout_max_span(comp_is_chroma: np.ndarray) -> int:
+    """Max blocks overlapping one 32-bit word for this MCU comp sequence:
+    1 (the block containing the word's first bit) + the most block STARTS
+    that fit strictly inside the remaining 31 bits at table-minimum
+    sizes."""
+    luma_min, chroma_min = _min_block_bits()
+    minbits = np.where(np.asarray(comp_is_chroma) > 0, chroma_min,
+                       luma_min).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(minbits)])
+    # starts at i, i+1, ... while cum[j] - cum[i] <= 31
+    ends = np.searchsorted(cum, cum[:-1] + 31, side="right")
+    return int((ends - np.arange(len(minbits))).max()) + 1
 
 
 @functools.lru_cache(maxsize=32)
@@ -309,12 +347,16 @@ def _pack_block_bits(lens: jnp.ndarray, vals: jnp.ndarray):
     return buf, nbits
 
 
-def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
+def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int,
+                   max_span: int = _MAX_SPAN):
     """Concatenate per-block bitstrings into one stream.
 
     buf: (B, 64) uint32 MSB-first, nbits: (B,). Returns (out (out_words,)
     uint32, total_bits). Pure gathers: for each output word, OR the shifted
-    contributions of the ≤_MAX_SPAN blocks overlapping it.
+    contributions of the ≤max_span blocks overlapping it (max_span derived
+    from the Huffman-table minima by the layout; every block carries at
+    least DC+EOB bits, so nbits is provably positive and never gathered in
+    the overlap loop).
     """
     b = buf.shape[0]
     offsets = jnp.concatenate(
@@ -326,7 +368,6 @@ def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     first = jnp.searchsorted(offsets, wbit, side="right").astype(jnp.int32) - 1
     first = jnp.clip(first, 0, b - 1)
 
-    word_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, _BLOCK_WORDS), 1)
     buf_word0 = buf[:, 0]
 
     # contributor j=0: the block CONTAINING the word start — needs two
@@ -347,12 +388,11 @@ def _concat_blocks(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     out = jnp.where(valid, inside, 0)
 
     # contributors j>=1 START inside the word, so only their first buffer
-    # word matters — cheap 1-D gathers
-    for j in range(1, _MAX_SPAN):
+    # word matters — two 1-D gathers each (start offset + first word)
+    for j in range(1, max_span):
         blk = jnp.clip(first + j, 0, b - 1)
         o = offsets[blk]
-        nb = nbits[blk]
-        valid = (o > wbit) & (o < wbit + 32) & (nb > 0) & (first + j < b)
+        valid = (o > wbit) & (o < wbit + 32) & (first + j < b)
         lead = jnp.clip(o - wbit, 0, 31).astype(jnp.uint32)
         out = out | jnp.where(valid, buf_word0[blk] >> lead, 0)
     return out, total_bits
@@ -376,13 +416,27 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
         yq.reshape(f, -1, 64), cbq.reshape(f, -1, 64), crq.reshape(f, -1, 64),
     ], axis=1).astype(jnp.int32)
     sel = jnp.asarray(layout.block_sel)
+    prev_np = np.asarray(layout.prev_same_comp)
     comp = jnp.asarray(layout.comp_is_chroma)
-    prev = jnp.asarray(layout.prev_same_comp)
+
+    # DC prediction: prev-same-component deltas in MCU order take only a
+    # few distinct values (e.g. {1, 3, 6} for 4:2:0), so the per-block
+    # gather becomes masked rolls — rolls beat gathers on TPU (the
+    # benches/ab_motion.py lesson, reproduced here)
+    deltas_np = np.arange(len(prev_np)) - prev_np
+    uniq = np.unique(deltas_np[prev_np >= 0])
 
     def reorder(blocks):
         mcu = blocks[sel]                      # (B, 64) in MCU order
         dc = mcu[:, 0]
-        prev_dc = jnp.where(prev >= 0, dc[jnp.clip(prev, 0)], 0)
+        if 0 < len(uniq) <= 4:
+            prev_dc = jnp.zeros_like(dc)
+            for d in uniq:
+                mask = jnp.asarray((deltas_np == d) & (prev_np >= 0))
+                prev_dc = jnp.where(mask, jnp.roll(dc, int(d)), prev_dc)
+        else:
+            prev = jnp.asarray(prev_np)
+            prev_dc = jnp.where(prev >= 0, dc[jnp.clip(prev, 0)], 0)
         # concatenate instead of .at[:,0].set — the scatter form triggers an
         # XLA:CPU fusion miscompile under vmap (observed jax 0.9: wrong DC
         # diffs downstream); concat is also cheaper to fuse
@@ -400,7 +454,9 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
         buf, nbits = _pack_block_bits(lens, vals)
     buf = buf.reshape(f, b, _BLOCK_WORDS)
     nbits = nbits.reshape(f, b)
-    return jax.vmap(lambda bb, nn: _concat_blocks(bb, nn, out_words))(
+    span = min(layout.max_span, _MAX_SPAN)
+    return jax.vmap(
+        lambda bb, nn: _concat_blocks(bb, nn, out_words, max_span=span))(
         buf, nbits)
 
 

@@ -275,16 +275,28 @@ class TTMLBase(Element):
         if clipped is None:
             return
         cbegin, cdur = clipped
+        if self._deliver_interval(cbegin, cdur, unbounded):
+            self.last_out_time = cbegin + (cdur or 0)
+
+    def _deliver_interval(self, cbegin: int, cdur: Optional[int],
+                          unbounded: bool) -> bool:
+        """Render + push one interval buffer; returns whether one was
+        produced. Subclass hook: renderers may defer the push to batch
+        device work across the whole flush (render/render_el.py)."""
         buf = self.gen_buffer(cbegin, cbegin + (cdur or 0))
         if buf is None:
-            return
+            return False
+        self._push_interval_buffer(buf, cbegin, cdur, unbounded)
+        return True
+
+    def _push_interval_buffer(self, buf: Buffer, cbegin: int,
+                              cdur: Optional[int], unbounded: bool) -> None:
         if self._newsegment_needed:
             self.srcpad.push_event(SegmentEvent(self.segment.copy()))
             self._newsegment_needed = False
         buf.pts = cbegin
         buf.duration = None if unbounded else cdur
         self.current_status = self.srcpad.push(buf)
-        self.last_out_time = cbegin + (cdur or 0)
 
     def _negotiate(self) -> None:
         if self._out_caps is None:

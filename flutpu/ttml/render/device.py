@@ -27,16 +27,14 @@ box, visible clips to the window (reference overflow switch :1235-1385).
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from .atlas import TILE_H, TILE_W
 
 
-@functools.partial(__import__("jax").jit,
-                   static_argnames=("window_h", "window_w"))
-def composite_instances(atlas, ints, cols, window_h: int, window_w: int):
+def _composite_core(atlas, ints, cols, window_h: int, window_w: int):
     """Blend N instances into a transparent (window_h, window_w, 4) BGRA
     frame. atlas: (T, TILE_H, TILE_W) uint8. See module doc for encoding."""
     import jax
@@ -82,6 +80,32 @@ def composite_instances(atlas, ints, cols, window_h: int, window_w: int):
     frame = frame[TILE_H:TILE_H + window_h, TILE_W:TILE_W + window_w]
     rgba = jnp.clip(frame * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
     return rgba[..., jnp.array([2, 1, 0, 3])]  # BGRA (reference caps)
+
+
+@functools.partial(__import__("jax").jit,
+                   static_argnames=("window_h", "window_w"))
+def composite_instances(atlas, ints, cols, window_h: int, window_w: int):
+    return _composite_core(atlas, ints, cols, window_h, window_w)
+
+
+@functools.partial(__import__("jax").jit,
+                   static_argnames=("window_h", "window_w"))
+def composite_instances_batch(atlas, ints, cols, window_h: int,
+                              window_w: int):
+    """Composite a whole batch of intervals in ONE device program.
+
+    ints: (K, N, 9) int32, cols: (K, N, 4) float32 — K intervals, each
+    padded to a common instance cap. Returns (K, window_h, window_w, 4)
+    uint8 BGRA. lax.map keeps the working set at one frame: intervals
+    render sequentially on-device, but the host pays a single upload +
+    dispatch for the lot (the high-latency-link lesson of
+    _fvc_gop_program_v1/v2, reproduced for the renderer)."""
+    from jax import lax
+
+    def one(ic):
+        return _composite_core(atlas, ic[0], ic[1], window_h, window_w)
+
+    return lax.map(one, (ints, cols))
 
 
 @functools.partial(__import__("jax").jit,
@@ -139,11 +163,9 @@ class InstanceList:
                               min(TILE_W, w - tx), min(TILE_H, h - ty),
                               color, alpha_scale, clip)
 
-    def arrays(self, window_h: int, window_w: int):
-        """Padded (ints, cols) numpy arrays, instance count rounded to the
-        next power of two (no-op padding keeps compiled programs reusable).
-        Instances fully outside the padded working area are dropped, and
-        starts are clamped to the one-tile padding margin."""
+    def filtered(self, window_h: int, window_w: int):
+        """(ints, cols) lists with out-of-window instances dropped and
+        starts clamped to the one-tile padding margin."""
         out_i: List[Tuple[int, ...]] = []
         out_c = []
         for (t, x, y, w, h, cx0, cy0, cx1, cy1), c in zip(self.ints,
@@ -158,13 +180,27 @@ class InstanceList:
             cy1 = min(cy1, window_h + TILE_H)
             out_i.append((t, x, y, w, h, cx0, cy0, cx1, cy1))
             out_c.append(c)
-        n = max(1, len(out_i))
+        return out_i, out_c
+
+    def arrays(self, window_h: int, window_w: int):
+        """Padded (ints, cols) numpy arrays, instance count rounded to the
+        next power of two (no-op padding keeps compiled programs
+        reusable)."""
+        out_i, out_c = self.filtered(window_h, window_w)
+        return pad_instances(out_i, out_c)
+
+
+def pad_instances(out_i, out_c, cap: Optional[int] = None):
+    """Instance lists → (cap, 9) int32 / (cap, 4) float32 arrays padded
+    with no-op instances (zero size, zero alpha)."""
+    n = max(1, len(out_i))
+    if cap is None:
         cap = 1
         while cap < n:
             cap *= 2
-        ints = np.zeros((cap, 9), np.int32)
-        cols = np.zeros((cap, 4), np.float32)
-        if out_i:
-            ints[:len(out_i)] = np.asarray(out_i, np.int32)
-            cols[:len(out_c)] = np.asarray(out_c, np.float32)
-        return ints, cols
+    ints = np.zeros((cap, 9), np.int32)
+    cols = np.zeros((cap, 4), np.float32)
+    if out_i:
+        ints[:len(out_i)] = np.asarray(out_i, np.int32)
+        cols[:len(out_c)] = np.asarray(out_c, np.float32)
+    return ints, cols

@@ -27,7 +27,8 @@ from ..enums import (AttrType, DisplayAlign, LengthUnit, Overflow,
 from ..style import Style
 from .atlas import get_atlas
 from .composite import compose_window, place_layers
-from .device import InstanceList, composite_instances
+from .device import (InstanceList, composite_instances,
+                     composite_instances_batch, pad_instances)
 from .layout import (DEFAULT_WINDOW_H, DEFAULT_WINDOW_W, RegionLayout,
                      _rgba_tuple, _style_enum, _style_lengths_px,
                      draw_region_layer, extract_runs, layout_region_instances,
@@ -57,7 +58,20 @@ class TTMLRender(TTMLBase):
         PropertySpec("device-out", False,
                      "emit buffers holding device arrays (no host fetch); "
                      "downstream burn-in consumes them on-device"),
+        PropertySpec("batch-intervals", True,
+                     "atlas engine: defer interval pushes within one "
+                     "timeline flush and composite them all in ONE device "
+                     "program (one upload + one dispatch per document "
+                     "instead of per interval — the high-latency-link "
+                     "program shape of the codecs)"),
     ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name, **props)
+        # pending deferred intervals: (ints_list, cols_list, cbegin, cdur,
+        # unbounded) — flushed as one batched device program
+        self._pending_render: list = []
+        self._pending_dims: Optional[Tuple[int, int]] = None
 
     def frame_dimensions(self) -> Tuple[int, int]:
         # downstream-fixed dimensions win over the window properties
@@ -239,6 +253,25 @@ class TTMLRender(TTMLBase):
         den = max(1, self.parse_state.par_den)
         return den / num
 
+    def _atlas_ok(self, params) -> bool:
+        return str(self.get_property("render-engine")) == "atlas" and all(
+            not p.vertical and p.bg_image is None for p in params)
+
+    def _atlas_instances(self, params, w: int, h: int) -> InstanceList:
+        """Host-side instance stream for one interval (no device work)."""
+        atlas = get_atlas()
+        inst = InstanceList()
+        par = self._par_scale()
+        for p in params:
+            layout_region_instances(
+                inst, atlas, p.box, p.lines, padding=tuple(p.padding),
+                bgcolor=p.bgcolor, text_align=p.text_align,
+                display_align=p.display_align,
+                line_height_px=p.line_height,
+                overflow_visible=p.overflow_visible, opacity=p.opacity,
+                window_w=w, window_h=h, par_scale=par)
+        return inst
+
     def render_window(self, begin: int, end: int, *, device_out: bool = False):
         """Render the active interval to a BGRA window.
 
@@ -248,26 +281,14 @@ class TTMLRender(TTMLBase):
         w, h = self.frame_dimensions()
         params = self._active_region_params(self._defaults(h))
         engine = str(self.get_property("render-engine"))
-        atlas_ok = engine == "atlas" and all(
-            not p.vertical and p.bg_image is None for p in params)
 
-        if atlas_ok:
-            atlas = get_atlas()
-            inst = InstanceList()
-            par = self._par_scale()
-            for p in params:
-                layout_region_instances(
-                    inst, atlas, p.box, p.lines, padding=tuple(p.padding),
-                    bgcolor=p.bgcolor, text_align=p.text_align,
-                    display_align=p.display_align,
-                    line_height_px=p.line_height,
-                    overflow_visible=p.overflow_visible, opacity=p.opacity,
-                    window_w=w, window_h=h, par_scale=par)
+        if self._atlas_ok(params):
             import jax.numpy as jnp
+            inst = self._atlas_instances(params, w, h)
             ints, cols = inst.arrays(h, w)
             frame = composite_instances(
-                atlas.device_array(), jnp.asarray(ints), jnp.asarray(cols),
-                window_h=h, window_w=w)
+                get_atlas().device_array(), jnp.asarray(ints),
+                jnp.asarray(cols), window_h=h, window_w=w)
             return frame if device_out else np.asarray(frame)
 
         regions = [self._layer_from_params(p) for p in params]
@@ -288,6 +309,66 @@ class TTMLRender(TTMLBase):
     def gen_buffer(self, begin: int, end: int) -> Optional[Buffer]:
         return Buffer(self.render_window(
             begin, end, device_out=bool(self.get_property("device-out"))))
+
+    # ------------------------------------------------------------------
+    # batched interval delivery: within one timeline flush, atlas-path
+    # intervals are recorded host-side and composited by ONE device
+    # program at the end of the flush (one upload + one dispatch per
+    # document — per-interval dispatches cost a link round trip each)
+    # ------------------------------------------------------------------
+    def _deliver_interval(self, cbegin, cdur, unbounded) -> bool:
+        if not bool(self.get_property("batch-intervals")):
+            return super()._deliver_interval(cbegin, cdur, unbounded)
+        w, h = self.frame_dimensions()
+        params = self._active_region_params(self._defaults(h))
+        if not self._atlas_ok(params) or (
+                self._pending_render and self._pending_dims != (w, h)):
+            # non-batchable interval (vertical writing / bg image / other
+            # engine): keep strict output order — drain the batch first
+            self._flush_render_batch()
+            return super()._deliver_interval(cbegin, cdur, unbounded)
+        inst = self._atlas_instances(params, w, h)
+        out_i, out_c = inst.filtered(h, w)
+        self._pending_render.append((out_i, out_c, cbegin, cdur, unbounded))
+        self._pending_dims = (w, h)
+        return True
+
+    def _flush_render_batch(self) -> None:
+        pending = self._pending_render
+        if not pending:
+            return
+        self._pending_render = []
+        import jax.numpy as jnp
+        w, h = self._pending_dims
+        cap = max(8, max(len(p[0]) for p in pending))
+        c = 1
+        while c < cap:
+            c *= 2
+        cap = c
+        k = len(pending)
+        kpad = 1
+        while kpad < k:
+            kpad *= 2
+        ints = np.zeros((kpad, cap, 9), np.int32)
+        cols = np.zeros((kpad, cap, 4), np.float32)
+        for i, (out_i, out_c, _, _, _) in enumerate(pending):
+            ints[i], cols[i] = pad_instances(out_i, out_c, cap=cap)
+        frames = composite_instances_batch(
+            get_atlas().device_array(), jnp.asarray(ints), jnp.asarray(cols),
+            window_h=h, window_w=w)
+        if not bool(self.get_property("device-out")):
+            frames = np.asarray(frames)  # the one fetch
+        for i, (_, _, cbegin, cdur, unbounded) in enumerate(pending):
+            self._push_interval_buffer(Buffer(frames[i]), cbegin, cdur,
+                                       unbounded)
+
+    def _flush_timeline(self) -> None:
+        super()._flush_timeline()
+        self._flush_render_batch()
+
+    def reset_hook(self) -> None:
+        super().reset_hook()
+        self._pending_render = []  # flush-seek drops undelivered intervals
 
 
 def _compose_host(layers: np.ndarray, opacities: np.ndarray) -> np.ndarray:

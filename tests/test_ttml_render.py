@@ -400,3 +400,68 @@ class TestAtlasEngine:
         n_before = len(atlas._tiles)
         render_engine(doc, "atlas")  # same content again
         assert len(atlas._tiles) == n_before
+
+
+class TestBatchedIntervals:
+    """batch-intervals: the atlas engine defers interval pushes within a
+    timeline flush and composites them in ONE device program (the
+    high-latency-link program shape — see render_el._flush_render_batch)."""
+
+    DOC = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml" xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <head><layout>
+    <region xml:id="r" tts:origin="5% 70%" tts:extent="90% 25%"
+            tts:backgroundColor="#00000080"/>
+  </layout></head>
+  <body><div>
+    <p begin="0s" end="1s" region="r" tts:color="white">first cue</p>
+    <p begin="1s" end="2s" region="r" tts:color="yellow">second cue</p>
+    <p begin="3s" end="4s" region="r"
+       tts:textOutline="black 2px">fourth, after a gap</p>
+  </div></body>
+</tt>"""
+
+    def _run(self, batch: bool):
+        h_el = Harness("ttmlrender window-width=320 window-height=240 "
+                       "render-engine=atlas "
+                       f"batch-intervals={'true' if batch else 'false'}")
+        h_el.set_src_caps("application/ttml+xml")
+        h_el.push(Buffer(self.DOC.encode(), pts=0))
+        h_el.push_eos()
+        out = []
+        while True:
+            b = h_el.try_pull(timeout=0.3)
+            if b is None:
+                break
+            out.append((b.pts, b.duration, np.asarray(b.data)))
+        h_el.teardown()
+        return out
+
+    def test_batched_bit_identical_to_unbatched(self):
+        batched = self._run(True)
+        single = self._run(False)
+        assert len(batched) == len(single) and len(batched) >= 4
+        for (pa, da, fa), (pb, db, fb) in zip(batched, single):
+            assert (pa, da) == (pb, db)
+            np.testing.assert_array_equal(fa, fb)
+
+    def test_mixed_engine_interval_keeps_order(self):
+        # a vertical writing-mode region falls back to the layer path
+        # mid-stream; the pending batch must drain first (strict pts order)
+        doc = self.DOC.replace(
+            '<p begin="1s" end="2s" region="r" tts:color="yellow">',
+            '<p begin="1s" end="2s" region="r" tts:color="yellow" '
+            'tts:writingMode="tbrl">')
+        h_el = Harness("ttmlrender window-width=320 window-height=240 "
+                       "render-engine=atlas batch-intervals=true")
+        h_el.set_src_caps("application/ttml+xml")
+        h_el.push(Buffer(doc.encode(), pts=0))
+        h_el.push_eos()
+        pts = []
+        while True:
+            b = h_el.try_pull(timeout=0.3)
+            if b is None:
+                break
+            pts.append(b.pts)
+        h_el.teardown()
+        assert pts == sorted(pts) and len(pts) >= 4
