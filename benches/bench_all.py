@@ -65,7 +65,7 @@ def bench_ttml_render(n_cues=40, w=640, h=360):
     hns.push(Buffer(doc.encode(), pts=0))
     hns.push_eos()
     frames = 0
-    while hns.try_pull(timeout=0.5) is not None:
+    while hns.try_pull(timeout=0.001) is not None:
         frames += 1
     dt = time.time() - t0
     hns.teardown()

@@ -85,9 +85,12 @@ def bench_engine(engine: str, doc: str) -> dict:
         t0 = time.time()
         h_el.push(Buffer(doc.encode(), pts=0))
         h_el.push_eos()
+        # the chain is synchronous: after push_eos every output buffer is
+        # already queued — drain without a blocking tail timeout (a 2 s
+        # final try_pull would bake +33 ms/interval into every engine)
         frames = []
         while True:
-            b = h_el.try_pull(timeout=2.0)
+            b = h_el.try_pull(timeout=0.001)
             if b is None:
                 break
             frames.append(b)

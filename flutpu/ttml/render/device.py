@@ -89,9 +89,9 @@ def composite_instances(atlas, ints, cols, window_h: int, window_w: int):
 
 
 @functools.partial(__import__("jax").jit,
-                   static_argnames=("window_h", "window_w"))
+                   static_argnames=("window_h", "window_w", "unstack"))
 def composite_instances_batch(atlas, ints, cols, window_h: int,
-                              window_w: int):
+                              window_w: int, unstack: bool = False):
     """Composite a whole batch of intervals in ONE device program.
 
     ints: (K, N, 9) int32, cols: (K, N, 4) float32 — K intervals, each
@@ -99,13 +99,22 @@ def composite_instances_batch(atlas, ints, cols, window_h: int,
     uint8 BGRA. lax.map keeps the working set at one frame: intervals
     render sequentially on-device, but the host pays a single upload +
     dispatch for the lot (the high-latency-link lesson of
-    _fvc_gop_program_v1/v2, reproduced for the renderer)."""
+    _fvc_gop_program_v1/v2, reproduced for the renderer).
+
+    unstack=True returns a K-tuple of per-interval arrays instead — K
+    independent output buffers from the SAME single dispatch, so handing
+    each interval its own device array costs no extra dispatches (a
+    post-hoc frames[i] slice would be one tiny chained dispatch per
+    interval — pathological on a high-latency link)."""
     from jax import lax
 
     def one(ic):
         return _composite_core(atlas, ic[0], ic[1], window_h, window_w)
 
-    return lax.map(one, (ints, cols))
+    out = lax.map(one, (ints, cols))
+    if unstack:
+        return tuple(out[i] for i in range(out.shape[0]))
+    return out
 
 
 @functools.partial(__import__("jax").jit,

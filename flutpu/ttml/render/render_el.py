@@ -353,10 +353,11 @@ class TTMLRender(TTMLBase):
         cols = np.zeros((kpad, cap, 4), np.float32)
         for i, (out_i, out_c, _, _, _) in enumerate(pending):
             ints[i], cols[i] = pad_instances(out_i, out_c, cap=cap)
+        device_out = bool(self.get_property("device-out"))
         frames = composite_instances_batch(
             get_atlas().device_array(), jnp.asarray(ints), jnp.asarray(cols),
-            window_h=h, window_w=w)
-        if not bool(self.get_property("device-out")):
+            window_h=h, window_w=w, unstack=device_out)
+        if not device_out:
             frames = np.asarray(frames)  # the one fetch
         for i, (_, _, cbegin, cdur, unbounded) in enumerate(pending):
             self._push_interval_buffer(Buffer(frames[i]), cbegin, cdur,
