@@ -96,8 +96,10 @@ def bench_engine(engine: str, doc: str) -> dict:
             frames.append(b)
         if device_out:
             import jax
-            for b in frames:  # completion barrier, NOT a host transfer
-                jax.block_until_ready(b.data)
+            # ONE completion barrier for the lot (NOT a host transfer):
+            # per-array block_until_ready costs a link round trip each on
+            # a remote backend (~30 ms × 61 measured on the axon tunnel)
+            jax.block_until_ready([b.data for b in frames])
         dt = time.time() - t0
         h_el.teardown()
         return frames, dt
