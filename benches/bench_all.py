@@ -102,28 +102,39 @@ def bench_injectbin_swap(n=200):
            swaps=len(lat))
 
 
-def bench_4k_convert(frames=4):
-    """Config 4: 4K fused convert+DCT+quant+zigzag device throughput."""
+def bench_4k_convert(frames=4, reps=5):
+    """Config 4: 4K fused convert+DCT+quant+zigzag device throughput.
+
+    Measurement shape for the axon link: the rep loop runs INSIDE one
+    jitted program (lax.fori_loop) reduced to a scalar checksum, and the
+    timed quantity is the scalar fetch. block_until_ready on large
+    un-fetched outputs does NOT reliably force execution on the remote
+    backend, and queued un-materialized programs execute pathologically
+    slowly (measured: 53 s per 4-frame dispatch queued six deep vs 11.5
+    ms/frame through this formulation)."""
     import jax
     import jax.numpy as jnp
     from flutpu.codec.jpeg import JpegEncoder, encode_gop_to_coefs
     from flutpu.codec.ops.testsrc import gradient_ball_frames
     enc = JpegEncoder(quality=85)
     w, h = 3840, 2160
-    f = gradient_ball_frames(h, w, frames, jnp.float32(0))
-    def run():
-        out = encode_gop_to_coefs(f, enc._qy_dev, enc._qc_dev,
-                                  pad_h=h, pad_w=w, subsample=True)
-        jax.block_until_ready(out)
-        return out
-    run()
+
+    @jax.jit
+    def prog(start, qy, qc):
+        def body(i, acc):
+            f = gradient_ball_frames(h, w, frames, start + i * frames)
+            y, cb, cr = encode_gop_to_coefs(f, qy, qc, pad_h=h, pad_w=w,
+                                            subsample=True)
+            return (acc + y.astype(jnp.int32).sum()
+                    + cb.astype(jnp.int32).sum()
+                    + cr.astype(jnp.int32).sum())
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    np.asarray(prog(jnp.float32(0), enc._qy_dev, enc._qc_dev))  # compile
     t0 = time.time()
-    n = 5
-    for _ in range(n):
-        out = run()
-    np.asarray(out[0][:1, :1, :1])
+    np.asarray(prog(jnp.float32(7), enc._qy_dev, enc._qc_dev))  # the fetch
     dt = time.time() - t0
-    report("4k_convert_dct_quant_fps", frames * n / dt, "frames/s")
+    report("4k_convert_dct_quant_fps", frames * reps / dt, "frames/s")
 
 
 def bench_full_pipeline(gops=4, w=1920, h=1088, out_h=1080):

@@ -96,10 +96,16 @@ def bench_engine(engine: str, doc: str) -> dict:
             frames.append(b)
         if device_out:
             import jax
-            # ONE completion barrier for the lot (NOT a host transfer):
-            # per-array block_until_ready costs a link round trip each on
-            # a remote backend (~30 ms × 61 measured on the axon tunnel)
-            jax.block_until_ready([b.data for b in frames])
+            import jax.numpy as jnp
+            # Force execution of every frame's producing program with ONE
+            # scalar fetch: a checksum program taking all frames as inputs.
+            # block_until_ready on large un-fetched outputs does not
+            # reliably force execution on the remote backend, and per-array
+            # fetches cost a ~30 ms link round trip each.
+            chk = jax.jit(lambda *fs: sum(
+                f[0, 0, 3].astype(jnp.int32) for f in fs))
+            import numpy as _np
+            _np.asarray(chk(*[b.data for b in frames]))
         dt = time.time() - t0
         h_el.teardown()
         return frames, dt
