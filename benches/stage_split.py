@@ -135,13 +135,16 @@ def main():
               ("slots", lambda s: p_slots(s, enc._qy_dev, enc._qc_dev)),
               ("pack", lambda s: p_pack(s, enc._qy_dev, enc._qc_dev)),
               ("concat=full", lambda s: p_full(s, enc._qy_dev, enc._qc_dev))]
+    import numpy as np
     reps = int(os.environ.get("STAGE_REPS", "5"))
     for name, fn in stages:
-        fn(jnp.float32(0)).block_until_ready()  # compile
+        np.asarray(fn(jnp.float32(0)))  # compile + materialize
         t0 = time.time()
         for i in range(reps):
-            r = fn(jnp.float32(i * GOP))
-        r.block_until_ready()
+            # scalar fetch per rep: the only reliable execution barrier on
+            # the axon backend (see CLAUDE.md measurement rule); the ~30 ms
+            # round trip is identical across stages so deltas cancel it
+            np.asarray(fn(jnp.float32(i * GOP)))
         ms = (time.time() - t0) / reps * 1000.0
         print(json.dumps({"stage": name, "ms_per_gop": round(ms, 1)}),
               flush=True)

@@ -118,6 +118,63 @@ def composite_instances_batch(atlas, ints, cols, window_h: int,
 
 
 @functools.partial(__import__("jax").jit,
+                   static_argnames=("window_h", "window_w", "unstack"))
+def composite_instances_batch_vmap(atlas, ints, cols, window_h: int,
+                                   window_w: int, unstack: bool = False):
+    """Variant of composite_instances_batch vectorized ACROSS intervals:
+    one fori_loop over the instance cap, each step blending instance i of
+    every interval simultaneously (vmapped dynamic slices become batched
+    gathers/scatters). Sequential chain length drops from K*N to N; the
+    VPU sees K tiles per step instead of one."""
+    import jax
+    from jax import lax
+    import jax.numpy as jnp
+
+    k = ints.shape[0]
+    n = ints.shape[1]
+    ph, pw = window_h + 2 * TILE_H, window_w + 2 * TILE_W
+    frames = jnp.zeros((k, ph, pw, 4), jnp.float32)
+
+    yy = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    xx = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+
+    def blend_one(inst, col, frame):
+        tile_idx = inst[0]
+        x = inst[1] + TILE_W
+        y = inst[2] + TILE_H
+        w, h = inst[3], inst[4]
+        cx0, cy0 = inst[5] + TILE_W, inst[6] + TILE_H
+        cx1, cy1 = inst[7] + TILE_W, inst[8] + TILE_H
+        tile = lax.dynamic_slice(
+            atlas, (tile_idx, 0, 0), (1, TILE_H, TILE_W))[0]
+        gx = xx + x
+        gy = yy + y
+        mask = ((xx < w) & (yy < h) &
+                (gx >= cx0) & (gx < cx1) & (gy >= cy0) & (gy < cy1))
+        sa = (tile.astype(jnp.float32) / 255.0) * col[3]
+        sa = jnp.where(mask, sa, 0.0)[..., None]
+        dst = lax.dynamic_slice(frame, (y, x, 0), (TILE_H, TILE_W, 4))
+        da = dst[..., 3:]
+        out_a = sa + da * (1 - sa)
+        rgb = (col[:3] * sa + dst[..., :3] * da * (1 - sa)) \
+            / jnp.maximum(out_a, 1e-6)
+        new = jnp.concatenate([rgb, out_a], axis=-1)
+        return lax.dynamic_update_slice(frame, new, (y, x, 0))
+
+    def step(i, frames):
+        return jax.vmap(lambda it, co, fr: blend_one(it[i], co[i], fr))(
+            ints, cols, frames)
+
+    frames = lax.fori_loop(0, n, step, frames)
+    frames = frames[:, TILE_H:TILE_H + window_h, TILE_W:TILE_W + window_w]
+    rgba = jnp.clip(frames * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    out = rgba[..., jnp.array([2, 1, 0, 3])]
+    if unstack:
+        return tuple(out[i] for i in range(out.shape[0]))
+    return out
+
+
+@functools.partial(__import__("jax").jit,
                    static_argnames=("window_h", "window_w"))
 def composite_instances_over(atlas, ints, cols, base_bgra,
                              window_h: int, window_w: int):

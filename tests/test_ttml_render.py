@@ -465,3 +465,53 @@ class TestBatchedIntervals:
             pts.append(b.pts)
         h_el.teardown()
         assert pts == sorted(pts) and len(pts) >= 4
+
+
+class TestCompositorVariants:
+    def test_vmap_batch_bit_identical_to_map_batch(self):
+        import jax.numpy as jnp
+        from flutpu.ttml.render.atlas import TILE_H, TILE_W
+        from flutpu.ttml.render.device import (composite_instances_batch,
+                                               composite_instances_batch_vmap)
+        rng = np.random.default_rng(7)
+        atlas = jnp.asarray(
+            rng.integers(0, 255, (8, TILE_H, TILE_W)).astype(np.uint8))
+        k, n, w, h = 5, 6, 200, 120
+        ints = np.zeros((k, n, 9), np.int32)
+        cols = np.zeros((k, n, 4), np.float32)
+        for kk in range(k):
+            for i in range(n):
+                x = int(rng.integers(-16, w - 10))
+                y = int(rng.integers(-16, h - 10))
+                iw = int(rng.integers(4, TILE_W))
+                ih = int(rng.integers(4, TILE_H))
+                ints[kk, i] = (int(rng.integers(0, 8)), x, y, iw, ih,
+                               x, y, x + iw, y + ih)
+                cols[kk, i] = (*rng.random(3), float(rng.random()))
+        a = np.asarray(composite_instances_batch(
+            atlas, jnp.asarray(ints), jnp.asarray(cols),
+            window_h=h, window_w=w))
+        b = np.asarray(composite_instances_batch_vmap(
+            atlas, jnp.asarray(ints), jnp.asarray(cols),
+            window_h=h, window_w=w))
+        np.testing.assert_array_equal(a, b)
+
+    def test_vmap_batch_unstack_matches_stacked(self):
+        import jax.numpy as jnp
+        from flutpu.ttml.render.atlas import TILE_H, TILE_W
+        from flutpu.ttml.render.device import composite_instances_batch_vmap
+        atlas = jnp.asarray(np.full((2, TILE_H, TILE_W), 255, np.uint8))
+        ints = np.zeros((3, 2, 9), np.int32)
+        cols = np.zeros((3, 2, 4), np.float32)
+        for kk in range(3):
+            ints[kk, 0] = (1, 10 * kk, 5, 40, 20, 0, 0, 200, 100)
+            cols[kk, 0] = (1.0, 0.5, 0.25, 1.0)
+        stacked = np.asarray(composite_instances_batch_vmap(
+            atlas, jnp.asarray(ints), jnp.asarray(cols),
+            window_h=100, window_w=200))
+        parts = composite_instances_batch_vmap(
+            atlas, jnp.asarray(ints), jnp.asarray(cols),
+            window_h=100, window_w=200, unstack=True)
+        assert len(parts) == 3
+        for i, p in enumerate(parts):
+            np.testing.assert_array_equal(stacked[i], np.asarray(p))
