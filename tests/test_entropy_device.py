@@ -105,3 +105,33 @@ def test_scan_planes_matches_host_coder():
     enc = JpegEncoder(quality=85, engine="device")
     coefs = enc._coefs(frames)
     assert enc.scan_planes(coefs) == enc._scans_host(coefs)
+
+
+def test_concat_v2_matches_v1_adversarial():
+    """Random block bit-lengths including word-boundary-exact starts and
+    many tiny blocks packed into single words."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops import entropy as E
+
+    rng = np.random.default_rng(123)
+    for trial in range(5):
+        nb = rng.integers(4, 80, size=400).astype(np.int32)
+        if trial == 1:
+            nb[:50] = 4            # 8 block starts per word
+        if trial == 2:
+            nb[:] = 32             # every start boundary-exact
+        if trial == 3:
+            nb[10] = 64 * 20       # a very long block spanning many words
+        buf = np.zeros((400, E._BLOCK_WORDS), np.uint32)
+        for i, n in enumerate(nb):
+            bits = rng.integers(0, 2, size=int(n))
+            for j, bit in enumerate(bits):
+                if bit:
+                    buf[i, j // 32] |= np.uint32(1) << np.uint32(31 - (j % 32))
+        out_words = int((nb.sum() + 31) // 32) + 4
+        v1 = E._concat_blocks(jnp.asarray(buf), jnp.asarray(nb), out_words,
+                              max_span=9)
+        v2 = E._concat_blocks_v2(jnp.asarray(buf), jnp.asarray(nb),
+                                 out_words, min_block_bits=4)
+        np.testing.assert_array_equal(np.asarray(v1[0]), np.asarray(v2[0]))
+        assert int(v1[1]) == int(v2[1])
