@@ -313,6 +313,100 @@ def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
     return lens, vals
 
 
+_NUM_SLOTS_M = 1 + 63 + 1  # merged: DC + one 64-bit slot per AC pos + EOB
+
+
+def _shl64(hi: jnp.ndarray, lo: jnp.ndarray, s: jnp.ndarray):
+    """(hi, lo) uint32 pair << s for s in [0, 31]."""
+    s = s.astype(jnp.uint32)
+    spill = jnp.where(s > 0, lo >> ((32 - s) & 31), 0)
+    return (hi << s) | spill, lo << s
+
+
+def _slot_tables_merged(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
+                        use_onehot: bool = False):
+    """Merged-slot variant of _slot_tables: per AC position the up-to-three
+    codes (ZRL pair, third ZRL, AC code + extra bits) compose into ONE
+    64-bit slot, shrinking the slot axis 191 -> 65 so the bit-pack loop
+    bound drops ~3x (the pack kernel iterates to the LAST active slot).
+
+    Returns (lens, his, los): (B, 65) int32/uint32/uint32; slot value is
+    the low ``len`` bits of (hi << 32) | lo, len <= 59.
+    """
+    lens, vals = _slot_tables(zz, comp_chroma, use_onehot=use_onehot)
+    b = zz.shape[0]
+    dc_len = lens[:, :1]
+    dc_val = vals[:, :1].astype(jnp.uint32)
+    eob_len = lens[:, -1:]
+    eob_val = vals[:, -1:].astype(jnp.uint32)
+    ac_lens = lens[:, 1:-1].reshape(b, 63, 3)
+    ac_vals = vals[:, 1:-1].reshape(b, 63, 3).astype(jnp.uint32)
+
+    la, lb, lc = ac_lens[..., 0], ac_lens[..., 1], ac_lens[..., 2]
+    va, vb, vc = ac_vals[..., 0], ac_vals[..., 1], ac_vals[..., 2]
+    hi = jnp.zeros_like(va)
+    lo = va
+    hi, lo = _shl64(hi, lo, lb)
+    lo = lo | vb
+    hi, lo = _shl64(hi, lo, lc)
+    lo = lo | vc
+    mlen = la + lb + lc
+
+    lens_m = jnp.concatenate([dc_len, mlen, eob_len], axis=1)
+    his_m = jnp.concatenate(
+        [jnp.zeros_like(dc_val), hi, jnp.zeros_like(eob_val)], axis=1)
+    los_m = jnp.concatenate([dc_val, lo, eob_val], axis=1)
+    return lens_m, his_m, los_m
+
+
+def _place96(hi: jnp.ndarray, lo: jnp.ndarray, slen: jnp.ndarray,
+             q: jnp.ndarray):
+    """Place a len-bit value (low bits of hi:lo) at bit offset q of a
+    96-bit window; returns (c0, c1, c2) uint32 MSB-first. Valid for
+    slen >= 1, q in [0, 31] (masked out by callers when slen == 0)."""
+    t = q + slen
+    r = jnp.clip(96 - t, 0, 95)            # left shift of (0, hi, lo)
+    k = r >> 5
+    m = (r & 31).astype(jnp.uint32)
+    minv = ((32 - m) & 31).astype(jnp.uint32)
+    spill_hi = jnp.where(m > 0, hi >> minv, 0)
+    spill_lo = jnp.where(m > 0, lo >> minv, 0)
+    c0 = jnp.where(k == 0, spill_hi,
+                   jnp.where(k == 1, (hi << m) | spill_lo, lo << m))
+    c1 = jnp.where(k == 0, (hi << m) | spill_lo,
+                   jnp.where(k == 1, lo << m, 0))
+    c2 = jnp.where(k == 0, lo << m, 0)
+    return c0, c1, c2
+
+
+def _pack_block_bits64(lens: jnp.ndarray, his: jnp.ndarray,
+                       los: jnp.ndarray):
+    """64-bit-slot variant of _pack_block_bits (bit-identical stream).
+
+    lens: (B, S) int32, his/los: (B, S) uint32. Returns (buf (B, 64)
+    uint32 MSB-first, nbits (B,) int32).
+    """
+    b, s = lens.shape
+    word_iota = jnp.arange(_BLOCK_WORDS, dtype=jnp.int32)[None, :]
+
+    def step(carry, xs):
+        buf, off = carry
+        slen, hi, lo = xs
+        c0, c1, c2 = _place96(hi, lo, slen, off & 31)
+        widx = (off >> 5)[:, None]
+        active = (slen > 0)[:, None]
+        upd = (jnp.where(active & (word_iota == widx), c0[:, None], 0)
+               | jnp.where(active & (word_iota == widx + 1), c1[:, None], 0)
+               | jnp.where(active & (word_iota == widx + 2), c2[:, None], 0))
+        return (buf | upd, off + slen), None
+
+    buf0 = jnp.zeros((b, _BLOCK_WORDS), jnp.uint32)
+    off0 = jnp.zeros((b,), jnp.int32)
+    (buf, nbits), _ = jax.lax.scan(
+        step, (buf0, off0), (lens.T, his.T, los.T))
+    return buf, nbits
+
+
 def _pack_block_bits(lens: jnp.ndarray, vals: jnp.ndarray):
     """Pack per-slot bits into per-block word buffers.
 
@@ -534,12 +628,14 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
     b = mcu.shape[1]
     flat = mcu.reshape(f * b, 64)
     comp_flat = jnp.tile(comp, f)
-    lens, vals = _slot_tables(flat, comp_flat, use_onehot=use_pallas)
+    lens, his, los = _slot_tables_merged(flat, comp_flat,
+                                         use_onehot=use_pallas)
     if use_pallas:
-        from .entropy_pallas import pack_block_bits_pallas
-        buf, nbits = pack_block_bits_pallas(lens, vals, interpret=interpret)
+        from .entropy_pallas import pack_block_bits_pallas64
+        buf, nbits = pack_block_bits_pallas64(lens, his, los,
+                                              interpret=interpret)
     else:
-        buf, nbits = _pack_block_bits(lens, vals)
+        buf, nbits = _pack_block_bits64(lens, his, los)
     buf = buf.reshape(f, b, _BLOCK_WORDS)
     nbits = nbits.reshape(f, b)
     luma_min, chroma_min = _min_block_bits()

@@ -41,11 +41,42 @@ def test_full_pipeline_with_pallas_interpret():
     # interpret mode: patch the jit'd path via env-independent direct call
     from flutpu.codec.ops import entropy
     import flutpu.codec.ops.entropy_pallas as ep
-    orig = ep.pack_block_bits_pallas
-    ep.pack_block_bits_pallas = lambda l, v, interpret=False: orig(
-        l, v, interpret=True)
+    orig = ep.pack_block_bits_pallas64
+    ep.pack_block_bits_pallas64 = lambda l, h, o, interpret=False: orig(
+        l, h, o, interpret=True)
     try:
         out = dev.encode_gop(frames)
     finally:
-        ep.pack_block_bits_pallas = orig
+        ep.pack_block_bits_pallas64 = orig
     assert out == host
+
+
+def test_merged_64bit_slots_bit_identical():
+    """Merged 64-bit slots (scan + pallas-interpret) match the 32-bit slot
+    scan packer bit for bit."""
+    from flutpu.codec.ops.entropy import (_pack_block_bits,
+                                          _pack_block_bits64,
+                                          _slot_tables,
+                                          _slot_tables_merged)
+    from flutpu.codec.ops.entropy_pallas import pack_block_bits_pallas64
+
+    rng = np.random.default_rng(42)
+    zz = rng.integers(-40, 40, size=(96, 64)).astype(np.int32)
+    zz[rng.random(zz.shape) < 0.75] = 0      # sparse like real coefs
+    zz[:5] = 0                                # all-zero blocks
+    zz[6, 63] = 9                             # nonzero at the last position
+    zz[7, 1:] = 0; zz[7, 0] = -1023           # DC-only, max magnitude
+    zz[8, 1:48] = 0                           # long zero run -> 2+ ZRLs
+    comp = (np.arange(96) % 3 > 0).astype(np.int32)
+
+    lens, vals = _slot_tables(jnp.asarray(zz), jnp.asarray(comp))
+    ref_buf, ref_nb = _pack_block_bits(lens, vals)
+
+    ml, mh, mo = _slot_tables_merged(jnp.asarray(zz), jnp.asarray(comp))
+    buf64, nb64 = _pack_block_bits64(ml, mh, mo)
+    np.testing.assert_array_equal(np.asarray(ref_buf), np.asarray(buf64))
+    np.testing.assert_array_equal(np.asarray(ref_nb), np.asarray(nb64))
+
+    buf_p, nb_p = pack_block_bits_pallas64(ml, mh, mo, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_buf), np.asarray(buf_p))
+    np.testing.assert_array_equal(np.asarray(ref_nb), np.asarray(nb_p))
