@@ -98,9 +98,9 @@ def main():
         f, b = mcu.shape[:2]
         flat = mcu.reshape(f * b, 64)
         comp_flat = jnp.tile(jnp.asarray(layout.comp_is_chroma), f)
-        lens, vals = E._slot_tables(flat, comp_flat,
-                                    use_onehot=enc.use_pallas)
-        return lens.sum() + vals.sum()
+        lens, his, los = E._slot_tables_merged(flat, comp_flat,
+                                               use_onehot=enc.use_pallas)
+        return lens.sum() + (his ^ los).astype(jnp.uint32).sum()
 
     @jax.jit
     def p_pack(start, qy, qc):
@@ -111,13 +111,14 @@ def main():
         f, b = mcu.shape[:2]
         flat = mcu.reshape(f * b, 64)
         comp_flat = jnp.tile(jnp.asarray(layout.comp_is_chroma), f)
-        lens, vals = E._slot_tables(flat, comp_flat,
-                                    use_onehot=enc.use_pallas)
+        lens, his, los = E._slot_tables_merged(flat, comp_flat,
+                                               use_onehot=enc.use_pallas)
         if enc.use_pallas:
-            from flutpu.codec.ops.entropy_pallas import pack_block_bits_pallas
-            buf, nbits = pack_block_bits_pallas(lens, vals)
+            from flutpu.codec.ops.entropy_pallas import \
+                pack_block_bits_pallas64
+            buf, nbits = pack_block_bits_pallas64(lens, his, los)
         else:
-            buf, nbits = E._pack_block_bits(lens, vals)
+            buf, nbits = E._pack_block_bits64(lens, his, los)
         return buf.astype(jnp.uint32).sum() + nbits.sum()
 
     @jax.jit

@@ -71,8 +71,10 @@ def coefs_to_rgb(yq: jax.Array, cbq: jax.Array, crq: jax.Array,
                  subsample: bool = True) -> jax.Array:
     """Quantized zigzag coefficient planes → (h, w, 3) uint8 RGB (device)."""
     def plane(q, qtab):
-        blocks = zigzag_unflatten(q.astype(jnp.float32))
-        return plane_idct(dequantize(blocks, qtab)) + 128.0
+        from .ops.dct import plane_idct_planar, unblockize
+        from .ops.quant import dequantize_planar
+        cp = unblockize(zigzag_unflatten(q.astype(jnp.int32)))
+        return plane_idct_planar(dequantize_planar(cp, qtab)) + 128.0
 
     y = plane(yq, qy)
     cb = plane(cbq, qc)

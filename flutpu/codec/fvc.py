@@ -93,8 +93,9 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     mvs (F, mbh, mbw, 2) int8 (frame 0's vectors are zero/ignored: I frame
     predicts a flat 128)."""
     from .ops.colorspace import rgb_to_i420
-    from .ops.dct import plane_dct, plane_idct
-    from .ops.quant import dequantize, quantize, zigzag_flatten
+    from .ops.dct import blockize, plane_dct_planar, plane_idct_planar
+    from .ops.quant import (dequantize_planar, quantize_planar,
+                            zigzag_flatten)
     from .ops.motion import (motion_compensate, motion_compensate_subpel,
                              motion_search, motion_search_hier,
                              subpel_refine)
@@ -107,9 +108,14 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     y, cb, cr = rgb_to_i420(x)
 
     def code_plane(resid, qtab):
-        coefs = jnp.clip(quantize(plane_dct(resid), qtab), -_CLAMP, _CLAMP)
-        rec_resid = plane_idct(dequantize(coefs, qtab))
-        return zigzag_flatten(coefs).astype(jnp.int16), rec_resid
+        # plane-layout DCT/IDCT (dct.plane_dct_planar): full-tile MXU
+        # matmuls, no f32 blocking transposes in the scan body; the
+        # decoder reconstructs through the SAME planar idct so encoder
+        # and decoder state stay bit-identical across the P chain
+        cp = jnp.clip(quantize_planar(plane_dct_planar(resid), qtab),
+                      -_CLAMP, _CLAMP)
+        rec_resid = plane_idct_planar(dequantize_planar(cp, qtab))
+        return (zigzag_flatten(blockize(cp)).astype(jnp.int16), rec_resid)
 
     def step(carry, xs):
         rec_y, rec_cb, rec_cr, idx = carry
@@ -362,13 +368,15 @@ def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, itypes, qy, qc,
     ry/rcb/rcr: (F, BH, BW, 64) int16 zigzag residual coefficients;
     mvs: (F, mbh, mbw, 2) int8; itypes: (F,) int8 — 1 where the frame is
     intra-coded (flat-128 prediction). Returns (F, H, W) float planes."""
-    from .ops.dct import plane_idct
+    from .ops.dct import plane_idct_planar, unblockize
     from .ops.motion import motion_compensate, motion_compensate_subpel
-    from .ops.quant import dequantize, zigzag_unflatten
+    from .ops.quant import dequantize_planar, zigzag_unflatten
 
     def resid(q, qtab):
-        return plane_idct(dequantize(zigzag_unflatten(q.astype(jnp.float32)),
-                                     qtab))
+        # planar idct — MUST match the encoder's code_plane reconstruction
+        # bit for bit (P frames chain off reconstructed state)
+        cp = unblockize(zigzag_unflatten(q.astype(jnp.int32)))
+        return plane_idct_planar(dequantize_planar(cp, qtab))
 
     if subpel:
         mc_y = lambda p, m: motion_compensate_subpel(p, m)
@@ -452,10 +460,10 @@ def _mc_np(prev: np.ndarray, mv: np.ndarray, mb: int,
 
 @jax.jit
 def _plane_from_coefs(q: jax.Array, qtab: jax.Array) -> jax.Array:
-    from .ops.dct import plane_idct
-    from .ops.quant import dequantize, zigzag_unflatten
-    return plane_idct(dequantize(zigzag_unflatten(q.astype(jnp.float32)),
-                                 qtab))
+    from .ops.dct import plane_idct_planar, unblockize
+    from .ops.quant import dequantize_planar, zigzag_unflatten
+    cp = unblockize(zigzag_unflatten(q.astype(jnp.int32)))
+    return plane_idct_planar(dequantize_planar(cp, qtab))
 
 
 class FvcDecoder:

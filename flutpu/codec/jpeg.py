@@ -24,7 +24,7 @@ import numpy as np
 from .. import native
 from . import jpeg_tables as T
 from .ops.colorspace import rgb_to_i420
-from .ops.dct import plane_dct
+from .ops.dct import blockize, plane_dct
 from .ops.quant import (CHROMA_QTABLE, LUMA_QTABLE, quantize, scale_qtable,
                         zigzag_flatten, zigzag_order)
 
@@ -59,8 +59,13 @@ def encode_gop_to_coefs(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
 
     def q(plane, qtab):
-        coefs = plane_dct(plane - 128.0)
-        return zigzag_flatten(quantize(coefs, qtab)).astype(jnp.int16)
+        # plane-layout DCT + quantize (full-tile MXU matmuls, no f32
+        # blocking transposes); only the final int16 is blockized for the
+        # zigzag gather
+        from .ops.dct import plane_dct_planar
+        from .ops.quant import quantize_planar
+        qq = quantize_planar(plane_dct_planar(plane - 128.0), qtab)
+        return zigzag_flatten(blockize(qq)).astype(jnp.int16)
 
     return q(y, qy), q(cb, qc), q(cr, qc)
 

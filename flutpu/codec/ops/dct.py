@@ -67,3 +67,45 @@ def plane_dct(plane: jax.Array, block: int = 8) -> jax.Array:
 def plane_idct(coefs: jax.Array) -> jax.Array:
     """[..., BH, BW, 8, 8] coefficients → [..., H, W] plane."""
     return unblockize(idct2(coefs))
+
+
+@functools.lru_cache()
+def _bd_dct_matrix(dim: int) -> np.ndarray:
+    """(dim, dim) block-diagonal matrix with the 8x8 DCT on the diagonal.
+
+    MXU shape fix: the 8x8-contraction einsums of dct2 waste the 128x128
+    systolic array (contraction dim 8) and force (.., 8, 8) relayouts;
+    one dense dim x dim matmul against the block-diagonal keeps data in
+    plane layout with full MXU tiles. The extra multiplies are zeros —
+    free FLOPs on the MXU, and exact under f32 (x + 0 == x)."""
+    c = dct_matrix(8)
+    m = np.zeros((dim, dim), np.float32)
+    for b in range(dim // 8):
+        m[b * 8:(b + 1) * 8, b * 8:(b + 1) * 8] = c
+    return m
+
+
+def plane_dct_planar(plane: jax.Array) -> jax.Array:
+    """[..., H, W] plane → [..., H, W] PLANE-LAYOUT DCT coefficients:
+    block (by, bx)'s coefficient (u, v) sits at (8*by + u, 8*bx + v).
+    Equals unblockize(plane_dct(plane)); see _bd_dct_matrix for why."""
+    *_, h, w = plane.shape
+    bh = jnp.asarray(_bd_dct_matrix(h))
+    bw = jnp.asarray(_bd_dct_matrix(w))
+    x = plane.astype(jnp.float32)
+    y = jnp.einsum("hk,...kw->...hw", bh, x,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("...hw,vw->...hv", y, bw,
+                      preferred_element_type=jnp.float32)
+
+
+def plane_idct_planar(coefs: jax.Array) -> jax.Array:
+    """Inverse of plane_dct_planar: plane-layout coefficients → plane."""
+    *_, h, w = coefs.shape
+    bh = jnp.asarray(_bd_dct_matrix(h))
+    bw = jnp.asarray(_bd_dct_matrix(w))
+    x = coefs.astype(jnp.float32)
+    y = jnp.einsum("kh,...kw->...hw", bh, x,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("...hw,wv->...hv", y, bw,
+                      preferred_element_type=jnp.float32)

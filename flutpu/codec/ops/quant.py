@@ -82,3 +82,20 @@ def zigzag_unflatten(flat: jax.Array, n: int = 8) -> jax.Array:
     inv = jnp.asarray(inverse_zigzag_order(n))
     # value at row-major position p came from zigzag position inv[p]
     return flat[..., inv].reshape(*flat.shape[:-1], n, n)
+
+
+def quant_map(qtable: jax.Array, h: int, w: int) -> jax.Array:
+    """(8, 8) quant table tiled to a plane-layout (h, w) divisor map."""
+    return jnp.tile(qtable.astype(jnp.float32), (h // 8, w // 8))
+
+
+def quantize_planar(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
+    """Round-to-nearest quantization of PLANE-LAYOUT [..., H, W] DCT
+    coefficients (see dct.plane_dct_planar)."""
+    *_, h, w = coefs.shape
+    return jnp.round(coefs / quant_map(qtable, h, w)).astype(jnp.int32)
+
+
+def dequantize_planar(qcoefs: jax.Array, qtable: jax.Array) -> jax.Array:
+    *_, h, w = qcoefs.shape
+    return qcoefs.astype(jnp.float32) * quant_map(qtable, h, w)

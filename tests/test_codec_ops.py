@@ -197,3 +197,31 @@ class TestJpeg:
         a = J._encode_scan_python(y, cb, cr, True)
         b = J._encode_scan_native(native.get_lib(), y, cb, cr, True)
         assert a == b
+
+
+def test_planar_dct_matches_blockized():
+    """plane_dct_planar == unblockize-composed plane_dct layout-wise, and
+    the roundtrip through planar idct reconstructs."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops.dct import (blockize, plane_dct, plane_dct_planar,
+                                      plane_idct_planar, unblockize)
+    rng = np.random.default_rng(3)
+    planes = rng.uniform(-128, 127, size=(2, 32, 48)).astype(np.float32)
+    ref = np.asarray(unblockize(plane_dct(jnp.asarray(planes))))
+    got = np.asarray(plane_dct_planar(jnp.asarray(planes)))
+    np.testing.assert_allclose(ref, got, atol=2e-3)
+    rec = np.asarray(plane_idct_planar(jnp.asarray(got)))
+    np.testing.assert_allclose(rec, planes, atol=1e-2)
+
+
+def test_planar_quantize_matches_blockized():
+    import jax.numpy as jnp
+    from flutpu.codec.ops.dct import blockize
+    from flutpu.codec.ops.quant import (LUMA_QTABLE, quantize,
+                                        quantize_planar)
+    rng = np.random.default_rng(4)
+    coefs_plane = rng.uniform(-900, 900, size=(24, 40)).astype(np.float32)
+    qt = jnp.asarray(LUMA_QTABLE.astype(np.float32))
+    a = np.asarray(quantize(blockize(jnp.asarray(coefs_plane)), qt))
+    b = np.asarray(blockize(quantize_planar(jnp.asarray(coefs_plane), qt)))
+    np.testing.assert_array_equal(a, b)
