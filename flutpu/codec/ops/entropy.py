@@ -215,15 +215,11 @@ def _magnitude(v: jnp.ndarray, max_bits: int) -> jnp.ndarray:
     return size
 
 
-def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
+def _slot_pieces(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
                  use_onehot: bool = False):
-    """Per-block per-slot (length, value) arrays.
-
-    zz: (B, 64) int32 zigzagged quantized coefficients in MCU order with the
-    DC channel already replaced by the DC *difference*.
-    Returns lens, vals: (B, _NUM_SLOTS) int32. ``use_onehot`` swaps the
-    table gathers for one-hot MXU matmuls (the fast path on TPU).
-    """
+    """Shared symbol computation for both slot-table layouts: returns
+    (dc_len, dc_val, A_len, A_val, B_len, B_val, C_len, C_val, eob_len,
+    eob_val) — DC/EOB are (B,), AC pieces are (B, 63)."""
     dc_code_np, dc_len_np, ac_code_np, ac_len_np = _device_tables()
     b = zz.shape[0]
     comp = comp_chroma  # (B,)
@@ -302,6 +298,24 @@ def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
     eob_len = jnp.where(eob_needed, eob_len_t, 0)
     eob_val = jnp.where(eob_needed, eob_code, 0)
 
+    return (dc_slot_len, dc_slot_val, slotA_len, slotA_val, slotB_len,
+            slotB_val, slotC_len, slotC_val, eob_len, eob_val)
+
+
+def _slot_tables(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
+                 use_onehot: bool = False):
+    """Per-block per-slot (length, value) arrays.
+
+    zz: (B, 64) int32 zigzagged quantized coefficients in MCU order with the
+    DC channel already replaced by the DC *difference*.
+    Returns lens, vals: (B, _NUM_SLOTS) int32. ``use_onehot`` swaps the
+    table gathers for one-hot MXU matmuls (the fast path on TPU).
+    """
+    b = zz.shape[0]
+    (dc_slot_len, dc_slot_val, slotA_len, slotA_val, slotB_len, slotB_val,
+     slotC_len, slotC_val, eob_len, eob_val) = _slot_pieces(
+        zz, comp_chroma, use_onehot)
+
     # interleave AC slots: (B, 63, 3) → (B, 189)
     ac_lens = jnp.stack([slotA_len, slotB_len, slotC_len], axis=-1).reshape(b, -1)
     ac_vals = jnp.stack([slotA_val, slotB_val, slotC_val], axis=-1).reshape(b, -1)
@@ -333,17 +347,11 @@ def _slot_tables_merged(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
     Returns (lens, his, los): (B, 65) int32/uint32/uint32; slot value is
     the low ``len`` bits of (hi << 32) | lo, len <= 59.
     """
-    lens, vals = _slot_tables(zz, comp_chroma, use_onehot=use_onehot)
-    b = zz.shape[0]
-    dc_len = lens[:, :1]
-    dc_val = vals[:, :1].astype(jnp.uint32)
-    eob_len = lens[:, -1:]
-    eob_val = vals[:, -1:].astype(jnp.uint32)
-    ac_lens = lens[:, 1:-1].reshape(b, 63, 3)
-    ac_vals = vals[:, 1:-1].reshape(b, 63, 3).astype(jnp.uint32)
-
-    la, lb, lc = ac_lens[..., 0], ac_lens[..., 1], ac_lens[..., 2]
-    va, vb, vc = ac_vals[..., 0], ac_vals[..., 1], ac_vals[..., 2]
+    (dc_len, dc_val, la, va, lb, vb, lc, vc, eob_len, eob_val) = \
+        _slot_pieces(zz, comp_chroma, use_onehot)
+    va = va.astype(jnp.uint32)
+    vb = vb.astype(jnp.uint32)
+    vc = vc.astype(jnp.uint32)
     hi = jnp.zeros_like(va)
     lo = va
     hi, lo = _shl64(hi, lo, lb)
@@ -352,10 +360,14 @@ def _slot_tables_merged(zz: jnp.ndarray, comp_chroma: jnp.ndarray,
     lo = lo | vc
     mlen = la + lb + lc
 
-    lens_m = jnp.concatenate([dc_len, mlen, eob_len], axis=1)
+    dc_val = dc_val.astype(jnp.uint32)
+    eob_val = eob_val.astype(jnp.uint32)
+    lens_m = jnp.concatenate([dc_len[:, None], mlen, eob_len[:, None]],
+                             axis=1)
     his_m = jnp.concatenate(
-        [jnp.zeros_like(dc_val), hi, jnp.zeros_like(eob_val)], axis=1)
-    los_m = jnp.concatenate([dc_val, lo, eob_val], axis=1)
+        [jnp.zeros_like(dc_val)[:, None], hi,
+         jnp.zeros_like(eob_val)[:, None]], axis=1)
+    los_m = jnp.concatenate([dc_val[:, None], lo, eob_val[:, None]], axis=1)
     return lens_m, his_m, los_m
 
 
