@@ -110,8 +110,17 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     def code_plane(resid, qtab):
         # plane-layout DCT/IDCT (dct.plane_dct_planar): full-tile MXU
         # matmuls, no f32 blocking transposes in the scan body; the
-        # decoder reconstructs through the SAME planar idct so encoder
-        # and decoder state stay bit-identical across the P chain
+        # decoder reconstructs through the SAME formulation per backend so
+        # encoder and decoder state stay bit-identical across the P chain
+        # (cross-backend decode may drift <= 1 LSB between I frames — the
+        # f32 rounding difference of the two DCT orders)
+        if jax.default_backend() == "cpu":
+            from .ops.dct import plane_dct, plane_idct
+            from .ops.quant import dequantize, quantize
+            coefs = jnp.clip(quantize(plane_dct(resid), qtab),
+                             -_CLAMP, _CLAMP)
+            rec_resid = plane_idct(dequantize(coefs, qtab))
+            return zigzag_flatten(coefs).astype(jnp.int16), rec_resid
         cp = jnp.clip(quantize_planar(plane_dct_planar(resid), qtab),
                       -_CLAMP, _CLAMP)
         rec_resid = plane_idct_planar(dequantize_planar(cp, qtab))
@@ -373,8 +382,13 @@ def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, itypes, qy, qc,
     from .ops.quant import dequantize_planar, zigzag_unflatten
 
     def resid(q, qtab):
-        # planar idct — MUST match the encoder's code_plane reconstruction
-        # bit for bit (P frames chain off reconstructed state)
+        # MUST match the encoder's code_plane reconstruction per backend
+        # (P frames chain off reconstructed state)
+        if jax.default_backend() == "cpu":
+            from .ops.dct import plane_idct
+            from .ops.quant import dequantize
+            return plane_idct(
+                dequantize(zigzag_unflatten(q.astype(jnp.float32)), qtab))
         cp = unblockize(zigzag_unflatten(q.astype(jnp.int32)))
         return plane_idct_planar(dequantize_planar(cp, qtab))
 
@@ -460,8 +474,14 @@ def _mc_np(prev: np.ndarray, mv: np.ndarray, mb: int,
 
 @jax.jit
 def _plane_from_coefs(q: jax.Array, qtab: jax.Array) -> jax.Array:
+    from .ops.quant import zigzag_unflatten
+    if jax.default_backend() == "cpu":
+        from .ops.dct import plane_idct
+        from .ops.quant import dequantize
+        return plane_idct(
+            dequantize(zigzag_unflatten(q.astype(jnp.float32)), qtab))
     from .ops.dct import plane_idct_planar, unblockize
-    from .ops.quant import dequantize_planar, zigzag_unflatten
+    from .ops.quant import dequantize_planar
     cp = unblockize(zigzag_unflatten(q.astype(jnp.int32)))
     return plane_idct_planar(dequantize_planar(cp, qtab))
 

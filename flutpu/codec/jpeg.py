@@ -59,6 +59,12 @@ def encode_gop_to_coefs(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
 
     def q(plane, qtab):
+        if jax.default_backend() == "cpu":
+            # the block-diagonal planar form burns 17x the FLOPs — free on
+            # the MXU, ruinous on CPU; keep the 8x8 einsums there (this is
+            # also what keeps the measured CPU baseline honest)
+            coefs = plane_dct(plane - 128.0)
+            return zigzag_flatten(quantize(coefs, qtab)).astype(jnp.int16)
         # plane-layout DCT + quantize (full-tile MXU matmuls, no f32
         # blocking transposes); only the final int16 is blockized for the
         # zigzag gather
@@ -319,6 +325,23 @@ class JpegEncoder:
     # prefix overflow.
     PREFIX_WORDS = 32768  # 128 KB per frame (best-measured config)
 
+    # adaptive-prefix buckets: the fetch is ~21 ms/GOP at the full 32768
+    # words on a ~50 MB/s link and does NOT overlap device compute there;
+    # tracking the previous GOP's actual bit usage (x1.25 margin, bucketed
+    # to bound recompiles at <= 8 programs) trims it toward the true
+    # compressed size. Overflow (content spike) falls back to the cap
+    # ladder and resets the estimate.
+    _PREFIX_BUCKET = 4096
+
+    def _prefix_estimate(self) -> Optional[int]:
+        used = getattr(self, "_prefix_used_words", None)
+        if used is None:
+            return None
+        est = int(used * 1.25) + 1024
+        est = ((est + self._PREFIX_BUCKET - 1)
+               // self._PREFIX_BUCKET) * self._PREFIX_BUCKET
+        return max(8192, min(self.PREFIX_WORDS, est))
+
     def encode_gop_dispatch(self, frames_dev: jax.Array, h: int, w: int):
         """Dispatch the full device encode of a GOP already resident on
         device ((F, PH, PW, 3) uint8, dims pre-padded). Non-blocking;
@@ -334,6 +357,7 @@ class JpegEncoder:
         prefix = min(self.PREFIX_WORDS,
                      _pad_to(layout.n_blocks * self.CAP_LADDER[-1] // 32,
                              self._WORD_BUCKET))
+        prefix = min(prefix, self._prefix_estimate() or prefix)
         combined = encode_gop_scans_combined(
             yq, cbq, crq, layout=layout, prefix_words=prefix,
             use_pallas=self.use_pallas)
@@ -347,9 +371,12 @@ class JpegEncoder:
         bits_host = arr[:, 0].astype(np.int64)
         hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
         if (bits_host > prefix * 32).any():
-            # rare (dense content): recompute through the cap ladder
+            # adaptive window too small (content spike) or genuinely dense
+            # content: recompute through the cap ladder, reset the estimate
+            self._prefix_used_words = None
             scans = self._scans_device(coefs) or self._scans_host(coefs)
             return [hdr + s + b"\xff\xd9" for s in scans]
+        self._prefix_used_words = int((bits_host.max() + 31) // 32)
         return [hdr + stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
                 + b"\xff\xd9" for i in range(arr.shape[0])]
 

@@ -24,18 +24,22 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..codec.ops.colorspace import rgb_to_i420
-from ..codec.ops.dct import blockize, plane_dct_planar
-from ..codec.ops.quant import quantize_planar, zigzag_flatten
+from ..codec.ops.dct import blockize, plane_dct, plane_dct_planar
+from ..codec.ops.quant import quantize, quantize_planar, zigzag_flatten
 
 
 def _encode_block(frames: jax.Array, qy: jax.Array, qc: jax.Array):
     """Local (per-shard) encode: (..., H, W, 3) uint8 → zigzagged int16
     coefficient planes. H, W must be multiples of 16. Planar DCT keeps the
-    per-shard matmuls full-tile on the MXU (dct.plane_dct_planar)."""
+    per-shard matmuls full-tile on the MXU (dct.plane_dct_planar); on CPU
+    meshes the 8x8 einsum form is cheaper (17x fewer FLOPs)."""
     x = frames.astype(jnp.float32)
     y, cb, cr = rgb_to_i420(x)
 
     def q(plane, qtab):
+        if jax.default_backend() == "cpu":
+            return zigzag_flatten(
+                quantize(plane_dct(plane - 128.0), qtab)).astype(jnp.int16)
         qq = quantize_planar(plane_dct_planar(plane - 128.0), qtab)
         return zigzag_flatten(blockize(qq)).astype(jnp.int16)
 
