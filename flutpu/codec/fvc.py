@@ -267,15 +267,26 @@ class FvcEncoder:
         prefix = min(sc.PREFIX_WORDS,
                      _pad_to(layout.n_blocks * sc.CAP_LADDER[-1] // 32,
                              sc._WORD_BUCKET))
+        # adaptive window tracked from the previous chunk's actual usage
+        # (residual streams are small — the fetch is the cost; see
+        # JpegEncoder._prefix_estimate)
+        est = sc._prefix_estimate()
+        if est is not None:
+            prefix = min(prefix, est)
         return layout, prefix
 
-    def _encode_device(self, frames: np.ndarray, ph: int, pw: int):
+    def _encode_device(self, frames: np.ndarray, ph: int, pw: int,
+                       force_full: bool = False):
         """Fused single-dispatch + single-fetch GOP encode. Returns
         (payloads, mvs, itypes) or (None, None, None) when the compressed
-        prefix overflowed (dense content → caller falls back)."""
+        prefix overflowed (dense content → caller falls back). A spike
+        past an ADAPTIVE window retries once at the full window before
+        giving up."""
         from .ops.entropy import stuff_and_finalize
-        layout, prefix = self._layout_prefix(ph, pw)
         sc = self._scan_coder
+        if force_full:
+            sc._prefix_used_words = None
+        layout, prefix = self._layout_prefix(ph, pw)
         dev = jnp.asarray(frames)
         if self.motion:
             arr = np.asarray(_fvc_gop_program_v2(
@@ -290,7 +301,14 @@ class FvcEncoder:
                 prefix_words=prefix, use_pallas=sc.use_pallas))
         bits = arr[:, 0].astype(np.int64)
         if (bits > prefix * 32).any():
+            sc._prefix_used_words = None   # spike: reset the estimate
+            if not force_full:
+                _, full = self._layout_prefix(ph, pw)
+                if full > prefix:   # the window was adaptive — retry full
+                    return self._encode_device(frames, ph, pw,
+                                               force_full=True)
             return None, None, None
+        sc._prefix_used_words = int((bits.max() + 31) // 32)
         payloads = [stuff_and_finalize(arr[i, 1:1 + prefix], int(bits[i]))
                     for i in range(arr.shape[0])]
         mvs = itypes = None

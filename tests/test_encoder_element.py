@@ -141,3 +141,53 @@ def test_mid_stream_resolution_change_splits_chunks():
     d2, _ = FvcDecoder().decode_chunk(chunks[1])
     assert d1.shape == (3, 48, 64, 3) and d2.shape == (3, 64, 96, 3)
     assert psnr(small[1], d1[1]) > 30 and psnr(big[1], d2[1]) > 30
+
+
+class TestAdaptivePrefix:
+    def test_jpeg_adaptive_window_shrinks_and_matches(self):
+        import jax.numpy as jnp
+        from flutpu.codec.jpeg import JpegEncoder, _pad_to
+        from flutpu.core.elements import make_test_frame
+        frames = np.stack([make_test_frame("gradient", 128, 64, i)
+                           for i in range(4)])
+        ph, pw = _pad_to(64, 16), _pad_to(128, 16)
+        fdev = jnp.asarray(np.pad(
+            frames, ((0, 0), (0, ph - 64), (0, pw - 128), (0, 0)),
+            mode="edge"))
+
+        ref = JpegEncoder(quality=85, engine="auto")
+        expect = ref.encode_gop_finalize(ref.encode_gop_dispatch(
+            fdev, 64, 128))
+
+        enc = JpegEncoder(quality=85, engine="auto")
+        first = enc.encode_gop_finalize(enc.encode_gop_dispatch(
+            fdev, 64, 128))
+        assert enc._prefix_used_words is not None
+        est = enc._prefix_estimate()
+        assert est is not None and est <= enc.PREFIX_WORDS
+        second = enc.encode_gop_finalize(enc.encode_gop_dispatch(
+            fdev, 64, 128))
+        assert first == expect and second == expect
+
+    def test_fvc_adaptive_spike_retries_on_device(self):
+        from flutpu.codec.fvc import FvcDecoder, FvcEncoder
+        rng = np.random.default_rng(11)
+        smooth = np.tile(
+            np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None, None],
+            (4, 1, 64, 3)).reshape(4, 64, 64, 3)
+        noisy = rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+
+        enc = FvcEncoder(quality=85, engine="auto")
+        c1 = enc.encode_chunk(smooth)
+        est_after_smooth = enc._scan_coder._prefix_estimate()
+        assert est_after_smooth is not None
+        c2 = enc.encode_chunk(noisy)   # spike: must retry, not corrupt
+        # the adaptive/retry path must be byte-identical to a fresh
+        # encoder with no adaptive state
+        fresh = FvcEncoder(quality=85, engine="auto")
+        assert c2 == fresh.encode_chunk(noisy)
+        dec = FvcDecoder()
+        out1, _ = dec.decode_chunk(c1)
+        out2, _ = dec.decode_chunk(c2)
+        assert out1.shape == (4, 64, 64, 3)
+        assert out2.shape == (4, 64, 64, 3)
