@@ -47,7 +47,10 @@ def report(metric, value, unit, **extra):
 
 
 def bench_ttml_render(n_cues=40, w=640, h=360):
-    """Config 1: parse + render a many-cue TTML doc; ms per interval frame."""
+    """Config 1: parse + render a many-cue TTML doc; ms per interval frame
+    DELIVERED TO HOST (device-out=false — each interval pays a fetch;
+    benches/bench_ttml.py measures the on-device burn-in mode). A warm
+    pass absorbs compiles + atlas population."""
     from flutpu.core import Buffer, Harness
     cues = "".join(
         f'<p begin="{i}s" end="{i + 1}s" region="r">Cue number {i} with some '
@@ -59,16 +62,22 @@ def bench_ttml_render(n_cues=40, w=640, h=360):
            "<region xml:id='r' tts:origin='10% 75%' tts:extent='80% 20%' "
            "tts:backgroundColor='#00000080'/></layout></head><body><div>"
            + cues + "</div></body></tt>")
-    hns = Harness(f"ttmlrender window-width={w} window-height={h}")
-    hns.set_src_caps("application/ttml+xml")
-    t0 = time.time()
-    hns.push(Buffer(doc.encode(), pts=0))
-    hns.push_eos()
-    frames = 0
-    while hns.try_pull(timeout=0.001) is not None:
-        frames += 1
-    dt = time.time() - t0
-    hns.teardown()
+
+    def run():
+        hns = Harness(f"ttmlrender window-width={w} window-height={h}")
+        hns.set_src_caps("application/ttml+xml")
+        t0 = time.time()
+        hns.push(Buffer(doc.encode(), pts=0))
+        hns.push_eos()
+        frames = 0
+        while hns.try_pull(timeout=0.001) is not None:
+            frames += 1
+        dt = time.time() - t0
+        hns.teardown()
+        return frames, dt
+
+    run()                      # warm: compiles + atlas population
+    frames, dt = run()
     report("ttml_render_ms_per_frame", dt / max(frames, 1) * 1000, "ms",
            frames=frames)
 
@@ -162,7 +171,8 @@ def bench_full_pipeline(gops=4, w=1920, h=1088, out_h=1080):
         burned = overlay_on_frames(frames, overlay)
         return enc.encode_gop_finalize(
             enc.encode_gop_dispatch(burned, out_h, w))
-    one_gop(0)
+    one_gop(0)   # compile at the full prefix window + learn the estimate
+    one_gop(0)   # compile the adaptive-window program
     t0 = time.time()
     for g in range(gops):
         payloads = one_gop(g)
@@ -184,7 +194,8 @@ def bench_fvc(gops=4, motion=False):
         # only compressed bits cross the host link
         frames = gradient_ball_frames(1080, 1920, 8, jnp.float32(g * 8))
         return enc.encode_chunk(frames)
-    chunk = one_gop(0)
+    chunk = one_gop(0)   # compile at the full prefix + learn the estimate
+    chunk = one_gop(0)   # compile the adaptive-window program
     t0 = time.time()
     total = 0
     for g in range(gops):
