@@ -168,9 +168,9 @@ def bench_full_pipeline(gops=4, w=1920, h=1088, out_h=1080):
     enc = JpegEncoder(quality=85)
     def one_gop(g):
         frames = gradient_ball_frames(h, w, 8, jnp.float32(g * 8))
-        burned = overlay_on_frames(frames, overlay)
+        # burn-in is fused INTO the encode dispatch (one device program)
         return enc.encode_gop_finalize(
-            enc.encode_gop_dispatch(burned, out_h, w))
+            enc.encode_gop_dispatch(frames, out_h, w, overlay=overlay))
     one_gop(0)   # compile at the full prefix window + learn the estimate
     one_gop(0)   # compile the adaptive-window program
     t0 = time.time()

@@ -80,6 +80,23 @@ def encode_gop_to_coefs(frames: jax.Array, qy: jax.Array, qc: jax.Array,
 # host: headers
 # ----------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=(
+    "pad_h", "pad_w", "subsample", "layout", "prefix_words", "use_pallas"))
+def _gop_dispatch_program(frames, qy, qc, overlay, pad_h, pad_w, subsample,
+                          layout, prefix_words, use_pallas):
+    """ONE device program: optional BGRA overlay burn-in → convert/DCT/
+    quant/zigzag → entropy pack → combined (bits + prefix) output."""
+    from .ops.entropy import encode_gop_scans_combined
+    if overlay is not None:
+        from ..ttml.render import overlay_on_frames
+        frames = overlay_on_frames(frames, overlay)
+    yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
+                                       pad_w=pad_w, subsample=subsample)
+    return encode_gop_scans_combined(
+        yq, cbq, crq, layout=layout, prefix_words=prefix_words,
+        use_pallas=use_pallas)
+
+
 def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
 
@@ -319,6 +336,8 @@ class JpegEncoder:
         return [hdr + s + b"\xff\xd9" for s in self._scans_host(coefs)]
 
     # -- async pipeline API (overlap dispatch with host finalization) ------
+    # (the fused one-program dispatch lives at module level:
+    # _gop_dispatch_program)
     # Fixed compressed-prefix fetched together with the bit counts: ONE
     # host transfer per GOP on high-latency links (~25 ms/round-trip via
     # the axon relay); the full packed buffer stays on device for the rare
@@ -342,31 +361,38 @@ class JpegEncoder:
                // self._PREFIX_BUCKET) * self._PREFIX_BUCKET
         return max(8192, min(self.PREFIX_WORDS, est))
 
-    def encode_gop_dispatch(self, frames_dev: jax.Array, h: int, w: int):
+    def encode_gop_dispatch(self, frames_dev: jax.Array, h: int, w: int,
+                            overlay: Optional[jax.Array] = None):
         """Dispatch the full device encode of a GOP already resident on
         device ((F, PH, PW, 3) uint8, dims pre-padded). Non-blocking;
-        returns an opaque handle for ``encode_gop_finalize``."""
-        from .ops.entropy import encode_gop_scans_combined, mcu_layout
+        returns an opaque handle for ``encode_gop_finalize``.
+
+        The whole GOP — optional subtitle burn-in, convert/DCT/quant,
+        entropy pack — runs as ONE fused program: on the axon link a
+        chain of un-materialized dispatches executes pathologically
+        (CLAUDE.md measurement rule), and even on local hosts one program
+        saves the intermediate HBM round trips. ``overlay`` is an
+        (h', w', 4) BGRA frame composited over every frame first."""
+        from .ops.entropy import mcu_layout
         ph, pw = frames_dev.shape[1], frames_dev.shape[2]
-        coefs = encode_gop_to_coefs(frames_dev, self._qy_dev, self._qc_dev,
-                                    pad_h=ph, pad_w=pw,
-                                    subsample=self.subsample)
-        yq, cbq, crq = coefs
-        layout = mcu_layout(yq.shape[2], yq.shape[1],
-                            cbq.shape[2], cbq.shape[1], self.subsample)
+        if self.subsample:
+            layout = mcu_layout(pw // 8, ph // 8, pw // 16, ph // 16, True)
+        else:
+            layout = mcu_layout(pw // 8, ph // 8, pw // 8, ph // 8, False)
         prefix = min(self.PREFIX_WORDS,
                      _pad_to(layout.n_blocks * self.CAP_LADDER[-1] // 32,
                              self._WORD_BUCKET))
         prefix = min(prefix, self._prefix_estimate() or prefix)
-        combined = encode_gop_scans_combined(
-            yq, cbq, crq, layout=layout, prefix_words=prefix,
-            use_pallas=self.use_pallas)
-        return (combined, coefs, prefix, h, w)
+        combined = _gop_dispatch_program(
+            frames_dev, self._qy_dev, self._qc_dev, overlay,
+            pad_h=ph, pad_w=pw, subsample=self.subsample, layout=layout,
+            prefix_words=prefix, use_pallas=self.use_pallas)
+        return (combined, frames_dev, overlay, prefix, h, w)
 
     def encode_gop_finalize(self, handle) -> List[bytes]:
         """Blocking half: one fetch, stuff, wrap headers."""
         from .ops.entropy import stuff_and_finalize
-        combined, coefs, prefix, h, w = handle
+        combined, frames_dev, overlay, prefix, h, w = handle
         arr = np.asarray(combined)  # single transfer: bits + prefixes
         bits_host = arr[:, 0].astype(np.int64)
         hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
@@ -374,6 +400,13 @@ class JpegEncoder:
             # adaptive window too small (content spike) or genuinely dense
             # content: recompute through the cap ladder, reset the estimate
             self._prefix_used_words = None
+            ph, pw = frames_dev.shape[1], frames_dev.shape[2]
+            if overlay is not None:
+                from ..ttml.render import overlay_on_frames
+                frames_dev = overlay_on_frames(frames_dev, overlay)
+            coefs = encode_gop_to_coefs(
+                frames_dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
+                subsample=self.subsample)
             scans = self._scans_device(coefs) or self._scans_host(coefs)
             return [hdr + s + b"\xff\xd9" for s in scans]
         self._prefix_used_words = int((bits_host.max() + 31) // 32)

@@ -191,3 +191,29 @@ class TestAdaptivePrefix:
         out2, _ = dec.decode_chunk(c2)
         assert out1.shape == (4, 64, 64, 3)
         assert out2.shape == (4, 64, 64, 3)
+
+
+def test_dispatch_with_fused_overlay_burns_in():
+    import io
+    import jax.numpy as jnp
+    from PIL import Image
+    from flutpu.codec.jpeg import JpegEncoder, _pad_to
+    from flutpu.core.elements import make_test_frame
+    h, w = 64, 128
+    frames = np.stack([make_test_frame("gradient", w, h, i)
+                       for i in range(2)])
+    fdev = jnp.asarray(np.pad(
+        frames, ((0, 0), (0, _pad_to(h, 16) - h), (0, _pad_to(w, 16) - w),
+                 (0, 0)), mode="edge"))
+    ov = np.zeros((h, w, 4), np.uint8)
+    ov[10:20, 10:60] = (0, 0, 255, 255)  # opaque red box (BGRA)
+    enc = JpegEncoder(quality=85, engine="auto")
+    outs = enc.encode_gop_finalize(
+        enc.encode_gop_dispatch(fdev, h, w, overlay=jnp.asarray(ov)))
+    img = np.asarray(Image.open(io.BytesIO(outs[0])).convert("RGB"))
+    box = img[12:18, 15:55]
+    assert box[..., 0].mean() > 150 and box[..., 2].mean() < 100
+    # outside the overlay the frame still matches the source
+    ref = frames[0].astype(np.float64)
+    mse = ((ref[30:, :] - img[30:, :].astype(np.float64)) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 35
