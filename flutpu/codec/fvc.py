@@ -264,9 +264,7 @@ class FvcEncoder:
         else:
             layout = mcu_layout(pw // 8, ph // 8, pw // 8, ph // 8, False)
         sc = self._scan_coder
-        prefix = min(sc.PREFIX_WORDS,
-                     _pad_to(layout.n_blocks * sc.CAP_LADDER[-1] // 32,
-                             sc._WORD_BUCKET))
+        prefix = sc._prefix_cap(layout)
         # adaptive window tracked from the previous chunk's actual usage
         # (residual streams are small — the fetch is the cost; see
         # JpegEncoder._prefix_estimate)

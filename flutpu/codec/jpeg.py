@@ -359,7 +359,19 @@ class JpegEncoder:
         est = int(used * 1.25) + 1024
         est = ((est + self._PREFIX_BUCKET - 1)
                // self._PREFIX_BUCKET) * self._PREFIX_BUCKET
-        return max(8192, min(self.PREFIX_WORDS, est))
+        return max(8192, est)
+
+    def _prefix_cap(self, layout) -> int:
+        """Geometry-scaled compressed-prefix cap: ~1 word (32 bits) per
+        block covers ~2.7x typical q85 usage, so 4K scans (~74K words vs
+        the 1080p-sized 32768 constant) no longer overflow into the
+        cap-ladder fallback on EVERY GOP; the theoretical per-block
+        ladder bound still applies."""
+        theo = _pad_to(layout.n_blocks * self.CAP_LADDER[-1] // 32,
+                       self._WORD_BUCKET)
+        geo = _pad_to(max(self.PREFIX_WORDS, layout.n_blocks),
+                      self._WORD_BUCKET)
+        return min(geo, theo)
 
     def encode_gop_dispatch(self, frames_dev: jax.Array, h: int, w: int,
                             overlay: Optional[jax.Array] = None):
@@ -379,9 +391,7 @@ class JpegEncoder:
             layout = mcu_layout(pw // 8, ph // 8, pw // 16, ph // 16, True)
         else:
             layout = mcu_layout(pw // 8, ph // 8, pw // 8, ph // 8, False)
-        prefix = min(self.PREFIX_WORDS,
-                     _pad_to(layout.n_blocks * self.CAP_LADDER[-1] // 32,
-                             self._WORD_BUCKET))
+        prefix = self._prefix_cap(layout)
         prefix = min(prefix, self._prefix_estimate() or prefix)
         combined = _gop_dispatch_program(
             frames_dev, self._qy_dev, self._qc_dev, overlay,
@@ -424,9 +434,10 @@ class JpegEncoder:
             yq, cbq, crq = coefs
             layout = mcu_layout(yq.shape[2], yq.shape[1],
                                 cbq.shape[2], cbq.shape[1], self.subsample)
-            prefix = min(self.PREFIX_WORDS,
-                         _pad_to(layout.n_blocks * self.CAP_LADDER[-1] // 32,
-                                 self._WORD_BUCKET))
+            prefix = self._prefix_cap(layout)
+            est = self._prefix_estimate()
+            if est is not None:
+                prefix = min(prefix, est)
             combined = encode_gop_scans_combined(
                 jnp.asarray(yq), jnp.asarray(cbq), jnp.asarray(crq),
                 layout=layout, prefix_words=prefix,
