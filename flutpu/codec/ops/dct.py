@@ -85,6 +85,12 @@ def _bd_dct_matrix(dim: int) -> np.ndarray:
     return m
 
 
+# bf16_3x precision: measured max |err| vs exact f32 is 0.009 on 1080p
+# DCT coefficients — orders of magnitude below any quantization step —
+# for ~5 ms/GOP less than the exact-f32 path (chip A/B, PERF.md)
+_PLANAR_PRECISION = jax.lax.Precision.HIGH
+
+
 def plane_dct_planar(plane: jax.Array) -> jax.Array:
     """[..., H, W] plane → [..., H, W] PLANE-LAYOUT DCT coefficients:
     block (by, bx)'s coefficient (u, v) sits at (8*by + u, 8*bx + v).
@@ -94,8 +100,10 @@ def plane_dct_planar(plane: jax.Array) -> jax.Array:
     bw = jnp.asarray(_bd_dct_matrix(w))
     x = plane.astype(jnp.float32)
     y = jnp.einsum("hk,...kw->...hw", bh, x,
+                   precision=_PLANAR_PRECISION,
                    preferred_element_type=jnp.float32)
     return jnp.einsum("...hw,vw->...hv", y, bw,
+                      precision=_PLANAR_PRECISION,
                       preferred_element_type=jnp.float32)
 
 
@@ -106,6 +114,8 @@ def plane_idct_planar(coefs: jax.Array) -> jax.Array:
     bw = jnp.asarray(_bd_dct_matrix(w))
     x = coefs.astype(jnp.float32)
     y = jnp.einsum("kh,...kw->...hw", bh, x,
+                   precision=_PLANAR_PRECISION,
                    preferred_element_type=jnp.float32)
     return jnp.einsum("...hw,wv->...hv", y, bw,
+                      precision=_PLANAR_PRECISION,
                       preferred_element_type=jnp.float32)
