@@ -189,17 +189,22 @@ def bench_fvc(gops=4, motion=False):
     from flutpu.codec.ops.testsrc import gradient_ball_frames
 
     enc = FvcEncoder(quality=85, motion=motion)
-    def one_gop(g):
+    def dispatch(g):
         # frames stay device-resident (the source is the on-device testsrc);
         # only compressed bits cross the host link
         frames = gradient_ball_frames(1080, 1920, 8, jnp.float32(g * 8))
-        return enc.encode_chunk(frames)
-    chunk = one_gop(0)   # compile at the full prefix + learn the estimate
-    chunk = one_gop(0)   # compile the adaptive-window program
+        return enc.encode_chunk_dispatch(frames)
+    enc.encode_chunk_finalize(dispatch(0))   # compile + learn the estimate
+    enc.encode_chunk_finalize(dispatch(0))   # compile the adaptive window
     t0 = time.time()
     total = 0
-    for g in range(gops):
-        total += len(one_gop(g))
+    # two chunks in flight: host finalize overlaps device compute
+    pending = [dispatch(0)]
+    for g in range(1, gops):
+        pending.append(dispatch(g))
+        total += len(enc.encode_chunk_finalize(pending.pop(0)))
+    while pending:
+        total += len(enc.encode_chunk_finalize(pending.pop(0)))
     dt = time.time() - t0
     name = "fvc_motion_encode_fps" if motion else "fvc_encode_fps"
     report(name, gops * 8 / dt, "frames/s",

@@ -273,6 +273,25 @@ class FvcEncoder:
             prefix = min(prefix, est)
         return layout, prefix
 
+    def _device_dispatch(self, frames, ph: int, pw: int):
+        """Non-blocking half: launch the fused GOP program; returns the
+        un-materialized combined array and the prefix window used."""
+        sc = self._scan_coder
+        layout, prefix = self._layout_prefix(ph, pw)
+        dev = jnp.asarray(frames)
+        if self.motion:
+            combined = _fvc_gop_program_v2(
+                dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
+                search_range=self.search_range, layout=layout,
+                prefix_words=prefix, use_pallas=sc.use_pallas,
+                hier=self.hier, subpel=self.subpel)
+        else:
+            combined = _fvc_gop_program_v1(
+                dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
+                subsample=self.subsample, layout=layout,
+                prefix_words=prefix, use_pallas=sc.use_pallas)
+        return combined, prefix
+
     def _encode_device(self, frames: np.ndarray, ph: int, pw: int,
                        force_full: bool = False):
         """Fused single-dispatch + single-fetch GOP encode. Returns
@@ -280,23 +299,19 @@ class FvcEncoder:
         prefix overflowed (dense content → caller falls back). A spike
         past an ADAPTIVE window retries once at the full window before
         giving up."""
-        from .ops.entropy import stuff_and_finalize
         sc = self._scan_coder
         if force_full:
             sc._prefix_used_words = None
-        layout, prefix = self._layout_prefix(ph, pw)
-        dev = jnp.asarray(frames)
-        if self.motion:
-            arr = np.asarray(_fvc_gop_program_v2(
-                dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
-                search_range=self.search_range, layout=layout,
-                prefix_words=prefix, use_pallas=sc.use_pallas,
-                hier=self.hier, subpel=self.subpel))
-        else:
-            arr = np.asarray(_fvc_gop_program_v1(
-                dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
-                subsample=self.subsample, layout=layout,
-                prefix_words=prefix, use_pallas=sc.use_pallas))
+        combined, prefix = self._device_dispatch(frames, ph, pw)
+        return self._device_finalize(combined, prefix, frames, ph, pw,
+                                     force_full=force_full)
+
+    def _device_finalize(self, combined, prefix: int, frames, ph: int,
+                         pw: int, force_full: bool = False):
+        """Blocking half: ONE fetch, overflow handling, extraction."""
+        from .ops.entropy import stuff_and_finalize
+        sc = self._scan_coder
+        arr = np.asarray(combined)
         bits = arr[:, 0].astype(np.int64)
         if (bits > prefix * 32).any():
             sc._prefix_used_words = None   # spike: reset the estimate
@@ -338,18 +353,39 @@ class FvcEncoder:
 
     def encode_chunk(self, frames: np.ndarray) -> bytes:
         """(F, H, W, 3) uint8 → one FVC chunk (frame 0 is the I frame)."""
+        return self.encode_chunk_finalize(self.encode_chunk_dispatch(frames))
+
+    # -- async pipeline API (mirror of JpegEncoder dispatch/finalize):
+    # dispatch launches the fused device program without blocking so a
+    # caller can keep N chunks in flight and overlap host container
+    # assembly with device compute --------------------------------------
+    def encode_chunk_dispatch(self, frames):
         f, h, w, _ = frames.shape
         mult = 16 if self.subsample else 8
         ph, pw = _pad_to(h, mult), _pad_to(w, mult)
         if self.motion and not self.subsample:
             raise ValueError("motion mode requires 4:2:0")
-        payloads = mvs = itypes = None
         if self.engine in ("device", "auto"):
-            payloads, mvs, itypes = self._encode_device(frames, ph, pw)
-            if payloads is None and self.engine == "device":
-                raise OverflowError("device entropy cap exceeded")
-        if payloads is None:
+            combined, prefix = self._device_dispatch(frames, ph, pw)
+            return ("dev", combined, prefix, frames, f, h, w, ph, pw)
+        return ("host", frames, f, h, w, ph, pw)
+
+    def encode_chunk_finalize(self, handle) -> bytes:
+        if handle[0] == "dev":
+            _, combined, prefix, frames, f, h, w, ph, pw = handle
+            payloads, mvs, itypes = self._device_finalize(
+                combined, prefix, frames, ph, pw)
+            if payloads is None:
+                if self.engine == "device":
+                    raise OverflowError("device entropy cap exceeded")
+                payloads, mvs, itypes = self._encode_host(frames, ph, pw)
+        else:
+            _, frames, f, h, w, ph, pw = handle
             payloads, mvs, itypes = self._encode_host(frames, ph, pw)
+        return self._build_chunk(payloads, mvs, itypes, f, h, w)
+
+    def _build_chunk(self, payloads, mvs, itypes, f: int, h: int,
+                     w: int) -> bytes:
         version = 2 if self.motion else VERSION
         flags = 1 if self.subsample else 0
         if self.motion:

@@ -371,3 +371,26 @@ def test_search_range_bounds_validated():
         FvcEncoder(motion=True, search_range=127, subpel=False)
     with pytest.raises(ValueError):
         FvcEncoder(motion=True, search_range=0)
+
+
+def test_pipelined_dispatch_matches_sync_encode():
+    """Two chunks in flight through the async API produce the same bytes
+    as sequential encode_chunk calls (shared adaptive state included)."""
+    from flutpu.codec.fvc import FvcEncoder
+    rng = np.random.default_rng(5)
+    chunks = [np.clip(rng.normal(128, 40, (4, 48, 64, 3)), 0, 255)
+              .astype(np.uint8) for _ in range(3)]
+
+    sync = FvcEncoder(quality=85, engine="auto")
+    expect = [sync.encode_chunk(c) for c in chunks]
+
+    enc = FvcEncoder(quality=85, engine="auto")
+    pending = []
+    got = []
+    for c in chunks:
+        pending.append(enc.encode_chunk_dispatch(c))
+        if len(pending) > 1:
+            got.append(enc.encode_chunk_finalize(pending.pop(0)))
+    while pending:
+        got.append(enc.encode_chunk_finalize(pending.pop(0)))
+    assert got == expect
