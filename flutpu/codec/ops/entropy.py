@@ -556,7 +556,8 @@ def _concat_blocks_v2(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int,
     total_bits = offsets[-1]
 
     # bucket size bound: stride*32 bits / provable min block bits
-    stride_log2 = 4
+    import os
+    stride_log2 = int(os.environ.get("FLUTPU_CONCAT_STRIDE_LOG2", "4"))
     max_per_bucket = ((1 << stride_log2) * 32) // max(1, min_block_bits) + 1
     levels = max(1, int(np.ceil(np.log2(max_per_bucket + 1))))
     first_ext = _coarse_first(offsets, out_words + 1, stride_log2, levels)
