@@ -47,6 +47,11 @@ def motion_search(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
         dx = c % n - search_range
         shifted = jnp.roll(prev_y, (dy, dx), axis=(0, 1))
         cost = _mb_sums(jnp.abs(cur_y - shifted), mb)
+        # center-preferring tie bias: on flat content many candidates SAD
+        # equal to the last ulp and the winner is summation-order noise;
+        # a tiny |mv| penalty makes every formulation pick small vectors,
+        # which also compresses the vector field far better
+        cost = cost + 1e-3 * (abs(dy) + abs(dx))
         better = cost < best_cost
         best_cost = jnp.where(better, cost, best_cost)
         mv_c = jnp.stack([jnp.full_like(cost, dy, dtype=jnp.int32),

@@ -225,3 +225,28 @@ def test_planar_quantize_matches_blockized():
     a = np.asarray(quantize(blockize(jnp.asarray(coefs_plane)), qt))
     b = np.asarray(blockize(quantize_planar(jnp.asarray(coefs_plane), qt)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_motion_pallas_kernel_matches_xla(monkeypatch):
+    """Interpret-mode fused search+predict kernel is bit-identical to
+    motion_search + motion_compensate across shapes and shifts."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops.motion import motion_compensate, motion_search
+    from flutpu.codec.ops.motion_pallas import motion_search_mc_pallas
+    rng = np.random.default_rng(2)
+    for (h, w) in ((64, 128), (48, 256)):
+        prev = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        cur = np.roll(prev, (rng.integers(-7, 8), rng.integers(-7, 8)),
+                      axis=(0, 1)) + \
+            rng.normal(0, 2, (h, w)).astype(np.float32)
+        mv_ref = np.asarray(motion_search(jnp.asarray(cur),
+                                          jnp.asarray(prev),
+                                          search_range=7))
+        pred_ref = np.asarray(motion_compensate(jnp.asarray(prev),
+                                                jnp.asarray(mv_ref),
+                                                search_range=7))
+        mv, pred = motion_search_mc_pallas(
+            jnp.asarray(cur), jnp.asarray(prev), search_range=7,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(mv), mv_ref)
+        np.testing.assert_array_equal(np.asarray(pred), pred_ref)
