@@ -146,14 +146,24 @@ def bench_4k_convert(frames=4, reps=5):
     report("4k_convert_dct_quant_fps", frames * reps / dt, "frames/s")
 
 
-def bench_full_pipeline(gops=4, w=1920, h=1088, out_h=1080):
-    """Config 5: encode + TTML burn-in per GOP (one fused device pass for
-    the burn-in + the auto-engine encoder). Pass w/h for the 4K variant."""
+def _ball_src8(ph, pw, start):
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
+    return gradient_ball_frames(ph, pw, 8, start)
+
+
+def bench_full_pipeline(gops=6, w=1920, h=1088, out_h=1080):
+    """Config 5: encode + TTML burn-in — ONE fused device program per GOP
+    (on-device synthesis → overlay blend → convert/DCT/quant → entropy
+    pack) with two GOPs in flight so the fetch + host finalize overlap
+    device compute. This is the same program shape as the headline bench;
+    the round-2 54.9 fps number came from a two-dispatch serial
+    formulation (a separate testsrc dispatch per GOP plus no pipelining —
+    each extra dispatch costs a ~25 ms round trip on the axon link), NOT
+    from the blend itself (see benches/stage_split.py burnin arm).
+    Pass w/h for the 4K variant."""
     import jax.numpy as jnp
     from flutpu.codec.jpeg import JpegEncoder
-    from flutpu.codec.ops.testsrc import gradient_ball_frames
     from flutpu.core import Buffer, Harness
-    from flutpu.ttml.render import overlay_on_frames
 
     h_el = Harness(f"ttmlrender window-width={w} window-height={h}")
     h_el.set_src_caps("application/ttml+xml")
@@ -166,34 +176,36 @@ def bench_full_pipeline(gops=4, w=1920, h=1088, out_h=1080):
     h_el.teardown()
 
     enc = JpegEncoder(quality=85)
-    def one_gop(g):
-        frames = gradient_ball_frames(h, w, 8, jnp.float32(g * 8))
-        # burn-in is fused INTO the encode dispatch (one device program)
-        return enc.encode_gop_finalize(
-            enc.encode_gop_dispatch(frames, out_h, w, overlay=overlay))
-    one_gop(0)   # compile at the full prefix window + learn the estimate
-    one_gop(0)   # compile the adaptive-window program
+    def dispatch(g):
+        return enc.encode_gop_dispatch_src(
+            _ball_src8, jnp.float32(g * 8), out_h, w, h, w, overlay=overlay)
+    enc.encode_gop_finalize(dispatch(0))  # compile + learn the estimate
+    enc.encode_gop_finalize(dispatch(0))  # compile the adaptive program
     t0 = time.time()
-    for g in range(gops):
-        payloads = one_gop(g)
+    pending = [dispatch(0)]
+    for g in range(1, gops):
+        pending.append(dispatch(g))
+        enc.encode_gop_finalize(pending.pop(0))
+    while pending:
+        enc.encode_gop_finalize(pending.pop(0))
     dt = time.time() - t0
     name = "encode_plus_burnin_fps" if w < 3000 else "encode_plus_burnin_4k_fps"
     report(name, gops * 8 / dt, "frames/s")
 
 
-def bench_fvc(gops=4, motion=False):
-    """Config 6: FVC GOP codec throughput at 1080p (device coef path +
-    host scan coding), v1 residual mode or v2 motion-compensated."""
+def bench_fvc(gops=6, motion=False):
+    """Config 6: FVC GOP codec throughput at 1080p — source fused into the
+    chunk program (encode_chunk_dispatch_src), two chunks in flight."""
     import jax.numpy as jnp
     from flutpu.codec.fvc import FvcEncoder
     from flutpu.codec.ops.testsrc import gradient_ball_frames
 
     enc = FvcEncoder(quality=85, motion=motion)
     def dispatch(g):
-        # frames stay device-resident (the source is the on-device testsrc);
-        # only compressed bits cross the host link
-        frames = gradient_ball_frames(1080, 1920, 8, jnp.float32(g * 8))
-        return enc.encode_chunk_dispatch(frames)
+        # the on-device testsrc traces INTO the chunk program: one dispatch
+        # + one compressed fetch per GOP, nothing else crosses the link
+        return enc.encode_chunk_dispatch_src(
+            gradient_ball_frames, jnp.float32(g * 8), 8, 1080, 1920)
     enc.encode_chunk_finalize(dispatch(0))   # compile + learn the estimate
     enc.encode_chunk_finalize(dispatch(0))   # compile the adaptive window
     t0 = time.time()

@@ -90,6 +90,18 @@ def main():
         return sum(o.astype(jnp.int32).sum() for o in out)
 
     @jax.jit
+    def p_burnin(start, qy, qc, ov):
+        # coefs + overlay blend: the delta vs the coefs stage isolates the
+        # device cost of the subtitle burn-in (VERDICT r2: the config-5
+        # collapse needed attribution — blend vs program shape)
+        from flutpu.ttml.render import overlay_on_frames
+        frames = overlay_on_frames(
+            gradient_ball_frames(PH, PW, GOP, start), ov)
+        out = encode_gop_to_coefs(frames, qy, qc,
+                                  pad_h=PH, pad_w=PW, subsample=True)
+        return sum(o.astype(jnp.int32).sum() for o in out)
+
+    @jax.jit
     def p_slots(start, qy, qc):
         yq, cbq, crq = encode_gop_to_coefs(
             gradient_ball_frames(PH, PW, GOP, start), qy, qc,
@@ -131,12 +143,24 @@ def main():
             use_pallas=enc.use_pallas)
         return out.astype(jnp.uint32).sum()
 
+    import numpy as np
+    # deterministic BGRA overlay (subtitle-like: a translucent lower-third
+    # band with opaque speckle) uploaded once
+    rng = np.random.default_rng(7)
+    ov_np = np.zeros((PH, PW, 4), np.uint8)
+    ov_np[PH * 3 // 4:PH * 7 // 8] = (32, 32, 32, 160)
+    mask = rng.random((PH // 8, PW // 8)) > 0.9
+    ov_np[PH * 3 // 4:PH * 3 // 4 + PH // 8, :PW // 8][mask] = \
+        (255, 255, 255, 255)
+    ov = jnp.asarray(ov_np)
+
     stages = [("src", lambda s: p_src(s)),
               ("coefs", lambda s: p_coefs(s, enc._qy_dev, enc._qc_dev)),
+              ("burnin", lambda s: p_burnin(s, enc._qy_dev, enc._qc_dev,
+                                            ov)),
               ("slots", lambda s: p_slots(s, enc._qy_dev, enc._qc_dev)),
               ("pack", lambda s: p_pack(s, enc._qy_dev, enc._qc_dev)),
               ("concat=full", lambda s: p_full(s, enc._qy_dev, enc._qc_dev))]
-    import numpy as np
     reps = int(os.environ.get("STAGE_REPS", "5"))
     for name, fn in stages:
         np.asarray(fn(jnp.float32(0)))  # compile + materialize

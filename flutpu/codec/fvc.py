@@ -27,7 +27,9 @@ frame  u8 frame_type | u16 mv_len | u32 payload_len | mv_len motion vector
 bytes (P frames; (H/16)x(W/16)x2 int8 dy,dx on the luma macroblock grid,
 zlib-compressed when header flags bit1 is set — raw vectors cost
 2 B/macroblock and compress ~100x on smooth fields; in HALF-PIXEL units
-when flags bit2 is set) | payload. v2 P frames code the pixel-domain residual against the
+when flags bit2 is set; flags bit3 = the in-loop reconstruction used the
+planar DCT formulation — decoders must reconstruct through the same
+formulation or P-chain state drifts) | payload. v2 P frames code the pixel-domain residual against the
 motion-compensated previous reconstruction (hybrid loop with in-loop
 recon — see fvc_mc_encode_chunk). Frame types are decided per frame in
 the encode scan (intra wins when flat prediction beats motion — the
@@ -79,10 +81,11 @@ def fvc_residuals(yq, cbq, crq):
 
 @functools.partial(jax.jit, static_argnames=("pad_h", "pad_w",
                                              "search_range", "hier",
-                                             "subpel"))
+                                             "subpel", "planar"))
 def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                         pad_h: int, pad_w: int, search_range: int = 7,
-                        hier: bool = False, subpel: bool = True):
+                        hier: bool = False, subpel: bool = False,
+                        planar: Optional[bool] = None):
     """Motion-compensated chunk encode (FVC v2): classic hybrid loop as a
     device scan — per frame: full-search motion estimation against the
     reconstructed reference (flutpu.codec.ops.motion), motion-compensated
@@ -107,14 +110,20 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                     mode="edge")
     y, cb, cr = rgb_to_i420(x)
 
+    # the DCT/IDCT formulation is part of the CODEC STATE, not a local
+    # optimization: P frames chain off reconstructed pixels, so a decoder
+    # that reconstructs through the other formulation drifts one f32
+    # rounding at a time through the whole chain (ADVICE r2). The chosen
+    # formulation travels in the chunk header (flags bit 3) so any decoder
+    # matches it exactly; ``planar=None`` resolves to the backend-optimal
+    # form (planar full-tile MXU matmuls on TPU, 8x8 einsums on CPU).
+    use_planar = (jax.default_backend() != "cpu") if planar is None \
+        else bool(planar)
+
     def code_plane(resid, qtab):
         # plane-layout DCT/IDCT (dct.plane_dct_planar): full-tile MXU
-        # matmuls, no f32 blocking transposes in the scan body; the
-        # decoder reconstructs through the SAME formulation per backend so
-        # encoder and decoder state stay bit-identical across the P chain
-        # (cross-backend decode may drift <= 1 LSB between I frames — the
-        # f32 rounding difference of the two DCT orders)
-        if jax.default_backend() == "cpu":
+        # matmuls, no f32 blocking transposes in the scan body
+        if not use_planar:
             from .ops.dct import plane_dct, plane_idct
             from .ops.quant import dequantize, quantize
             coefs = jnp.clip(quantize(plane_dct(resid), qtab),
@@ -129,11 +138,15 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     # the fused Pallas search+predict kernel replaces the 225-roll XLA
     # loops on accelerator backends (measured ~200 of ~290 ms/GOP at
     # 1080p); it is bit-identical to motion_search + motion_compensate.
-    # hier/subpel arms and CPU keep the XLA formulation.
+    # hier/subpel arms and CPU keep the XLA formulation. Mosaic BlockSpec
+    # lane dims must be (8, 128)-tile aligned (CLAUDE.md lowering rules),
+    # so widths that are not a multiple of 128 (720, 480, ...) also take
+    # the XLA arm instead of risking a lowering failure / silent
+    # mis-lowering on hardware.
     # (FLUTPU_NO_MOTION_KERNEL=1 forces the XLA arm for A/Bs.)
     import os
     use_kernel = (jax.default_backend() != "cpu" and not hier
-                  and not subpel
+                  and not subpel and pad_w % 128 == 0
                   and not os.environ.get("FLUTPU_NO_MOTION_KERNEL"))
 
     def step(carry, xs):
@@ -214,16 +227,17 @@ def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "pad_h", "pad_w", "search_range", "layout", "prefix_words",
-    "use_pallas", "hier", "subpel"))
+    "use_pallas", "hier", "subpel", "planar"))
 def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
-                        prefix_words, use_pallas, hier=False, subpel=True):
+                        prefix_words, use_pallas, hier=False, subpel=False,
+                        planar=None):
     """v1 program with the motion-compensated hybrid loop; motion vectors
     are bitcast into extra uint32 columns of the combined output so the
     whole GOP is still ONE fetch."""
     from .ops.entropy import encode_gop_scans_combined
     ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
         frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
-        search_range=search_range, hier=hier, subpel=subpel)
+        search_range=search_range, hier=hier, subpel=subpel, planar=planar)
     combined = encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
                                          prefix_words=prefix_words,
                                          use_pallas=use_pallas)
@@ -236,6 +250,35 @@ def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
         flat.reshape(f, -1, 4), jnp.uint32)
     itype_word = itypes.astype(jnp.uint32)[:, None]
     return jnp.concatenate([combined, mv_words, itype_word], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "src_fn", "n", "pad_h", "pad_w", "subsample", "layout", "prefix_words",
+    "use_pallas"))
+def _fvc_gop_program_v1_src(start, qy, qc, src_fn, n, pad_h, pad_w,
+                            subsample, layout, prefix_words, use_pallas):
+    """v1 program with an on-device frame source fused in (one dispatch
+    per GOP instead of source + encode — see jpeg._gop_dispatch_program_src
+    for the link-latency rationale)."""
+    frames = src_fn(pad_h, pad_w, n, start)
+    return _fvc_gop_program_v1(frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
+                               subsample=subsample, layout=layout,
+                               prefix_words=prefix_words,
+                               use_pallas=use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "src_fn", "n", "pad_h", "pad_w", "search_range", "layout",
+    "prefix_words", "use_pallas", "hier", "subpel", "planar"))
+def _fvc_gop_program_v2_src(start, qy, qc, src_fn, n, pad_h, pad_w,
+                            search_range, layout, prefix_words, use_pallas,
+                            hier=False, subpel=False, planar=None):
+    frames = src_fn(pad_h, pad_w, n, start)
+    return _fvc_gop_program_v2(frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
+                               search_range=search_range, layout=layout,
+                               prefix_words=prefix_words,
+                               use_pallas=use_pallas, hier=hier,
+                               subpel=subpel, planar=planar)
 
 
 class FvcEncoder:
@@ -264,6 +307,9 @@ class FvcEncoder:
         self.search_range = search_range
         self.hier = hier  # coarse-to-fine motion search (~7x fewer passes)
         self.subpel = subpel  # half-pel refinement + bilinear compensation
+        # in-loop recon formulation — travels in the header (flags bit 3)
+        # so decoders on any backend track the encoder bit-exactly
+        self.planar = jax.default_backend() != "cpu"
         self.qy = scale_qtable(LUMA_QTABLE, quality)
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
@@ -301,13 +347,41 @@ class FvcEncoder:
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
                 search_range=self.search_range, layout=layout,
                 prefix_words=prefix, use_pallas=sc.use_pallas,
-                hier=self.hier, subpel=self.subpel)
+                hier=self.hier, subpel=self.subpel, planar=self.planar)
         else:
             combined = _fvc_gop_program_v1(
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
                 subsample=self.subsample, layout=layout,
                 prefix_words=prefix, use_pallas=sc.use_pallas)
         return combined, prefix
+
+    def encode_chunk_dispatch_src(self, src_fn, start, n: int, h: int,
+                                  w: int):
+        """encode_chunk_dispatch with the frame source fused into the GOP
+        program: ``src_fn(ph, pw, n, start) -> (n, ph, pw, 3) uint8``.
+        Frames never exist as a separate dispatch (or host array); the
+        overflow fallback re-synthesizes them lazily."""
+        mult = 16 if self.subsample else 8
+        ph, pw = _pad_to(h, mult), _pad_to(w, mult)
+        sc = self._scan_coder
+        layout, prefix = self._layout_prefix(ph, pw)
+        if self.motion:
+            combined = _fvc_gop_program_v2_src(
+                start, self._qy_dev, self._qc_dev, src_fn, n,
+                pad_h=ph, pad_w=pw, search_range=self.search_range,
+                layout=layout, prefix_words=prefix,
+                use_pallas=sc.use_pallas, hier=self.hier,
+                subpel=self.subpel, planar=self.planar)
+        else:
+            combined = _fvc_gop_program_v1_src(
+                start, self._qy_dev, self._qc_dev, src_fn, n,
+                pad_h=ph, pad_w=pw, subsample=self.subsample,
+                layout=layout, prefix_words=prefix,
+                use_pallas=sc.use_pallas)
+        # full padded geometry (not cropped to h, w): the fallback re-encode
+        # then pads to the identical content and stays bit-exact
+        lazy = lambda: np.asarray(src_fn(ph, pw, n, start))
+        return ("dev", combined, prefix, lazy, n, h, w, ph, pw)
 
     def _encode_device(self, frames: np.ndarray, ph: int, pw: int,
                        force_full: bool = False):
@@ -332,6 +406,8 @@ class FvcEncoder:
         bits = arr[:, 0].astype(np.int64)
         if (bits > prefix * 32).any():
             sc._prefix_used_words = None   # spike: reset the estimate
+            if callable(frames):   # src-fused dispatch: re-synthesize
+                frames = frames()
             if not force_full:
                 _, full = self._layout_prefix(ph, pw)
                 if full > prefix:   # the window was adaptive — retry full
@@ -357,7 +433,7 @@ class FvcEncoder:
             ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
                 jnp.asarray(frames), self._qy_dev, self._qc_dev,
                 pad_h=ph, pad_w=pw, search_range=self.search_range,
-                hier=self.hier, subpel=self.subpel)
+                hier=self.hier, subpel=self.subpel, planar=self.planar)
             mvs = list(np.asarray(mvs))
             itypes = np.asarray(itypes).astype(np.int64)
         else:
@@ -395,6 +471,8 @@ class FvcEncoder:
             if payloads is None:
                 if self.engine == "device":
                     raise OverflowError("device entropy cap exceeded")
+                if callable(frames):
+                    frames = frames()
                 payloads, mvs, itypes = self._encode_host(frames, ph, pw)
         else:
             _, frames, f, h, w, ph, pw = handle
@@ -409,6 +487,8 @@ class FvcEncoder:
             flags |= 2  # motion vectors are zlib-compressed
             if self.subpel:
                 flags |= 4  # vectors are in half-pel units
+            if self.planar:
+                flags |= 8  # in-loop recon used the planar DCT formulation
         out = [MAGIC, struct.pack(">BBHHBB", version, flags, w, h,
                                   self.quality, f)]
         if self.motion:
@@ -438,9 +518,11 @@ class FvcEncoder:
         return b"".join(out)
 
 
-@functools.partial(jax.jit, static_argnames=("search_range", "subpel"))
+@functools.partial(jax.jit, static_argnames=("search_range", "subpel",
+                                             "planar"))
 def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, itypes, qy, qc,
-                        search_range: int = 7, subpel: bool = True):
+                        search_range: int = 7, subpel: bool = False,
+                        planar: Optional[bool] = None):
     """Device mirror of fvc_mc_encode_chunk's in-loop reconstruction.
 
     ry/rcb/rcr: (F, BH, BW, 64) int16 zigzag residual coefficients;
@@ -450,10 +532,14 @@ def fvc_mc_decode_chunk(ry, rcb, rcr, mvs, itypes, qy, qc,
     from .ops.motion import motion_compensate, motion_compensate_subpel
     from .ops.quant import dequantize_planar, zigzag_unflatten
 
+    # MUST match the encoder's code_plane formulation (header flags
+    # bit 3): P frames chain off reconstructed state, and the two DCT
+    # orders round differently in f32
+    use_planar = (jax.default_backend() != "cpu") if planar is None \
+        else bool(planar)
+
     def resid(q, qtab):
-        # MUST match the encoder's code_plane reconstruction per backend
-        # (P frames chain off reconstructed state)
-        if jax.default_backend() == "cpu":
+        if not use_planar:
             from .ops.dct import plane_idct
             from .ops.quant import dequantize
             return plane_idct(
@@ -628,7 +714,8 @@ class FvcDecoder:
         if version >= 2:
             frames = self._reconstruct_mc(planes, mvs, qy, qc, h, w,
                                           search_range,
-                                          subpel=bool(flags & 4))
+                                          subpel=bool(flags & 4),
+                                          planar=bool(flags & 8))
         else:
             ry = jnp.asarray(np.stack([p[0] for p in planes]))
             rcb = jnp.asarray(np.stack([p[1] for p in planes]))
@@ -641,7 +728,8 @@ class FvcDecoder:
                                   "width": w, "height": h}
 
     def _reconstruct_mc(self, planes, mvs, qy, qc, h: int, w: int,
-                        search_range: int = 7, subpel: bool = True):
+                        search_range: int = 7, subpel: bool = False,
+                        planar: bool = False):
         """Whole-chunk device reconstruction (one jitted scan)."""
         f = len(planes)
         ry = jnp.asarray(np.stack([p[0] for p in planes]))
@@ -657,12 +745,12 @@ class FvcDecoder:
                 itypes[i] = 1  # no vectors → intra frame (flat-128 pred)
         oy, ocb, ocr = fvc_mc_decode_chunk(
             ry, rcb, rcr, jnp.asarray(mv_arr), jnp.asarray(itypes), qy, qc,
-            search_range=int(search_range), subpel=subpel)
+            search_range=int(search_range), subpel=subpel, planar=planar)
         rgb = np.asarray(_i420_frames_to_rgb(oy, ocb, ocr))
         return [rgb[i, :h, :w] for i in range(f)]
 
     def _reconstruct_mc_np(self, planes, mvs, qy, qc, h: int, w: int,
-                           subpel: bool = True):
+                           subpel: bool = False):
         from .ops.colorspace import i420_to_rgb
         rec_y = rec_cb = rec_cr = None
         out = []

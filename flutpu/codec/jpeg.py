@@ -97,6 +97,29 @@ def _gop_dispatch_program(frames, qy, qc, overlay, pad_h, pad_w, subsample,
         use_pallas=use_pallas)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "src_fn", "pad_h", "pad_w", "subsample", "layout", "prefix_words",
+    "use_pallas"))
+def _gop_dispatch_program_src(start, qy, qc, overlay, src_fn, pad_h, pad_w,
+                              subsample, layout, prefix_words, use_pallas):
+    """_gop_dispatch_program with an on-device frame SOURCE fused in:
+    ``src_fn(pad_h, pad_w, start) -> (F, pad_h, pad_w, 3) uint8`` traces
+    into the same single program as the burn-in + encode. On high-latency
+    links a separate source dispatch costs a full extra round trip per GOP
+    (the round-2 encode+burn-in collapse: two chained dispatches measured
+    at ~2x the fused program's wall clock — see PERF.md)."""
+    from .ops.entropy import encode_gop_scans_combined
+    frames = src_fn(pad_h, pad_w, start)
+    if overlay is not None:
+        from ..ttml.render import overlay_on_frames
+        frames = overlay_on_frames(frames, overlay)
+    yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
+                                       pad_w=pad_w, subsample=subsample)
+    return encode_gop_scans_combined(
+        yq, cbq, crq, layout=layout, prefix_words=prefix_words,
+        use_pallas=use_pallas)
+
+
 def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
 
@@ -399,6 +422,30 @@ class JpegEncoder:
             prefix_words=prefix, use_pallas=self.use_pallas)
         return (combined, frames_dev, overlay, prefix, h, w)
 
+    def encode_gop_dispatch_src(self, src_fn, start, h: int, w: int,
+                                ph: int, pw: int,
+                                overlay: Optional[jax.Array] = None):
+        """encode_gop_dispatch with the frame SOURCE fused into the same
+        device program: ``src_fn(ph, pw, start) -> (F, ph, pw, 3) uint8``
+        (a jit-traceable on-device source, e.g. ops.testsrc). One dispatch
+        instead of two per GOP — on the axon link a separate source
+        dispatch costs an extra ~25 ms round trip (the round-2
+        encode+burn-in collapse). Finalize with ``encode_gop_finalize``."""
+        from .ops.entropy import mcu_layout
+        if self.subsample:
+            layout = mcu_layout(pw // 8, ph // 8, pw // 16, ph // 16, True)
+        else:
+            layout = mcu_layout(pw // 8, ph // 8, pw // 8, ph // 8, False)
+        prefix = self._prefix_cap(layout)
+        prefix = min(prefix, self._prefix_estimate() or prefix)
+        combined = _gop_dispatch_program_src(
+            start, self._qy_dev, self._qc_dev, overlay, src_fn,
+            pad_h=ph, pad_w=pw, subsample=self.subsample, layout=layout,
+            prefix_words=prefix, use_pallas=self.use_pallas)
+        # frames synthesize lazily for the rare overflow fallback
+        return (combined, lambda: src_fn(ph, pw, start), overlay, prefix,
+                h, w)
+
     def encode_gop_finalize(self, handle) -> List[bytes]:
         """Blocking half: one fetch, stuff, wrap headers."""
         from .ops.entropy import stuff_and_finalize
@@ -410,6 +457,8 @@ class JpegEncoder:
             # adaptive window too small (content spike) or genuinely dense
             # content: recompute through the cap ladder, reset the estimate
             self._prefix_used_words = None
+            if callable(frames_dev):   # src-fused dispatch: re-synthesize
+                frames_dev = frames_dev()
             ph, pw = frames_dev.shape[1], frames_dev.shape[2]
             if overlay is not None:
                 from ..ttml.render import overlay_on_frames
@@ -445,8 +494,13 @@ class JpegEncoder:
             arr = np.asarray(combined)  # ONE transfer: bits + prefixes
             bits_host = arr[:, 0].astype(np.int64)
             if not (bits_host > prefix * 32).any():
+                # track actual usage for the adaptive window (mirror of
+                # encode_gop_finalize — a stale low estimate would make
+                # every later call overflow into the double-dispatch path)
+                self._prefix_used_words = int((bits_host.max() + 31) // 32)
                 return [stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
                         for i in range(arr.shape[0])]
+            self._prefix_used_words = None  # spike: reset the estimate
             scans = self._scans_device(coefs)  # rare: dense content
             if scans is not None:
                 return scans

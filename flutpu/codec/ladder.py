@@ -80,6 +80,13 @@ class FvcLadderEnc(Element):
                      "setting it (re)builds one src_%u pad per rung"),
         PropertySpec("gop-size", 8),
         PropertySpec("motion", False, "v2 hybrid codec per rung"),
+        PropertySpec("adaptive", False, "add a src_active pad carrying, per "
+                     "chunk, the highest rung whose bitrate fits the "
+                     "bwmeter's conservative bandwidth estimate — the "
+                     "adaptive-streaming loop the reference's meter exists "
+                     "for (fluc_bwmeter_base.c:109-147)"),
+        PropertySpec("headroom", 0.8, "fraction of the estimated bandwidth "
+                     "a rung may use before stepping down"),
     ]
 
     def __init__(self, name=None, **props):
@@ -94,10 +101,13 @@ class FvcLadderEnc(Element):
         self._pending: List[Buffer] = []
         self._encoders: dict = {}
         self._caps_sent = False
+        self._active_pad: Optional[Pad] = None
+        from ..fluc.bwmeter import bwmeter
+        self._meter = bwmeter  # injectable for tests / per-session meters
         self._rebuild_pads()
 
     def do_set_property(self, name, value):
-        if name == "rungs":
+        if name in ("rungs", "adaptive"):
             self._rebuild_pads()
 
     def _rebuild_pads(self) -> None:
@@ -105,9 +115,15 @@ class FvcLadderEnc(Element):
             raise ValueError("rungs cannot change while streaming")
         for pad in self.srcpads:
             self.pads.pop(pad.name, None)
+        if self._active_pad is not None:
+            self.pads.pop(self._active_pad.name, None)
+            self._active_pad = None
         self.rungs = parse_rungs(str(self.get_property("rungs")))
         self.srcpads = [self.add_pad(Pad(f"src_{i}", PadDirection.SRC, self))
                         for i in range(len(self.rungs))]
+        if bool(self.get_property("adaptive")):
+            self._active_pad = self.add_pad(
+                Pad("src_active", PadDirection.SRC, self))
         self._encoders = {}
 
     def _emit_caps(self, fps) -> None:
@@ -119,6 +135,11 @@ class FvcLadderEnc(Element):
             if fps is not None:
                 fields["framerate"] = fps
             pad.push_event(CapsEvent(Caps.new("video/x-fvc", **fields)))
+        if self._active_pad is not None:
+            # geometry varies per chunk on the active pad (rung switches);
+            # each buffer carries meta["rung"] naming its source rung
+            self._active_pad.push_event(
+                CapsEvent(Caps.new("video/x-fvc", adaptive=True)))
         self._caps_sent = True
 
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
@@ -142,6 +163,27 @@ class FvcLadderEnc(Element):
         for pad, chunk in zip(self.srcpads, chunks):
             pad.push(Buffer(chunk, pts=first.pts, dts=first.dts,
                             duration=dur, offset=first.offset))
+        if self._active_pad is not None:
+            idx = self._select_rung(chunks, dur, len(batch))
+            out = Buffer(chunks[idx], pts=first.pts, dts=first.dts,
+                         duration=dur, offset=first.offset)
+            out.meta["rung"] = idx
+            self._active_pad.push(out)
+
+    def _select_rung(self, chunks: List[bytes], dur_ns, n_frames: int) -> int:
+        """Highest rung whose chunk bitrate fits within ``headroom`` of the
+        meter's conservative (asymmetric-EWMA) bandwidth estimate; the
+        lowest rung is the floor. No estimate yet -> top rung."""
+        dur_sec = dur_ns / 1e9 if dur_ns else n_frames / 30.0
+        dur_sec = max(dur_sec, 1e-6)
+        _, avg_bps, _ = self._meter.stats()
+        headroom = float(self.get_property("headroom"))
+        if avg_bps <= 0:
+            return 0
+        for i, chunk in enumerate(chunks):
+            if len(chunk) * 8 / dur_sec <= avg_bps * headroom:
+                return i
+        return len(chunks) - 1
 
     def _sink_event(self, pad: Pad, event: Event) -> bool:
         if event.type == EventType.CAPS:

@@ -46,12 +46,14 @@ def motion_search(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
         dy = c // n - search_range
         dx = c % n - search_range
         shifted = jnp.roll(prev_y, (dy, dx), axis=(0, 1))
-        cost = _mb_sums(jnp.abs(cur_y - shifted), mb)
+        sad = _mb_sums(jnp.abs(cur_y - shifted), mb)
         # center-preferring tie bias: on flat content many candidates SAD
-        # equal to the last ulp and the winner is summation-order noise;
-        # a tiny |mv| penalty makes every formulation pick small vectors,
-        # which also compresses the vector field far better
-        cost = cost + 1e-3 * (abs(dy) + abs(dx))
+        # equal and the winner is summation-order noise; a small |mv|
+        # penalty makes every formulation pick small vectors, which also
+        # compresses the vector field far better. Integer-scaled so it is
+        # EXACT in f32 (SAD <= 65280, *64 + 14 < 2^24): a fractional bias
+        # falls below one ulp once SAD > ~8192 and silently disappears.
+        cost = sad * 64 + (abs(dy) + abs(dx))
         better = cost < best_cost
         best_cost = jnp.where(better, cost, best_cost)
         mv_c = jnp.stack([jnp.full_like(cost, dy, dtype=jnp.int32),

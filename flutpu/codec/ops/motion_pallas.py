@@ -78,8 +78,9 @@ def _search_mc_kernel(cur_ref, prevp_ref, ones_ref, onest_ref,
         best, by, bx = state
         dy = c // n - rng
         dx = c % n - rng
-        # center-preferring tie bias — matches ops/motion.py motion_search
-        cost = sad(c) + 1e-3 * (jnp.abs(dy) + jnp.abs(dx))
+        # integer-scaled center-preferring tie bias — exact in f32 and
+        # bit-identical to ops/motion.py motion_search (SAD*64 + |mv|)
+        cost = sad(c) * 64 + (jnp.abs(dy) + jnp.abs(dx))
         better = cost < best
         best = jnp.where(better, cost, best)
         by = jnp.where(better, dy, by)
@@ -119,6 +120,12 @@ def motion_search_mc_pallas(cur_y: jax.Array, prev_y: jax.Array,
     motion_search + motion_compensate (wrap-around edges, same tie
     order)."""
     h, w = cur_y.shape
+    if w % 128:
+        # cur/pred/onest BlockSpecs use w as the lane dim; Mosaic requires
+        # (8, 128)-tile-aligned lane dims — callers gate on this and fall
+        # back to the XLA formulation (see fvc_mc_encode_chunk)
+        raise ValueError(f"motion_search_mc_pallas needs w % 128 == 0 "
+                         f"(got {w}); use the XLA motion_search path")
     rng = search_range
     mbh, mbw = h // mb, w // mb
 

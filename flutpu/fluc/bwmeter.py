@@ -101,6 +101,72 @@ class _NativeBwMeter:
         return raw.value, avg.value, total.value
 
 
+class SockBwMeter:
+    """Per-connection read meter (reference fluc_bwmeter_sock.c:14-35).
+
+    The sock variant of the meter: the same windowed base + asymmetric
+    EWMA, but *instantiable* — one instance per socket/connection — so a
+    single transfer's bandwidth can be estimated in isolation while the
+    global singleton keeps accounting for total traffic. ``recv`` wraps a
+    socket read and feeds both this meter and (by default) the global one,
+    which is how the reference's downloader-style consumers use it."""
+
+    def __init__(self, feed_global: bool = True):
+        self.feed_global = feed_global
+        lib = native.get_lib()
+        self._lib = lib if lib is not None and \
+            hasattr(lib, "flu_bwmeter_sock_new") else None
+        if self._lib is not None:
+            self._h = self._lib.flu_bwmeter_sock_new()
+            self._lib.flu_bwmeter_sock_start(self._h)
+        else:
+            self._py = BwMeter()
+            self._py.session_start()
+
+    def data(self, nbytes: int):
+        if self._lib is not None:
+            self._lib.flu_bwmeter_sock_data(self._h, nbytes)
+        else:
+            self._py.data(nbytes)
+        if self.feed_global:
+            bwmeter.data(nbytes)
+
+    def recv(self, sock, nbytes: int) -> bytes:
+        """sock.recv with the returned byte count metered."""
+        data = sock.recv(nbytes)
+        if data:
+            self.data(len(data))
+        return data
+
+    def stats(self) -> Tuple[float, float, int]:
+        if self._lib is not None:
+            raw = ctypes.c_double()
+            avg = ctypes.c_double()
+            total = ctypes.c_uint64()
+            self._lib.flu_bwmeter_sock_get(
+                self._h, ctypes.byref(raw), ctypes.byref(avg),
+                ctypes.byref(total))
+            return raw.value, avg.value, total.value
+        return self._py.stats()
+
+    def close(self):
+        if self._lib is not None:
+            if self._h is not None:
+                self._lib.flu_bwmeter_sock_end(self._h)
+                self._lib.flu_bwmeter_sock_free(self._h)
+                self._h = None
+            self._lib = None
+        elif getattr(self, "_py", None) is not None:
+            self._py.session_end()
+            self._py = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def _make_global():
     lib = native.get_lib()
     if lib is not None:

@@ -55,7 +55,10 @@ class TpuHype(VideoEncoder):
                                       "fvc-motion = v2 hybrid loop)"),
         PropertySpec("search-range", 7, "fvc-motion full-search window"),
         PropertySpec("search", "full", "full | hier fvc-motion estimation"),
-        PropertySpec("subpel", True, "half-pel fvc-motion refinement"),
+        PropertySpec("subpel", False, "half-pel fvc-motion refinement "
+                                      "(opt-in quality knob: ~8% smaller "
+                                      "streams, 2.3x slower on TPU — the "
+                                      "round-2 hardware A/B)"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -190,6 +193,9 @@ class TpuHype(VideoEncoder):
         cflags = 1 | (2 if motion else 0)  # 4:2:0 | compressed mvs
         if motion and subpel:
             cflags |= 4  # half-pel vectors
+        if motion and jax.default_backend() != "cpu":
+            cflags |= 8  # planar in-loop recon (fvc_mc_encode_chunk's
+            #              backend default inside fvc_chunks_sharded)
         ph, pw = chunks.shape[2], chunks.shape[3]
         for ci in range(c):
             first = ci * gop

@@ -116,6 +116,18 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.flu_bwmeter_get.argtypes = [c.POINTER(c.c_double),
                                     c.POINTER(c.c_double),
                                     c.POINTER(c.c_uint64)]
+    # bwmeter sock variant (per-connection instance meters); hasattr-gated
+    # in bwmeter.py so a stale .so degrades to the Python meter
+    if hasattr(lib, "flu_bwmeter_sock_new"):
+        lib.flu_bwmeter_sock_new.restype = c.c_void_p
+        for name in ("flu_bwmeter_sock_free", "flu_bwmeter_sock_start",
+                     "flu_bwmeter_sock_end"):
+            getattr(lib, name).argtypes = [c.c_void_p]
+        lib.flu_bwmeter_sock_data.argtypes = [c.c_void_p, c.c_uint64]
+        lib.flu_bwmeter_sock_get.argtypes = [c.c_void_p,
+                                             c.POINTER(c.c_double),
+                                             c.POINTER(c.c_double),
+                                             c.POINTER(c.c_uint64)]
     # downloader
     lib.flu_dl_new.restype = c.c_void_p
     lib.flu_dl_new.argtypes = [DATA_CB, DONE_CB]

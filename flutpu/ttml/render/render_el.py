@@ -339,16 +339,15 @@ class TTMLRender(TTMLBase):
             return
         self._pending_render = []
         import jax.numpy as jnp
+        from ...core.pad import FlowReturn
         w, h = self._pending_dims
+        # bucket to multiples of 8 (instances) / 4 (intervals): pow2
+        # rounding rendered up to ~2x wasted interval frames per batch
+        # while compile-count still stays bounded for typical documents
         cap = max(8, max(len(p[0]) for p in pending))
-        c = 1
-        while c < cap:
-            c *= 2
-        cap = c
+        cap = (cap + 7) // 8 * 8
         k = len(pending)
-        kpad = 1
-        while kpad < k:
-            kpad *= 2
+        kpad = max(1, (k + 3) // 4 * 4) if k > 1 else 1
         ints = np.zeros((kpad, cap, 9), np.int32)
         cols = np.zeros((kpad, cap, 4), np.float32)
         for i, (out_i, out_c, _, _, _) in enumerate(pending):
@@ -360,6 +359,9 @@ class TTMLRender(TTMLBase):
         if not device_out:
             frames = np.asarray(frames)  # the one fetch
         for i, (_, _, cbegin, cdur, unbounded) in enumerate(pending):
+            if self.current_status != FlowReturn.OK:
+                break  # downstream error: stop draining (mirrors
+                # _emit_interval's stop on non-OK status)
             self._push_interval_buffer(Buffer(frames[i]), cbegin, cdur,
                                        unbounded)
 

@@ -137,4 +137,24 @@ void flu_bwmeter_get(double* raw_bps, double* avg_bps, uint64_t* total) {
   g_bwmeter.get(raw_bps, avg_bps, total);
 }
 
+// ---- bwmeter sock variant --------------------------------------------------
+// Per-connection instance meters (reference fluc_bwmeter_sock.c:14-35): the
+// same windowed base machinery as the singleton, but instantiable so one
+// socket's reads can be measured in isolation from global traffic.
+void* flu_bwmeter_sock_new() { return new BwMeter(); }
+void flu_bwmeter_sock_free(void* m) { delete static_cast<BwMeter*>(m); }
+void flu_bwmeter_sock_start(void* m) {
+  static_cast<BwMeter*>(m)->session_start();
+}
+void flu_bwmeter_sock_end(void* m) {
+  static_cast<BwMeter*>(m)->session_end();
+}
+void flu_bwmeter_sock_data(void* m, uint64_t bytes) {
+  static_cast<BwMeter*>(m)->data(bytes);
+}
+void flu_bwmeter_sock_get(void* m, double* raw_bps, double* avg_bps,
+                          uint64_t* total) {
+  static_cast<BwMeter*>(m)->get(raw_bps, avg_bps, total);
+}
+
 }  // extern "C"

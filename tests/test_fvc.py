@@ -394,3 +394,81 @@ def test_pipelined_dispatch_matches_sync_encode():
     while pending:
         got.append(enc.encode_chunk_finalize(pending.pop(0)))
     assert got == expect
+
+
+def test_src_fused_dispatch_matches_array_dispatch():
+    """encode_chunk_dispatch_src (on-device source fused into the GOP
+    program — the config-5/6 bench shape) produces byte-identical chunks
+    to dispatching the same frames as an array."""
+    import jax.numpy as jnp
+    from flutpu.codec.fvc import FvcEncoder
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
+
+    for motion in (False, True):
+        ref = FvcEncoder(quality=85, motion=motion, engine="auto")
+        frames = np.asarray(gradient_ball_frames(48, 128, 4,
+                                                 jnp.float32(3.0)))
+        expect = ref.encode_chunk(frames)
+        enc = FvcEncoder(quality=85, motion=motion, engine="auto")
+        got = enc.encode_chunk_finalize(enc.encode_chunk_dispatch_src(
+            gradient_ball_frames, jnp.float32(3.0), 4, 48, 128))
+        assert got == expect, f"motion={motion}"
+
+
+def test_jpeg_src_fused_dispatch_matches_array_dispatch():
+    import jax.numpy as jnp
+    from flutpu.codec.jpeg import JpegEncoder
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
+
+    def src8(ph, pw, start):
+        return gradient_ball_frames(ph, pw, 4, start)
+
+    ph, pw = 48, 128
+    frames = gradient_ball_frames(ph, pw, 4, jnp.float32(2.0))
+    ov = np.zeros((ph, pw, 4), np.uint8)
+    ov[30:40, :, :] = (40, 40, 40, 200)
+    ov = jnp.asarray(ov)
+    ref = JpegEncoder(quality=85)
+    expect = ref.encode_gop_finalize(
+        ref.encode_gop_dispatch(frames, ph, pw, overlay=ov))
+    enc = JpegEncoder(quality=85)
+    got = enc.encode_gop_finalize(enc.encode_gop_dispatch_src(
+        src8, jnp.float32(2.0), ph, pw, ph, pw, overlay=ov))
+    assert got == expect
+
+
+def test_planar_recon_flag_travels_and_decoder_follows_it():
+    """The in-loop DCT formulation is codec state (ADVICE r2): an encoder
+    using the planar formulation flags it in the header (bit 3) and the
+    decoder reconstructs through the SAME formulation regardless of its
+    own backend — no P-chain drift across backends."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
+    frames = np.asarray(gradient_ball_frames(48, 64, 6, jnp.float32(0)))
+
+    enc = FvcEncoder(quality=85, motion=True)
+    enc.planar = True   # what a TPU-side encoder records
+    chunk = enc.encode_chunk(frames)
+    assert chunk[5] & 8, "flags bit 3 (planar recon) must be set"
+
+    dec = FvcDecoder()
+    right, _ = dec.decode_chunk(chunk)          # follows the flag
+    # decode the same payload with the flag cleared: the decoder then
+    # reconstructs through the 8x8-einsum formulation the encoder did NOT
+    # use — the cross-backend mismatch this header bit exists to prevent
+    wrong_chunk = chunk[:5] + bytes([chunk[5] & ~8]) + chunk[6:]
+    wrong, _ = dec.decode_chunk(wrong_chunk)
+    p_right = psnr(frames, right)
+    p_wrong = psnr(frames, wrong)
+
+    # matched-formulation quality: within 0.5 dB of a fully-CPU
+    # (non-planar) encode/decode pair of the same content
+    enc2 = FvcEncoder(quality=85, motion=True)
+    enc2.planar = False
+    chunk2 = enc2.encode_chunk(frames)
+    assert not chunk2[5] & 8
+    base, _ = dec.decode_chunk(chunk2)
+    p_base = psnr(frames, base)
+    assert p_right >= p_base - 0.5
+    # the mismatched decode can only be as good or worse
+    assert p_right >= p_wrong - 1e-6

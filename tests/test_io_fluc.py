@@ -95,6 +95,40 @@ class TestBwMeter:
         assert avg3 < raw3
         assert avg3 == pytest.approx(avg2 + 0.2 * (raw3 - avg2))
 
+    def test_sock_variant_isolated_from_global(self):
+        """SockBwMeter (reference fluc_bwmeter_sock.c:14-35): an
+        instantiable per-connection meter whose reads also feed the
+        global singleton by default."""
+        import socket
+        from flutpu.fluc.bwmeter import SockBwMeter, bwmeter
+        a, b = socket.socketpair()
+        try:
+            m = SockBwMeter(feed_global=True)
+            g0 = bwmeter.stats()[2]
+            payload = b"x" * 4096
+            a.sendall(payload)
+            got = b""
+            while len(got) < len(payload):
+                got += m.recv(b, 65536)
+            assert got == payload
+            # instance meter saw exactly this connection's bytes
+            assert m.stats()[2] == len(payload)
+            # the global singleton's total advanced by the same amount
+            assert bwmeter.stats()[2] - g0 >= len(payload)
+            m.close()
+        finally:
+            a.close()
+            b.close()
+
+    def test_sock_variant_no_global_feed(self):
+        from flutpu.fluc.bwmeter import SockBwMeter, bwmeter
+        m = SockBwMeter(feed_global=False)
+        g0 = bwmeter.stats()[2]
+        m.data(1234)
+        assert m.stats()[2] == 1234
+        assert bwmeter.stats()[2] == g0
+        m.close()
+
 
 @pytest.fixture(scope="module")
 def http_server(tmp_path_factory):

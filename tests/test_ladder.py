@@ -55,3 +55,54 @@ def test_parse_rungs_garbage():
     for bad in ("", "x", "12x", "@85", "axb@c"):
         with pytest.raises(ValueError):
             parse_rungs(bad)
+
+
+def test_adaptive_rung_follows_bandwidth_estimate():
+    """Closing the bwmeter loop (reference fluc_bwmeter_base.c:109-147 —
+    the conservative estimate exists for adaptive streaming): with
+    adaptive=true the ladder emits, per chunk, the highest rung whose
+    bitrate fits the estimated bandwidth; throttled traffic shifts the
+    emitted rung down, recovered traffic shifts it back up (slowly — the
+    asymmetric EWMA)."""
+    from flutpu.fluc.bwmeter import BwMeter
+
+    p = parse_launch(
+        "appsrc name=src caps='video/x-raw, format=RGB, width=128, "
+        "height=96, framerate=30/1' "
+        "! fvcladderenc name=lad rungs='128x96@90,32x24@40' gop-size=4 "
+        "adaptive=true "
+        "lad.src_0 ! appsink name=hi "
+        "lad.src_1 ! appsink name=lo "
+        "lad.src_active ! appsink name=act")
+    src, act = p.get_by_name("src"), p.get_by_name("act")
+    lad = p.get_by_name("lad")
+    meter = BwMeter()           # injected instance meter (the global
+    meter.session_start()       # singleton is process-wide state)
+    lad._meter = meter
+    p.play()
+
+    def push_gop(base):
+        for i in range(4):
+            src.push(Buffer(make_test_frame("ball", 128, 96, base + i),
+                            pts=(base + i) * MSECOND, duration=MSECOND,
+                            offset=base + i))
+
+    # fast link: ~80 Mbps measured -> top rung fits
+    meter.data(0, _now=0.0)
+    meter.data(2000 * 1024, _now=0.2)
+    push_gop(0)
+    first = act.try_pull_buffer(timeout=5)
+    assert first.meta["rung"] == 0
+
+    # throttle: a slow window collapses the estimate (fall alpha 1.0)
+    meter.data(100, _now=0.9)
+    push_gop(4)
+    second = act.try_pull_buffer(timeout=5)
+    assert second.meta["rung"] == 1
+
+    # every rung stream still carries every chunk (the server-side ladder
+    # is unchanged; src_active is the selection signal)
+    assert p.get_by_name("hi").try_pull_buffer(timeout=5) is not None
+    assert p.get_by_name("lo").try_pull_buffer(timeout=5) is not None
+    src.end_of_stream()
+    p.stop()
