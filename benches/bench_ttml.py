@@ -83,7 +83,26 @@ def make_doc(n: int) -> str:
 </tt>"""
 
 
-def bench_engine(engine: str, doc: str) -> dict:
+def make_vertical_doc(n: int) -> str:
+    """n 1 s intervals in a tbrl vertical region (round-3: vertical modes
+    ride the device atlas path — pre-rotated tiles — instead of silently
+    reverting to the host layer path)."""
+    ps = [f'<p begin="{i}s" end="{i + 1}s" region="v" '
+          f'tts:color="white">Vertical {i}</p>' for i in range(n)]
+    return f"""<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"
+    xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <head><layout>
+    <region xml:id="v" tts:origin="70% 10%" tts:extent="25% 80%"
+            tts:writingMode="tbrl" tts:backgroundColor="#00004080"/>
+  </layout></head>
+  <body><div>
+    {chr(10).join(ps)}
+  </div></body>
+</tt>"""
+
+
+def bench_engine(engine: str, doc: str, tag: str = "") -> dict:
     import numpy as np
     from flutpu.core import Buffer, Harness
 
@@ -126,7 +145,7 @@ def bench_engine(engine: str, doc: str) -> dict:
     assert len(frames) == n_warm and n_warm >= N_INTERVALS, len(frames)
     alpha = np.asarray(frames[0].data)[..., 3]
     assert alpha.any(), "blank overlay"
-    return {"metric": f"ttml_render_ms_per_interval_{engine}",
+    return {"metric": f"ttml_render_ms_per_interval_{engine}{tag}",
             "value": round(dt / len(frames) * 1000.0, 2),
             "unit": "ms/interval",
             "intervals": len(frames)}
@@ -144,6 +163,10 @@ def main():
             "metric": "ttml_render_speedup_atlas_vs_host",
             "value": round(results["host"] / results["atlas"], 2),
             "unit": "x"}), flush=True)
+    # vertical-writing stream: previously excluded from the device path
+    vdoc = make_vertical_doc(N_INTERVALS)
+    print(json.dumps(bench_engine("atlas", vdoc, tag="_vertical")),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -567,12 +567,13 @@ def _concat_blocks_v2(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int,
     wbit = w << 5
 
     # j=0: the block CONTAINING the word start (arbitrary staging words,
-    # flat 1-D gathers)
+    # flat 1-D gathers). Blocks tile the bit range contiguously and every
+    # block has > 0 bits, so the containing block is valid for exactly the
+    # words before the stream end — no nbits gather needed.
     flat = buf.reshape(-1)
     fo_ext = offsets[first_ext]            # start bit of first[*] blocks
     o = fo_ext[:-1]
-    nb = nbits[first]
-    valid = (o <= wbit) & (o + nb > wbit)
+    valid = wbit < total_bits
     pos = wbit - o
     p = (pos & 31).astype(jnp.uint32)
     k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1)
@@ -593,6 +594,65 @@ def _concat_blocks_v2(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int,
     return out + jnp.where(L > first, extra, 0), total_bits
 
 
+def _concat_blocks_v3(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
+    """Scatter formulation of the block concat (bit-identical to v2).
+
+    v2's cost is dominated by per-word binary-search refinement plus five
+    per-word gathers. v3 inverts the mapping: each BLOCK knows its start
+    word statically (offsets >> 5), so
+      - first[w] (containing block) = cummax of a scatter-max of block
+        indices into their start words,
+      - fo[w] (its start bit)      = cummax of a scatter-max of offsets
+        (monotone in block index, so the cummax propagates correctly),
+      - extra[w] (OR of blocks starting strictly inside w) = scatter-ADD
+        of per-block first-word contributions (disjoint bits → OR == ADD),
+        excluding word-aligned starts (those are containing blocks).
+    Two 32K gathers (the containing block's staging words) remain.
+    Whether TPU scatters beat v2's searchsorted cascade is measured on
+    hardware (FLUTPU_CONCAT selects: v2 | v3)."""
+    b = buf.shape[0]
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nbits)]).astype(jnp.int32)
+    total_bits = offsets[-1]
+    starts = offsets[:-1]                       # (B,)
+    wob = starts >> 5                           # start word per block
+    bidx = jnp.arange(b, dtype=jnp.int32)
+
+    # containing block of word w = LAST block with starts <= w*32, i.e.
+    # with ceil(starts/32) <= w — so blocks scatter into their CEIL word
+    # (a word-aligned start lands in its own word, an interior start in
+    # the next) and a cummax propagates forward. (Scattering into the
+    # floor word is wrong: an interior block of word w would shadow an
+    # aligned block of word w despite starting AFTER wbit.)
+    # OOB starts — blocks past the prefix window — drop.
+    wce = (starts + 31) >> 5
+    first = jax.lax.cummax(
+        jnp.full((out_words,), -1, jnp.int32)
+        .at[wce].max(bidx, mode="drop"))
+    first = jnp.clip(first, 0, b - 1)
+    fo = jax.lax.cummax(
+        jnp.zeros((out_words,), jnp.int32)
+        .at[wce].max(starts, mode="drop"))
+
+    # blocks starting strictly inside a word: disjoint-bit ADD
+    bsc = buf[:, 0] >> (starts & 31).astype(jnp.uint32)
+    extra = jnp.zeros((out_words,), jnp.uint32).at[wob].add(
+        jnp.where((starts & 31) != 0, bsc, 0), mode="drop")
+
+    w = jnp.arange(out_words, dtype=jnp.int32)
+    wbit = w << 5
+    valid = wbit < total_bits
+    pos = wbit - fo
+    p = (pos & 31).astype(jnp.uint32)
+    k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1)
+    flat = buf.reshape(-1)
+    base = first * _BLOCK_WORDS + k0
+    b0 = flat[base]
+    b1 = flat[jnp.minimum(base + 1, b * _BLOCK_WORDS - 1)]
+    inside = (b0 << p) | jnp.where(p > 0, b1 >> ((32 - p) & 31), 0)
+    return jnp.where(valid, inside, 0) + extra, total_bits
+
+
 @functools.partial(jax.jit,
                    static_argnames=("layout", "out_words", "use_pallas",
                                     "interpret"))
@@ -607,12 +667,34 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
     formulation — same bits, ~50x less HBM traffic.
     """
     f = yq.shape[0]
-    allb = jnp.concatenate([
-        yq.reshape(f, -1, 64), cbq.reshape(f, -1, 64), crq.reshape(f, -1, 64),
-    ], axis=1).astype(jnp.int32)
-    sel = jnp.asarray(layout.block_sel)
     prev_np = np.asarray(layout.prev_same_comp)
     comp = jnp.asarray(layout.comp_is_chroma)
+
+    # MCU reordering: the standard interleave patterns are pure
+    # reshape/transpose/concat — no gather at all (4:2:0: [my, sy, mx, sx]
+    # → [my, mx, sy, sx] luma transpose, then [4Y|Cb|Cr] concat per MCU;
+    # 4:4:4: a plain [Y|Cb|Cr] interleave). The arbitrary-layout gather
+    # remains as the fallback.
+    ybw, ybh, cbw, cbh, subsample = layout._key
+    y32 = yq.reshape(f, ybh, ybw, 64).astype(jnp.int32)
+    cb32 = cbq.reshape(f, cbh, cbw, 64).astype(jnp.int32)
+    cr32 = crq.reshape(f, cbh, cbw, 64).astype(jnp.int32)
+    if subsample and ybh % 2 == 0 and ybw % 2 == 0:
+        ym = y32.reshape(f, ybh // 2, 2, ybw // 2, 2, 64) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(f, -1, 4, 64)
+        m = ym.shape[1]
+        mcu = jnp.concatenate(
+            [ym, cb32.reshape(f, m, 1, 64), cr32.reshape(f, m, 1, 64)],
+            axis=2).reshape(f, -1, 64)
+    elif not subsample:
+        mcu = jnp.concatenate(
+            [y32.reshape(f, -1, 1, 64), cb32.reshape(f, -1, 1, 64),
+             cr32.reshape(f, -1, 1, 64)], axis=2).reshape(f, -1, 64)
+    else:
+        allb = jnp.concatenate([y32.reshape(f, -1, 64),
+                                cb32.reshape(f, -1, 64),
+                                cr32.reshape(f, -1, 64)], axis=1)
+        mcu = allb[:, jnp.asarray(layout.block_sel)]
 
     # DC prediction: prev-same-component deltas in MCU order take only a
     # few distinct values (e.g. {1, 3, 6} for 4:2:0), so the per-block
@@ -621,9 +703,8 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
     deltas_np = np.arange(len(prev_np)) - prev_np
     uniq = np.unique(deltas_np[prev_np >= 0])
 
-    def reorder(blocks):
-        mcu = blocks[sel]                      # (B, 64) in MCU order
-        dc = mcu[:, 0]
+    def dc_diff(blocks):
+        dc = blocks[:, 0]
         if 0 < len(uniq) <= 4:
             prev_dc = jnp.zeros_like(dc)
             for d in uniq:
@@ -635,24 +716,40 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
         # concatenate instead of .at[:,0].set — the scatter form triggers an
         # XLA:CPU fusion miscompile under vmap (observed jax 0.9: wrong DC
         # diffs downstream); concat is also cheaper to fuse
-        return jnp.concatenate([(dc - prev_dc)[:, None], mcu[:, 1:]], axis=1)
+        return jnp.concatenate([(dc - prev_dc)[:, None], blocks[:, 1:]],
+                               axis=1)
 
-    mcu = jax.vmap(reorder)(allb)              # (F, B, 64)
+    mcu = jax.vmap(dc_diff)(mcu)               # (F, B, 64)
     b = mcu.shape[1]
     flat = mcu.reshape(f * b, 64)
     comp_flat = jnp.tile(comp, f)
-    lens, his, los = _slot_tables_merged(flat, comp_flat,
-                                         use_onehot=use_pallas)
-    if use_pallas:
+    import os
+    if use_pallas and not os.environ.get("FLUTPU_NO_FUSED_PACK"):
+        # round 3: slot construction fused INTO the pack kernel — the XLA
+        # slot stage materialized hundreds of (B, 63) intermediates in HBM
+        # (~15 ms/GOP of the round-2 stage budget); the fused kernel reads
+        # raw coefficients and derives run-lengths as loop state.
+        # FLUTPU_NO_FUSED_PACK=1 restores the split formulation for A/Bs.
+        from .entropy_pallas import pack_block_bits_fused
+        buf, nbits = pack_block_bits_fused(flat, comp_flat,
+                                           interpret=interpret)
+    elif use_pallas:
+        lens, his, los = _slot_tables_merged(flat, comp_flat,
+                                             use_onehot=True)
         from .entropy_pallas import pack_block_bits_pallas64
         buf, nbits = pack_block_bits_pallas64(lens, his, los,
                                               interpret=interpret)
     else:
+        lens, his, los = _slot_tables_merged(flat, comp_flat,
+                                             use_onehot=False)
         buf, nbits = _pack_block_bits64(lens, his, los)
     buf = buf.reshape(f, b, _BLOCK_WORDS)
     nbits = nbits.reshape(f, b)
     luma_min, chroma_min = _min_block_bits()
     mbb = min(luma_min, chroma_min)
+    if os.environ.get("FLUTPU_CONCAT", "v2") == "v3":
+        return jax.vmap(
+            lambda bb, nn: _concat_blocks_v3(bb, nn, out_words))(buf, nbits)
     return jax.vmap(
         lambda bb, nn: _concat_blocks_v2(bb, nn, out_words,
                                          min_block_bits=mbb))(

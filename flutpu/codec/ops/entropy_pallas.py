@@ -91,6 +91,202 @@ def _pack_kernel64(bound_ref, lens_ref, his_ref, los_ref, buf_ref,
     nbits_ref[:] = off
 
 
+def _bake_tables():
+    """Huffman tables as plain python ints for in-kernel constant muxes."""
+    from .entropy import _device_tables
+    import numpy as np
+    dc_code, dc_len, ac_code, ac_len = _device_tables()
+    dc = [[(int(dc_len[c, s]) << 16) | int(dc_code[c, s])
+           for s in range(12)] for c in range(2)]
+    ac = [[[(int(ac_len[c, (r << 4) | s]) << 16) | int(ac_code[c, (r << 4) | s])
+            for r in range(16)] for s in range(1, 11)] for c in range(2)]
+    zrl = [(int(ac_len[c, 0xF0]) << 16) | int(ac_code[c, 0xF0])
+           for c in range(2)]
+    eob = [(int(ac_len[c, 0x00]) << 16) | int(ac_code[c, 0x00])
+           for c in range(2)]
+    return dc, ac, zrl, eob
+
+
+def _fused_kernel(bound_ref, zz_ref, comp_ref, buf_ref, nbits_ref):
+    """Slot construction + merged-64-bit packing in ONE kernel.
+
+    The XLA slot stage materializes hundreds of (B, 63) intermediates in
+    HBM (~15 ms/GOP measured); here each slot's symbol math lives on
+    (1, N) rows in registers. Run-lengths need no precomputation at all:
+    the pack loop is already sequential over AC positions, so the
+    previous-nonzero position is just loop state. Bit-identical to
+    _slot_tables_merged + _pack_block_bits64.
+    """
+    import jax.numpy as jnp
+    n = zz_ref.shape[1]
+    buf_ref[:] = jnp.zeros((_BLOCK_WORDS, n), jnp.uint32)
+    word_iota = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_WORDS, n), 0)
+    bound = bound_ref[pl.program_id(0)]
+    dc_t, ac_t, zrl_t, eob_t = _bake_tables()
+
+    chroma = comp_ref[0:1, :] == 1  # (1, N)
+
+    def cmux(luma_const, chroma_const):
+        return jnp.where(chroma, jnp.int32(chroma_const),
+                         jnp.int32(luma_const))
+
+    def magnitude(v, max_bits):
+        a = jnp.abs(v)
+        size = jnp.zeros_like(v)
+        for i in range(max_bits):
+            size = size + (a >= (1 << i)).astype(v.dtype)
+        return size
+
+    def place(off, slen, hi, lo):
+        """96-bit placement of (hi:lo, slen) at bit offset off (mirror of
+        _pack_kernel64's body). Returns the buf update."""
+        q = off & 31
+        t = q + slen
+        r = jnp.clip(96 - t, 0, 95)
+        k = r >> 5
+        m = (r & 31).astype(jnp.uint32)
+        minv = ((32 - m) & 31).astype(jnp.uint32)
+        spill_hi = jnp.where(m > 0, hi >> minv, jnp.uint32(0))
+        spill_lo = jnp.where(m > 0, lo >> minv, jnp.uint32(0))
+        c0 = jnp.where(k == 0, spill_hi,
+                       jnp.where(k == 1, (hi << m) | spill_lo, lo << m))
+        c1 = jnp.where(k == 0, (hi << m) | spill_lo,
+                       jnp.where(k == 1, lo << m, jnp.uint32(0)))
+        c2 = jnp.where(k == 0, lo << m, jnp.uint32(0))
+        widx = off >> 5
+        active = slen > 0
+        return (jnp.where(active & (word_iota == widx), c0, jnp.uint32(0))
+                | jnp.where(active & (word_iota == widx + 1), c1,
+                            jnp.uint32(0))
+                | jnp.where(active & (word_iota == widx + 2), c2,
+                            jnp.uint32(0)))
+
+    # ---- DC slot (always present) --------------------------------------
+    diff = zz_ref[0:1, :]
+    dsize = magnitude(diff, 12)
+    entry = jnp.zeros_like(diff)
+    for s in range(11, -1, -1):
+        entry = jnp.where(dsize == s, cmux(dc_t[0][s], dc_t[1][s]), entry)
+    dc_len = (entry >> 16) & 0xFFFF
+    dc_code = entry & 0xFFFF
+    extra = jnp.where(diff < 0, diff + (1 << dsize) - 1, diff)
+    slen0 = dc_len + dsize
+    lo0 = ((dc_code << dsize) | (extra & ((1 << dsize) - 1))) \
+        .astype(jnp.uint32)
+    buf_ref[:] = buf_ref[:] | place(jnp.zeros_like(diff), slen0,
+                                    jnp.zeros_like(lo0), lo0)
+    off = slen0
+
+    zrl_entry = cmux(zrl_t[0], zrl_t[1])
+    zrl_len = (zrl_entry >> 16) & 0xFFFF
+    zrl_code = zrl_entry & 0xFFFF
+
+    # ---- AC slots: one merged 64-bit slot per position -----------------
+    def body(s, carry):
+        off, prev = carry
+        ac = zz_ref[pl.ds(s, 1), :]
+        nz = ac != 0
+        run = s - prev - 1           # zeros since previous nonzero
+        asize = magnitude(ac, 11)
+        rem = run & 15
+        # AC (len<<16|code) constant mux: by run (16) then size (10)
+        entry = jnp.zeros_like(ac)
+        for r in range(16):
+            e_r = jnp.zeros_like(ac)
+            for sz in range(10, 0, -1):
+                e_r = jnp.where(asize == sz,
+                                cmux(ac_t[0][sz - 1][r], ac_t[1][sz - 1][r]),
+                                e_r)
+            entry = jnp.where(rem == r, e_r, entry)
+        ac_len = (entry >> 16) & 0xFFFF
+        ac_code = entry & 0xFFFF
+        aextra = jnp.where(ac < 0, ac + (1 << asize) - 1, ac)
+
+        zrl_count = jnp.where(nz, run >> 4, 0)
+        c2 = jnp.minimum(zrl_count, 2)
+        la = jnp.where(nz, c2 * zrl_len, 0)
+        va = jnp.where(c2 == 2, (zrl_code << zrl_len) | zrl_code,
+                       jnp.where(c2 == 1, zrl_code, 0)).astype(jnp.uint32)
+        lb = jnp.where(nz & (zrl_count >= 3), zrl_len, 0)
+        vb = jnp.where(lb > 0, zrl_code, 0).astype(jnp.uint32)
+        lc = jnp.where(nz, ac_len + asize, 0)
+        vc = jnp.where(nz, (ac_code << asize)
+                       | (aextra & ((1 << asize) - 1)), 0) \
+            .astype(jnp.uint32)
+        # compose (va | vb | vc) into one 64-bit value (entropy._shl64)
+        hi = jnp.zeros_like(va)
+        lo = va
+        sh = lb.astype(jnp.uint32)
+        hi = (hi << sh) | jnp.where(sh > 0, lo >> ((32 - sh) & 31),
+                                    jnp.uint32(0))
+        lo = (lo << sh) | vb
+        sh = lc.astype(jnp.uint32)
+        hi = (hi << sh) | jnp.where(sh > 0, lo >> ((32 - sh) & 31),
+                                    jnp.uint32(0))
+        lo = (lo << sh) | vc
+        mlen = la + lb + lc
+
+        buf_ref[:] = buf_ref[:] | place(off, mlen, hi, lo)
+        return off + mlen, jnp.where(nz, s, prev)
+
+    off, prev = jax.lax.fori_loop(
+        1, bound, body, (off, jnp.zeros_like(off)))
+
+    # ---- EOB slot ------------------------------------------------------
+    eobe = cmux(eob_t[0], eob_t[1])
+    need = prev < 63
+    elen = jnp.where(need, (eobe >> 16) & 0xFFFF, 0)
+    eval_ = jnp.where(need, eobe & 0xFFFF, 0).astype(jnp.uint32)
+    buf_ref[:] = buf_ref[:] | place(off, elen, jnp.zeros_like(eval_), eval_)
+    nbits_ref[:] = off + elen
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pack_block_bits_fused(zz: jax.Array, comp: jax.Array,
+                          interpret: bool = False):
+    """(B, 64) int32 DC-diffed MCU-ordered coefficients + (B,) comp flags
+    → (buf (B, 64) uint32 MSB-first, nbits (B,) int32), computing the slot
+    tables INSIDE the pack kernel (zero HBM-materialized slot arrays).
+    Bit-identical to _slot_tables_merged + pack_block_bits_pallas64."""
+    import jax.numpy as jnp
+    b = zz.shape[0]
+    n_pad = ((b + TILE_N - 1) // TILE_N) * TILE_N
+    zz_t = jnp.zeros((64, n_pad), jnp.int32).at[:, :b].set(zz.T)
+    comp_t = jnp.zeros((8, n_pad), jnp.int32).at[0, :b].set(comp)
+
+    # per-tile loop bound: the last nonzero AC position + 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, 63), 1) + 1
+    last_nz = jnp.max(jnp.where(zz[:, 1:] != 0, pos, 0), axis=1)  # (b,)
+    last_t = jnp.zeros((n_pad,), jnp.int32).at[:b].set(last_nz)
+    n_tiles = n_pad // TILE_N
+    bounds = (jnp.max(last_t.reshape(n_tiles, TILE_N), axis=1)
+              + 1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((64, TILE_N), lambda i, *_: (0, i)),
+            pl.BlockSpec((8, TILE_N), lambda i, *_: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BLOCK_WORDS, TILE_N), lambda i, *_: (0, i)),
+            pl.BlockSpec((1, TILE_N), lambda i, *_: (0, i)),
+        ],
+    )
+    buf_t, nbits_t = pl.pallas_call(
+        _fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((_BLOCK_WORDS, n_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bounds, zz_t, comp_t)
+
+    return buf_t[:, :b].T, nbits_t[0, :b]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pack_block_bits_pallas64(lens: jax.Array, his: jax.Array,
                              los: jax.Array, interpret: bool = False):

@@ -111,17 +111,36 @@ def motion_compensate(prev: jnp.ndarray, mv: jnp.ndarray,
 
 def _motion_compensate_rolls(prev: jnp.ndarray, mv: jnp.ndarray,
                              search_range: int, mb: int):
-    """Candidate-enumeration formulation (reference for A/B)."""
+    """Candidate-enumeration formulation (the TPU arm)."""
     h, w = prev.shape
     n = 2 * search_range + 1
     scale = MB // mb
 
+    if scale != 1:
+        # chroma: the floor-halved vectors collapse the (2r+1)^2 luma
+        # candidates onto only ~(r+2)^2 DISTINCT shifts (r=7: 225 → 64
+        # rolls, a 3.5x cut of the chroma MC loops); select on the halved
+        # vector so the prediction is bit-identical
+        lo = -((search_range + 1) // 2)   # floor(-r / 2)
+        hi = search_range // 2
+        m = hi - lo + 1
+        dyh = mv[..., 0] // 2
+        dxh = mv[..., 1] // 2
+
+        def body_c(c, pred):
+            sdy = c // m + lo
+            sdx = c % m + lo
+            shifted = jnp.roll(prev, (sdy, sdx), axis=(0, 1))
+            sel = (dyh == sdy) & (dxh == sdx)
+            mask = jnp.repeat(jnp.repeat(sel, mb, axis=0), mb, axis=1)
+            return jnp.where(mask, shifted, pred)
+
+        return jax.lax.fori_loop(0, m * m, body_c, prev * 0)
+
     def body(c, pred):
         dy = c // n - search_range
         dx = c % n - search_range
-        sdy = dy // scale if scale == 1 else dy // 2
-        sdx = dx // scale if scale == 1 else dx // 2
-        shifted = jnp.roll(prev, (sdy, sdx), axis=(0, 1))
+        shifted = jnp.roll(prev, (dy, dx), axis=(0, 1))
         sel = (mv[..., 0] == dy) & (mv[..., 1] == dx)  # (mbh, mbw)
         mask = jnp.repeat(jnp.repeat(sel, mb, axis=0), mb, axis=1)
         return jnp.where(mask, shifted, pred)

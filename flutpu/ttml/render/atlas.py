@@ -92,6 +92,15 @@ class GlyphAtlas:
         self._device = None
         self._device_n = 0
         self._synced_upto = 0
+        # RGBA image tiles (SMPTE background images): a parallel atlas with
+        # per-pixel color; instances reference them with NEGATIVE tile
+        # indices (-idx-1) so the one instance stream stays homogeneous
+        self._img_tiles: List[np.ndarray] = [
+            np.zeros((TILE_H, TILE_W, 4), np.uint8)]
+        self._images: Dict[str, _Entry] = {}
+        self._img_device = None
+        self._img_device_n = 0
+        self._img_synced_upto = 0
 
     # -- host-side cache ----------------------------------------------------
     def _add_alpha_map(self, alpha: np.ndarray, ascent: int) -> _Entry:
@@ -108,34 +117,43 @@ class GlyphAtlas:
         return _Entry(tiles, w, h, ascent)
 
     def run_entry(self, text: str, family: str, size_px: int, bold: bool,
-                  italic: bool, par_scale: float = 1.0) -> _Entry:
+                  italic: bool, par_scale: float = 1.0, rot: int = 0,
+                  shear: float = 0.0) -> _Entry:
         """Tiles for a rasterized text run. ``par_scale`` horizontally
         scales the glyph bitmap — the anamorphic PAR glyph scaling of the
         reference (gstttmlrender.c:745-857 shape attrs with manually
-        scaled extents)."""
-        key = (text, family, size_px, bold, italic, round(par_scale, 4))
+        scaled extents). ``rot`` (np.rot90 k: -1 cw for tbrl, +1 ccw for
+        tblr) pre-rotates the run's alpha map so vertical writing modes
+        stay on the device path with plain axis-aligned tiles. ``shear``
+        is the reverseOblique glyph shear (fonts.rasterize_run)."""
+        key = (text, family, size_px, bold, italic, round(par_scale, 4),
+               rot, round(shear, 3))
         e = self._runs.get(key)
         if e is None:
             from .fonts import rasterize_run
-            alpha, m = rasterize_run(text, family, size_px, bold, italic)
+            alpha, m = rasterize_run(text, family, size_px, bold, italic,
+                                     shear=shear)
             if par_scale != 1.0 and alpha.shape[1] > 0:
                 new_w = max(1, int(round(alpha.shape[1] * par_scale)))
                 alpha = _resize_width(alpha, new_w)
+            if rot:
+                alpha = np.ascontiguousarray(np.rot90(alpha, rot))
             e = self._add_alpha_map(alpha, m.ascent)
             self._runs[key] = e
         return e
 
     def stroked_entry(self, text: str, family: str, size_px: int, bold: bool,
                       italic: bool, radius: int, blur_px: int,
-                      par_scale: float = 1.0) -> _Entry:
+                      par_scale: float = 1.0, rot: int = 0,
+                      shear: float = 0.0) -> _Entry:
         """Outline variant of a run: computed on device from the base
         tiles (dilate + blur), cached as new atlas tiles."""
         key = (text, family, size_px, bold, italic, radius, blur_px,
-               round(par_scale, 4))
+               round(par_scale, 4), rot, round(shear, 3))
         e = self._stroked.get(key)
         if e is None:
             base = self.run_entry(text, family, size_px, bold, italic,
-                                  par_scale)
+                                  par_scale, rot, shear)
             idxs = [t[0] for t in base.tiles]
             batch = np.stack([self._tiles[i] for i in idxs])
             import jax.numpy as jnp
@@ -150,7 +168,62 @@ class GlyphAtlas:
             self._stroked[key] = e
         return e
 
+    def image_entry(self, rgba: np.ndarray, rot: int = 0) -> _Entry:
+        """Tiles for a decoded RGBA image (SMPTE backgroundImage,
+        reference gstttmlrender.c:344-419): tiled into the RGBA atlas,
+        instances carry -idx-1 tile ids. Cached by CONTENT hash — two
+        documents may bind the same #id to different images, so a
+        reference-string key would alias them."""
+        import hashlib
+        if rot:
+            rgba = np.ascontiguousarray(np.rot90(rgba, rot))
+        key = (rgba.shape, hashlib.sha1(
+            np.ascontiguousarray(rgba).tobytes()).hexdigest())
+        e = self._images.get(key)
+        if e is None:
+            h, w = rgba.shape[:2]
+            if rgba.ndim == 2:
+                rgba = np.stack([rgba] * 3 + [np.full_like(rgba, 255)],
+                                axis=-1)
+            if rgba.shape[-1] == 3:
+                rgba = np.concatenate(
+                    [rgba, np.full(rgba.shape[:2] + (1,), 255, np.uint8)],
+                    axis=-1)
+            tiles = []
+            for ty in range(0, max(1, h), TILE_H):
+                for tx in range(0, max(1, w), TILE_W):
+                    sub = rgba[ty:ty + TILE_H, tx:tx + TILE_W]
+                    tile = np.zeros((TILE_H, TILE_W, 4), np.uint8)
+                    tile[:sub.shape[0], :sub.shape[1]] = sub
+                    tiles.append((-len(self._img_tiles) - 1, tx, ty,
+                                  sub.shape[1], sub.shape[0]))
+                    self._img_tiles.append(tile)
+            e = _Entry(tiles, w, h, 0)
+            self._images[key] = e
+        return e
+
     # -- device sync ---------------------------------------------------------
+    def image_device_array(self):
+        """The RGBA image atlas as an (M, TILE_H, TILE_W, 4) uint8 device
+        array (M >= 1; index 0 is a transparent dummy)."""
+        import jax.numpy as jnp
+        n = len(self._img_tiles)
+        cap = 1
+        while cap < n:
+            cap *= 2
+        if self._img_device is None or self._img_device_n != cap:
+            arr = np.zeros((cap, TILE_H, TILE_W, 4), np.uint8)
+            arr[:n] = np.stack(self._img_tiles)
+            self._img_device = jnp.asarray(arr)
+            self._img_device_n = cap
+            self._img_synced_upto = n
+        elif self._img_synced_upto < n:
+            new = np.stack(self._img_tiles[self._img_synced_upto:n])
+            self._img_device = self._img_device.at[
+                self._img_synced_upto:n].set(jnp.asarray(new))
+            self._img_synced_upto = n
+        return self._img_device
+
     def device_array(self):
         """The atlas as a (N, TILE_H, TILE_W) uint8 device array; N grows
         in powers of two to bound recompiles."""

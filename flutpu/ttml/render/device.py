@@ -34,9 +34,13 @@ import numpy as np
 from .atlas import TILE_H, TILE_W
 
 
-def _composite_core(atlas, ints, cols, window_h: int, window_w: int):
+def _composite_core(atlas, ints, cols, window_h: int, window_w: int,
+                    imgatlas=None):
     """Blend N instances into a transparent (window_h, window_w, 4) BGRA
-    frame. atlas: (T, TILE_H, TILE_W) uint8. See module doc for encoding."""
+    frame. atlas: (T, TILE_H, TILE_W) uint8. ``imgatlas`` (M, TILE_H,
+    TILE_W, 4) uint8 serves instances with NEGATIVE tile ids (-idx-1):
+    per-pixel-color RGBA tiles (SMPTE background images); absent, the
+    image arm is not traced at all. See module doc for encoding."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -59,19 +63,34 @@ def _composite_core(atlas, ints, cols, window_h: int, window_w: int):
         cy0 = ints[i, 6] + TILE_H
         cx1 = ints[i, 7] + TILE_W
         cy1 = ints[i, 8] + TILE_H
-        tile = lax.dynamic_slice(
-            atlas, (tile_idx, 0, 0), (1, TILE_H, TILE_W))[0]
+        if imgatlas is None:
+            tile = lax.dynamic_slice(
+                atlas, (tile_idx, 0, 0), (1, TILE_H, TILE_W))[0]
+            alpha = tile.astype(jnp.float32) / 255.0
+            src_rgb = cols[i, :3]
+        else:
+            is_img = tile_idx < 0
+            a_idx = jnp.where(is_img, 0, tile_idx)
+            i_idx = jnp.where(is_img, -tile_idx - 1, 0)
+            tile = lax.dynamic_slice(
+                atlas, (a_idx, 0, 0), (1, TILE_H, TILE_W))[0]
+            img = lax.dynamic_slice(
+                imgatlas, (i_idx, 0, 0, 0), (1, TILE_H, TILE_W, 4))[0]
+            alpha = jnp.where(is_img, img[..., 3], tile) \
+                .astype(jnp.float32) / 255.0
+            src_rgb = jnp.where(is_img, img[..., :3].astype(jnp.float32)
+                                / 255.0, cols[i, :3])
         # valid-extent mask + clip-rect mask in window coordinates
         gx = xx + x
         gy = yy + y
         mask = ((xx < w) & (yy < h) &
                 (gx >= cx0) & (gx < cx1) & (gy >= cy0) & (gy < cy1))
-        sa = (tile.astype(jnp.float32) / 255.0) * cols[i, 3]
+        sa = alpha * cols[i, 3]
         sa = jnp.where(mask, sa, 0.0)[..., None]
         dst = lax.dynamic_slice(frame, (y, x, 0), (TILE_H, TILE_W, 4))
         da = dst[..., 3:]
         out_a = sa + da * (1 - sa)
-        rgb = (cols[i, :3] * sa + dst[..., :3] * da * (1 - sa)) \
+        rgb = (src_rgb * sa + dst[..., :3] * da * (1 - sa)) \
             / jnp.maximum(out_a, 1e-6)
         new = jnp.concatenate([rgb, out_a], axis=-1)
         return lax.dynamic_update_slice(frame, new, (y, x, 0))
@@ -84,14 +103,16 @@ def _composite_core(atlas, ints, cols, window_h: int, window_w: int):
 
 @functools.partial(__import__("jax").jit,
                    static_argnames=("window_h", "window_w"))
-def composite_instances(atlas, ints, cols, window_h: int, window_w: int):
-    return _composite_core(atlas, ints, cols, window_h, window_w)
+def composite_instances(atlas, ints, cols, window_h: int, window_w: int,
+                        imgatlas=None):
+    return _composite_core(atlas, ints, cols, window_h, window_w, imgatlas)
 
 
 @functools.partial(__import__("jax").jit,
                    static_argnames=("window_h", "window_w", "unstack"))
 def composite_instances_batch(atlas, ints, cols, window_h: int,
-                              window_w: int, unstack: bool = False):
+                              window_w: int, unstack: bool = False,
+                              imgatlas=None):
     """Composite a whole batch of intervals in ONE device program.
 
     ints: (K, N, 9) int32, cols: (K, N, 4) float32 — K intervals, each
@@ -109,7 +130,8 @@ def composite_instances_batch(atlas, ints, cols, window_h: int,
     from jax import lax
 
     def one(ic):
-        return _composite_core(atlas, ic[0], ic[1], window_h, window_w)
+        return _composite_core(atlas, ic[0], ic[1], window_h, window_w,
+                               imgatlas)
 
     out = lax.map(one, (ints, cols))
     if unstack:
@@ -177,11 +199,12 @@ def composite_instances_batch_vmap(atlas, ints, cols, window_h: int,
 @functools.partial(__import__("jax").jit,
                    static_argnames=("window_h", "window_w"))
 def composite_instances_over(atlas, ints, cols, base_bgra,
-                             window_h: int, window_w: int):
+                             window_h: int, window_w: int, imgatlas=None):
     """Like composite_instances but blending OVER an existing BGRA window
     (host-layer fallback content below the instance stream)."""
     import jax.numpy as jnp
-    top = composite_instances(atlas, ints, cols, window_h, window_w)
+    top = composite_instances(atlas, ints, cols, window_h, window_w,
+                              imgatlas)
     t = top.astype(jnp.float32) / 255.0
     b = base_bgra.astype(jnp.float32) / 255.0
     ta = t[..., 3:]

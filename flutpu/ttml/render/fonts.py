@@ -111,10 +111,17 @@ def measure_run(text: str, family: str, size_px: int, bold: bool = False,
 
 @functools.lru_cache(maxsize=4096)
 def rasterize_run(text: str, family: str, size_px: int, bold: bool = False,
-                  italic: bool = False) -> Tuple[np.ndarray, RunMetrics]:
+                  italic: bool = False,
+                  shear: float = 0.0) -> Tuple[np.ndarray, RunMetrics]:
     """Render a text run to an alpha map (H, W) uint8 + metrics.
 
     The map's height is ascent+descent; the baseline sits at ``ascent``.
+    ``shear`` applies a horizontal glyph shear WITHOUT changing advances —
+    the reference's reverseOblique rendering (a custom pango attribute +
+    matrix shear, gstttmlrender.c:858-898): negative shear leans glyph
+    tops LEFT (reverse oblique); positive leans right (synthetic oblique
+    for faces with no italic file). The map widens by |shear|*height so
+    nothing clips.
     """
     from PIL import Image, ImageDraw
     m = measure_run(text, family, size_px, bold, italic)
@@ -124,4 +131,15 @@ def rasterize_run(text: str, family: str, size_px: int, bold: bool = False,
     img = Image.new("L", (w, h), 0)
     if font is not None and text:
         ImageDraw.Draw(img).text((0, 0), text, font=font, fill=255)
+    if shear and text:
+        extra = int(np.ceil(abs(shear) * h))
+        if shear < 0:
+            # output(x, y) samples input(x + shear*y): bottoms shift right,
+            # tops lean left — reverse oblique
+            img = img.transform((w + extra, h), Image.AFFINE,
+                                (1, shear, 0, 0, 1, 0), fillcolor=0)
+        else:
+            # lean right: offset so the sheared top stays in-canvas
+            img = img.transform((w + extra, h), Image.AFFINE,
+                                (1, shear, -extra, 0, 1, 0), fillcolor=0)
     return np.asarray(img, dtype=np.uint8), m

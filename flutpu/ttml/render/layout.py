@@ -47,6 +47,9 @@ class RunSpec:
     outline: Optional[TextOutline]
     outline_color: Tuple[int, int, int, int]
     rtl: bool = False  # RTL base direction (affects run order + alignment)
+    shear: float = 0.0  # glyph shear: reverseOblique renders the regular
+    #                     face leaning LEFT (reference custom pango attr +
+    #                     matrix shear, gstttmlrender.c:858-898)
     metrics: RunMetrics = None  # filled during measuring
 
     def measure(self) -> RunMetrics:
@@ -133,6 +136,9 @@ def extract_runs(spans: List[Span], region_id: Optional[str],
         family = family_attr.value if family_attr is not None else \
             defaults["font_family"]
         fstyle = _style_enum(style, AttrType.FONT_STYLE, FontStyle.NORMAL)
+        # reverseOblique: regular face + negative shear (advances keep the
+        # regular-face widths, like the reference's sheared glyphs)
+        shear = -0.21 if fstyle == FontStyle.REVERSE_OBLIQUE else 0.0
         fweight = _style_enum(style, AttrType.FONT_WEIGHT, FontWeight.NORMAL)
         deco = _style_enum(style, AttrType.TEXT_DECORATION,
                            TextDecoration.NONE)
@@ -164,7 +170,7 @@ def extract_runs(spans: List[Span], region_id: Optional[str],
                 frag, family, int(round(font_sizes[0])),
                 fweight == FontWeight.BOLD,
                 fstyle in (FontStyle.ITALIC, FontStyle.OBLIQUE),
-                color, bgcolor, deco, outline, out_color, rtl))
+                color, bgcolor, deco, outline, out_color, rtl, shear))
     # RTL base direction lays runs out right-to-left within the line
     for line in lines:
         if any(r.rtl for r in line):
@@ -198,7 +204,7 @@ def wrap_lines(lines: List[List[RunSpec]], max_width: int,
                                            run.bold, run.italic, run.color,
                                            run.bgcolor, run.decorations,
                                            run.outline, run.outline_color,
-                                           run.rtl))
+                                           run.rtl, run.shear))
                     if cur:
                         out.append(cur)
                     cur = []
@@ -210,7 +216,8 @@ def wrap_lines(lines: List[List[RunSpec]], max_width: int,
                 cur.append(RunSpec(pending, run.family, run.size_px,
                                    run.bold, run.italic, run.color,
                                    run.bgcolor, run.decorations,
-                                   run.outline, run.outline_color, run.rtl))
+                                   run.outline, run.outline_color, run.rtl,
+                                   run.shear))
                 cur_w += measure_run(pending, run.family, run.size_px,
                                      run.bold, run.italic).width
         if cur:
@@ -309,7 +316,7 @@ def draw_region_layer(width: int, height: int, lines: List[List[RunSpec]],
         for run in line:
             m = run.measure()
             alpha, _ = rasterize_run(run.text, run.family, run.size_px,
-                                     run.bold, run.italic)
+                                     run.bold, run.italic, shear=run.shear)
             ry = baseline - m.ascent
             if run.bgcolor is not None and run.bgcolor[3] > 0:
                 _fill_rect(layer, run.bgcolor, x, ry, m.width, m.height)
@@ -422,6 +429,8 @@ def layout_region_instances(
         lines: List[List[RunSpec]],
         *, padding: Tuple[float, float, float, float] = (0, 0, 0, 0),
         bgcolor: Optional[Tuple[int, int, int, int]] = None,
+        bg_image: Optional[np.ndarray] = None,
+        bg_image_pos: Tuple[float, float] = (0.5, 0.5),
         text_align: TextAlign = TextAlign.START,
         display_align: DisplayAlign = DisplayAlign.BEFORE,
         line_height_px: Optional[float] = None,
@@ -429,26 +438,72 @@ def layout_region_instances(
         opacity: float = 1.0,
         window_w: int = DEFAULT_WINDOW_W,
         window_h: int = DEFAULT_WINDOW_H,
-        par_scale: float = 1.0) -> None:
+        par_scale: float = 1.0,
+        writing_mode: WritingMode = WritingMode.LRTB) -> None:
     """Emit one region's draw ops into a device InstanceList (the
-    glyph-atlas fast path; horizontal writing modes).
+    glyph-atlas fast path — ALL writing modes and background images).
 
-    Geometry is produced directly in window coordinates; clipping is a
-    per-instance clip rect — the region box for overflow=hidden, the whole
-    window for overflow=visible (the reference's overflow clip switch,
+    Geometry is produced in window coordinates; clipping is a per-instance
+    clip rect — the region box for overflow=hidden, the whole window for
+    overflow=visible (the reference's overflow clip switch,
     gstttmlrender.c:1235-1385). ``par_scale`` horizontally scales glyph
     bitmaps and advances for anamorphic PAR (gstttmlrender.c:745-857).
+
+    Vertical writing modes (reference rotation matrices :1235-1385) lay
+    out in a rotated canvas exactly like the host path, then every draw
+    op transforms into window coordinates: rects rotate as rects, text
+    runs reference PRE-ROTATED atlas tiles (atlas.run_entry rot) — the
+    interval stays one device instance stream, no host-layer fallback.
     """
     rx, ry, rw, rh = region_box
     pad_t, pad_r, pad_b, pad_l = padding
-    inner_w = max(1, int(rw - pad_l - pad_r))
+    vertical = writing_mode in (WritingMode.TBRL, WritingMode.TBLR,
+                                WritingMode.TB)
+    rot = 0
+    if vertical:
+        rot = -1 if writing_mode == WritingMode.TBRL else 1
+        par_scale = 1.0   # host path draws vertical modes without PAR
+        #                   glyph scaling; mirror it (display-x scaling of
+        #                   rotated glyphs is the line-stacking axis)
+    # layout canvas: (lw x lh); equals the region box rotated for vertical
+    lw, lh = (rh, rw) if vertical else (rw, rh)
+    inner_w = max(1, int(lw - pad_l - pad_r))
     clip = (rx, ry, rx + rw, ry + rh) if not overflow_visible \
         else (0, 0, window_w, window_h)
+
+    def to_window(lx: int, ly: int, w: int, h: int):
+        """Layout-local rect → (x, y, w, h) in window coordinates."""
+        if rot == 0:
+            return rx + lx, ry + ly, w, h
+        if rot == -1:  # cw (tbrl): layout (r=ly, c=lx) → (r=lx, c=lh-1-ly)
+            return rx + (lh - ly - h), ry + lx, h, w
+        return rx + ly, ry + (lw - lx - w), h, w  # ccw (tblr)
+
+    def emit_rect(lx, ly, w, h, color, rect_clip=None):
+        x, y, ww, hh = to_window(int(lx), int(ly), int(w), int(h))
+        inst.add_rect(x, y, ww, hh, color, opacity,
+                      rect_clip if rect_clip is not None else clip)
+
+    def emit_entry(entry, lx, ly, w, h, color):
+        # (w, h) is the layout-space box; entry tiles are pre-rotated so
+        # only the top-left placement needs transforming
+        x, y, _, _ = to_window(int(lx), int(ly), int(w), int(h))
+        inst.add_entry(entry, x, y, color, opacity, clip)
 
     if bgcolor is not None and bgcolor[3] > 0:
         # region background always clips to the region box
         inst.add_rect(rx, ry, rw, rh, bgcolor, opacity,
                       (rx, ry, rx + rw, ry + rh))
+
+    if bg_image is not None:
+        # SMPTE background image: tiled into the RGBA image atlas
+        # (reference gstttmlrender.c:344-419); placed in layout coords and
+        # rotated with the canvas like the host path
+        ih, iw = bg_image.shape[:2]
+        ie = atlas.image_entry(bg_image, rot)
+        ix0 = int((lw - iw) * bg_image_pos[0])
+        iy0 = int((lh - ih) * bg_image_pos[1])
+        emit_entry(ie, ix0, iy0, iw, ih, (255, 255, 255, 255))
 
     def scaled_w(run: RunSpec) -> int:
         return max(1, int(round(run.measure().width * par_scale)))
@@ -467,28 +522,27 @@ def layout_region_instances(
     total_h = int(sum(advances))
 
     if display_align == DisplayAlign.CENTER:
-        y = int(ry + (rh - pad_t - pad_b - total_h) / 2 + pad_t)
+        y = int((lh - pad_t - pad_b - total_h) / 2 + pad_t)
     elif display_align == DisplayAlign.AFTER:
-        y = int(ry + rh - pad_b - total_h)
+        y = int(lh - pad_b - total_h)
     else:
-        y = int(ry + pad_t)
+        y = int(pad_t)
 
     for line, (w, asc, desc), adv in zip(lines, metrics, advances):
         align = _resolve_align(text_align, line)
         if align == "center":
-            x = int(rx + pad_l + (inner_w - w) / 2)
+            x = int(pad_l + (inner_w - w) / 2)
         elif align == "right":
-            x = int(rx + pad_l + inner_w - w)
+            x = int(pad_l + inner_w - w)
         else:
-            x = int(rx + pad_l)
+            x = int(pad_l)
         baseline = y + asc
         for run in line:
             m = run.measure()
             rw_px = scaled_w(run)
             ytop = baseline - m.ascent
             if run.bgcolor is not None and run.bgcolor[3] > 0:
-                inst.add_rect(x, ytop, rw_px, m.height, run.bgcolor,
-                              opacity, clip)
+                emit_rect(x, ytop, rw_px, m.height, run.bgcolor)
             if run.outline is not None:
                 r_px = int(round(run.outline.lengths[0].value)) \
                     if run.outline.lengths[0].present else 1
@@ -496,22 +550,22 @@ def layout_region_instances(
                     if run.outline.lengths[1].present else 0
                 stroked = atlas.stroked_entry(
                     run.text, run.family, run.size_px, run.bold,
-                    run.italic, max(1, r_px), blur_px, par_scale)
-                inst.add_entry(stroked, x, ytop, run.outline_color,
-                               opacity, clip)
+                    run.italic, max(1, r_px), blur_px, par_scale, rot,
+                    run.shear)
+                emit_entry(stroked, x, ytop, rw_px, m.height,
+                           run.outline_color)
             entry = atlas.run_entry(run.text, run.family, run.size_px,
-                                    run.bold, run.italic, par_scale)
-            inst.add_entry(entry, x, ytop, run.color, opacity, clip)
+                                    run.bold, run.italic, par_scale, rot,
+                                    run.shear)
+            emit_entry(entry, x, ytop, rw_px, m.height, run.color)
             if run.decorations:
                 thickness = max(1, run.size_px // 14)
                 if run.decorations & TextDecoration.UNDERLINE:
-                    inst.add_rect(x, baseline + 1, rw_px, thickness,
-                                  run.color, opacity, clip)
+                    emit_rect(x, baseline + 1, rw_px, thickness, run.color)
                 if run.decorations & TextDecoration.STRIKETHROUGH:
-                    inst.add_rect(x, baseline - m.ascent // 3, rw_px,
-                                  thickness, run.color, opacity, clip)
+                    emit_rect(x, baseline - m.ascent // 3, rw_px,
+                              thickness, run.color)
                 if run.decorations & TextDecoration.OVERLINE:
-                    inst.add_rect(x, ytop, rw_px, thickness, run.color,
-                                  opacity, clip)
+                    emit_rect(x, ytop, rw_px, thickness, run.color)
             x += rw_px
         y += int(adv)

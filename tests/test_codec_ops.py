@@ -250,3 +250,22 @@ def test_motion_pallas_kernel_matches_xla(monkeypatch):
             interpret=True)
         np.testing.assert_array_equal(np.asarray(mv), mv_ref)
         np.testing.assert_array_equal(np.asarray(pred), pred_ref)
+
+
+def test_chroma_mc_distinct_shift_rolls_bit_identical(monkeypatch):
+    """The chroma rolls arm enumerates only the ~(r+2)^2 DISTINCT
+    floor-halved shifts (round 3: 225 → 64 rolls at r=7) and stays
+    bit-identical to the flat-gather formulation."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops import motion
+
+    rng = np.random.default_rng(4)
+    chroma = jnp.asarray(rng.random((32, 48)).astype(np.float32))
+    for r in (7, 4, 1):
+        mv = jnp.asarray(rng.integers(-r, r + 1, (4, 6, 2))
+                         .astype(np.int32))
+        monkeypatch.setenv("FLUTPU_MC_ROLLS", "1")
+        a = motion.motion_compensate(chroma, mv, search_range=r, mb=8)
+        monkeypatch.setenv("FLUTPU_MC_ROLLS", "0")
+        b = motion.motion_compensate(chroma, mv, search_range=r, mb=8)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -135,3 +135,31 @@ def test_concat_v2_matches_v1_adversarial():
                                  out_words, min_block_bits=4)
         np.testing.assert_array_equal(np.asarray(v1[0]), np.asarray(v2[0]))
         assert int(v1[1]) == int(v2[1])
+
+
+def test_concat_v3_bit_identical_to_v1():
+    """The scatter-formulation concat (round 3) matches the gather
+    formulations word-for-word, including word-aligned block starts (the
+    ceil-word scatter case) and the past-the-window drop path."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops.entropy import _concat_blocks, _concat_blocks_v3
+
+    rng = np.random.default_rng(23)
+    b, ow = 500, 300
+    nbits = rng.integers(6, 1800, b).astype(np.int32)
+    nbits[:4] = (32, 64, 31, 33)   # aligned + near-aligned starts
+    buf = rng.integers(0, 2 ** 32, (b, 64), dtype=np.uint64) \
+        .astype(np.uint32)
+    for i in range(b):
+        nb = int(nbits[i])
+        wfull = nb // 32
+        if nb % 32:
+            buf[i, wfull] &= np.uint32(0xFFFFFFFF) << np.uint32(
+                32 - nb % 32)
+            buf[i, wfull + 1:] = 0
+        else:
+            buf[i, wfull:] = 0
+    o1, t1 = _concat_blocks(jnp.asarray(buf), jnp.asarray(nbits), ow)
+    o3, t3 = _concat_blocks_v3(jnp.asarray(buf), jnp.asarray(nbits), ow)
+    assert int(t1) == int(t3)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o3))

@@ -42,12 +42,16 @@ def test_full_pipeline_with_pallas_interpret():
     from flutpu.codec.ops import entropy
     import flutpu.codec.ops.entropy_pallas as ep
     orig = ep.pack_block_bits_pallas64
+    orig_f = ep.pack_block_bits_fused
     ep.pack_block_bits_pallas64 = lambda l, h, o, interpret=False: orig(
         l, h, o, interpret=True)
+    ep.pack_block_bits_fused = lambda z, c, interpret=False: orig_f(
+        z, c, interpret=True)
     try:
         out = dev.encode_gop(frames)
     finally:
         ep.pack_block_bits_pallas64 = orig
+        ep.pack_block_bits_fused = orig_f
     assert out == host
 
 
@@ -80,3 +84,35 @@ def test_merged_64bit_slots_bit_identical():
     buf_p, nb_p = pack_block_bits_pallas64(ml, mh, mo, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref_buf), np.asarray(buf_p))
     np.testing.assert_array_equal(np.asarray(ref_nb), np.asarray(nb_p))
+
+
+def test_fused_slot_pack_bit_identical():
+    """The round-3 fused slot+pack kernel (slot symbol math computed
+    in-kernel, run-lengths as loop state) is bit-identical to the split
+    _slot_tables_merged + _pack_block_bits64 formulation, across DC-only
+    blocks, >47-zero runs (3 ZRLs), nonzero position 63 (no EOB), and
+    both component classes."""
+    from flutpu.codec.ops.entropy import (_pack_block_bits64,
+                                          _slot_tables_merged)
+    from flutpu.codec.ops.entropy_pallas import pack_block_bits_fused
+
+    rng = np.random.default_rng(17)
+    b = 260
+    zz = np.zeros((b, 64), np.int32)
+    zz[:, 0] = rng.integers(-2047, 2048, b)
+    for i in range(b):
+        k = rng.integers(0, 30)
+        pos = rng.choice(np.arange(1, 64), size=k, replace=False)
+        zz[i, pos] = rng.integers(-1023, 1024, k)
+    zz[3, 1:] = 0                      # DC-only (EOB immediately)
+    zz[4, 1:] = 0; zz[4, 63] = 9       # run 62 (3 ZRLs), no EOB
+    zz[5, 1:] = 0; zz[5, 33] = -1      # run 32 (2 ZRLs)
+    comp = (rng.random(b) > 0.5).astype(np.int32)
+
+    lens, his, los = _slot_tables_merged(jnp.asarray(zz), jnp.asarray(comp))
+    ref_buf, ref_nb = _pack_block_bits64(lens, his, los)
+    got_buf, got_nb = pack_block_bits_fused(jnp.asarray(zz),
+                                            jnp.asarray(comp),
+                                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_nb), np.asarray(ref_nb))
+    np.testing.assert_array_equal(np.asarray(got_buf), np.asarray(ref_buf))
