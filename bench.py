@@ -103,8 +103,9 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     t0 = time.time()
     first = np.asarray(gop_program(jnp.float32(0), enc._qy_dev, enc._qc_dev))
     used = int((first[:, 0].astype(np.int64).max() + 31) // 32)
+    # mirror JpegEncoder._prefix_estimate (round-3 tight margin)
     prefix = min(full_prefix,
-                 max(8192, ((int(used * 1.25) + 1024 + 4095) // 4096) * 4096))
+                 max(8192, ((int(used * 1.10) + 512 + 2047) // 2048) * 2048))
     payloads = finalize(
         gop_program(jnp.float32(0), enc._qy_dev, enc._qc_dev,
                     prefix=prefix), prefix)

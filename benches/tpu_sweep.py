@@ -1,0 +1,231 @@
+"""One-process TPU measurement sweep for round 3.
+
+Runs, in priority order and with incremental JSON-line logging:
+  1. headline stage split incl. the round-3 entropy variants
+     (fused slot+pack on/off x concat v2/v3) — picks the winning combo
+  2. headline 1080p throughput with the winning combo (bench.py shape,
+     adaptive prefix, 2-deep pipelining) — warms the exact driver path
+  3. config 5 encode+burn-in (1080p), config 6 FVC v1/motion
+  4. TTML render benches (device + host-delivery) and the FVC-motion
+     stage split
+
+Every phase is individually fenced: a link failure mid-sweep keeps the
+results logged so far. One process = one ~2 min axon init, and the
+persistent compile cache carries across runs.
+
+Run: nohup timeout 14000 python -u benches/tpu_sweep.py > /tmp/sweep.log &
+"""
+
+import json
+import os
+import sys
+import time
+import traceback
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "benches"))
+
+
+def _enable_compile_cache():
+    try:
+        import jax
+        cache = os.environ.get("JAX_CACHE_DIR", "/tmp/flutpu-jax-cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+W, H = 1920, 1080
+PH, PW = 1088, 1920
+GOP = 8
+if os.environ.get("FLUTPU_SWEEP_SMALL"):   # CPU smoke of the script logic
+    W, H, PH, PW, GOP = 128, 96, 96, 128, 2
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def fence(name, fn):
+    t0 = time.time()
+    try:
+        fn()
+        log(phase=name, status="done", wall_s=round(time.time() - t0, 1))
+    except Exception as e:
+        traceback.print_exc()
+        log(phase=name, status="error", error=f"{type(e).__name__}: {e}"[:200],
+            wall_s=round(time.time() - t0, 1))
+
+
+def main():
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flutpu.codec.jpeg import JpegEncoder, encode_gop_to_coefs
+    from flutpu.codec.ops import entropy as E
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
+
+    t0 = time.time()
+    float(jnp.sum(jnp.ones((8, 8))))
+    log(phase="probe", init_s=round(time.time() - t0, 1),
+        backend=jax.default_backend())
+
+    enc = JpegEncoder(quality=85, engine="auto")
+    layout = E.mcu_layout(PW // 8, PH // 8, PW // 16, PH // 16, True)
+    prefix = enc.PREFIX_WORDS
+    reps = int(os.environ.get("STAGE_REPS", "4"))
+
+    def timed(fn, label, **extra):
+        np.asarray(fn(jnp.float32(0)))   # compile + materialize
+        t0 = time.time()
+        for i in range(reps):
+            np.asarray(fn(jnp.float32(i * GOP)))
+        ms = (time.time() - t0) / reps * 1000.0
+        log(stage=label, ms_per_gop=round(ms, 1), **extra)
+        return ms
+
+    # ---- 1. entropy variants ------------------------------------------
+    results = {}
+
+    def coefs(start):
+        return encode_gop_to_coefs(
+            gradient_ball_frames(PH, PW, GOP, start), enc._qy_dev,
+            enc._qc_dev, pad_h=PH, pad_w=PW, subsample=True)
+
+    def phase_variants():
+        for fused in (True, False):
+            for concat in ("v3", "v2"):
+                @jax.jit
+                def p_full(start, _f=fused, _c=concat):
+                    yq, cbq, crq = coefs(start)
+                    out = E.encode_gop_scans_combined(
+                        yq, cbq, crq, layout=layout, prefix_words=prefix,
+                        use_pallas=enc.use_pallas, fused=_f, concat=_c)
+                    return out.astype(jnp.uint32).sum()
+                key = f"full_fused={int(fused)}_concat={concat}"
+                results[(fused, concat)] = timed(p_full, key)
+
+    fence("entropy_variants", phase_variants)
+
+    best = min(results, key=results.get) if results else (True, "v2")
+    log(phase="winner", fused=best[0], concat=best[1],
+        ms=results.get(best))
+    if not best[0]:
+        os.environ["FLUTPU_NO_FUSED_PACK"] = "1"
+    os.environ["FLUTPU_CONCAT"] = best[1]
+
+    # ---- 2. supporting stage split (src/coefs/burnin/pack) -------------
+    def phase_stages():
+        @jax.jit
+        def p_src(start):
+            return gradient_ball_frames(PH, PW, GOP, start).sum()
+
+        @jax.jit
+        def p_coefs(start):
+            return sum(o.astype(jnp.int32).sum() for o in coefs(start))
+
+        rngnp = np.random.default_rng(7)
+        ov_np = np.zeros((PH, PW, 4), np.uint8)
+        ov_np[PH * 3 // 4:PH * 7 // 8] = (32, 32, 32, 160)
+        ov = jnp.asarray(ov_np)
+
+        @jax.jit
+        def p_burnin(start):
+            from flutpu.ttml.render import overlay_on_frames
+            frames = overlay_on_frames(
+                gradient_ball_frames(PH, PW, GOP, start), ov)
+            out = encode_gop_to_coefs(frames, enc._qy_dev, enc._qc_dev,
+                                      pad_h=PH, pad_w=PW, subsample=True)
+            return sum(o.astype(jnp.int32).sum() for o in out)
+
+        @jax.jit
+        def p_pack_fused(start):
+            yq, cbq, crq = coefs(start)
+            packed, bits = E.encode_gop_scans(
+                yq, cbq, crq, layout=layout, out_words=256,
+                use_pallas=enc.use_pallas, fused=True, concat="v2")
+            return bits.sum()  # tiny out_words: concat ~free, isolates pack
+
+        timed(p_src, "src")
+        timed(p_coefs, "coefs")
+        timed(p_burnin, "burnin")
+        timed(p_pack_fused, "pack_fused_tiny_concat")
+
+    fence("stage_split", phase_stages)
+
+    # ---- 3. headline throughput (bench.py shape, winner variant) -------
+    def phase_headline():
+        from flutpu.codec.ops.entropy import stuff_and_finalize
+        full_prefix = enc.PREFIX_WORDS
+
+        @functools.partial(jax.jit, static_argnames=("pfx",))
+        def gop_program(start, pfx=full_prefix):
+            yq, cbq, crq = coefs(start)
+            return E.encode_gop_scans_combined(
+                yq, cbq, crq, layout=layout, prefix_words=pfx,
+                use_pallas=enc.use_pallas, fused=best[0], concat=best[1])
+
+        first = np.asarray(gop_program(jnp.float32(0)))
+        used = int((first[:, 0].astype(np.int64).max() + 31) // 32)
+        pfx = min(full_prefix,
+                  max(8192, ((int(used * 1.25) + 1024 + 4095) // 4096)
+                      * 4096))
+        np.asarray(gop_program(jnp.float32(0), pfx=pfx))
+        n_gops = 40 if not os.environ.get("FLUTPU_SWEEP_SMALL") else 4
+        t0 = time.time()
+        pending = [gop_program(jnp.float32(0), pfx=pfx)]
+        done = 0
+        for g in range(1, n_gops):
+            pending.append(gop_program(jnp.float32(g * GOP), pfx=pfx))
+            arr = np.asarray(pending.pop(0))
+            bits = arr[:, 0].astype(np.int64)
+            assert (bits <= pfx * 32).all()
+            for i in range(arr.shape[0]):
+                stuff_and_finalize(arr[i, 1:], int(bits[i]))
+            done += GOP
+        while pending:
+            arr = np.asarray(pending.pop(0))
+            done += GOP
+        fps = done / (time.time() - t0)
+        log(metric="headline_1080p_fps", value=round(fps, 1),
+            fused=best[0], concat=best[1], adaptive_prefix=pfx)
+
+    fence("headline", phase_headline)
+
+    # ---- 4. configs 5 + 6 ---------------------------------------------
+    def phase_cfg56():
+        import bench_all as BA
+        BA.bench_full_pipeline()
+        BA.bench_fvc()
+        BA.bench_fvc(motion=True)
+
+    fence("config5_6", phase_cfg56)
+
+    # ---- 5. ttml + fvc stage split -------------------------------------
+    def phase_ttml():
+        import bench_ttml as BT
+        BT.main()
+
+    fence("ttml", phase_ttml)
+
+    def phase_ttml_host_delivery():
+        import bench_all as BA
+        BA.bench_ttml_render()
+
+    fence("ttml_host_delivery", phase_ttml_host_delivery)
+
+    def phase_fvc_stages():
+        import stage_split_fvc as SF
+        SF.main()
+
+    fence("fvc_stage_split", phase_fvc_stages)
+
+
+if __name__ == "__main__":
+    main()

@@ -369,17 +369,19 @@ class JpegEncoder:
 
     # adaptive-prefix buckets: the fetch is ~21 ms/GOP at the full 32768
     # words on a ~50 MB/s link and does NOT overlap device compute there;
-    # tracking the previous GOP's actual bit usage (x1.25 margin, bucketed
-    # to bound recompiles at <= 8 programs) trims it toward the true
-    # compressed size. Overflow (content spike) falls back to the cap
-    # ladder and resets the estimate.
-    _PREFIX_BUCKET = 4096
+    # tracking the previous GOP's actual bit usage trims it toward the
+    # true compressed size. Round-3 A/B (benches/tpu_followup.py): the
+    # tighter 1.10x margin @ 2048-word buckets gained ~5 fps over
+    # 1.25x @ 4096 (127.1 -> 131.8) — the 10% headroom still rides out
+    # ordinary inter-GOP variance, and a content spike costs one
+    # cap-ladder re-dispatch + estimate reset, not corruption.
+    _PREFIX_BUCKET = 2048
 
     def _prefix_estimate(self) -> Optional[int]:
         used = getattr(self, "_prefix_used_words", None)
         if used is None:
             return None
-        est = int(used * 1.25) + 1024
+        est = int(used * 1.10) + 512
         est = ((est + self._PREFIX_BUCKET - 1)
                // self._PREFIX_BUCKET) * self._PREFIX_BUCKET
         return max(8192, est)

@@ -26,7 +26,7 @@ The result is bit-identical to the host C++ encoder (tests enforce it).
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -653,12 +653,96 @@ def _concat_blocks_v3(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     return jnp.where(valid, inside, 0) + extra, total_bits
 
 
+def _concat_blocks_v4(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
+    """v3 with the per-BLOCK scatter traffic cut to one map.
+
+    v3 deposits three B-sized scatters (first, fo, extra). Here only the
+    containing-block map stays a scatter; its start bit is a per-WORD
+    gather from offsets, and the strictly-inside contributions come from
+    v2's modular-cumsum range difference (cumsum = log-depth rolls, two
+    per-word gathers). ~B scattered + ~5*out_words gathered elements vs
+    v3's ~3B scattered. Bit-identical to v1/v2/v3."""
+    b = buf.shape[0]
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nbits)]).astype(jnp.int32)
+    total_bits = offsets[-1]
+    starts = offsets[:-1]
+    bidx = jnp.arange(b, dtype=jnp.int32)
+
+    # containing block per word (ceil-word scatter-max + cummax — see v3)
+    wce = (starts + 31) >> 5
+    first = jax.lax.cummax(
+        jnp.full((out_words + 1,), -1, jnp.int32)
+        .at[wce].max(bidx, mode="drop"))
+    first = jnp.clip(first, 0, b - 1)
+    fo_ext = offsets[first]                     # (out_words+1,) gather
+    first, first_next = first[:-1], first[1:]
+
+    w = jnp.arange(out_words, dtype=jnp.int32)
+    wbit = w << 5
+    valid = wbit < total_bits
+    pos = wbit - fo_ext[:-1]
+    p = (pos & 31).astype(jnp.uint32)
+    k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1)
+    flat = buf.reshape(-1)
+    base = first * _BLOCK_WORDS + k0
+    b0 = flat[base]
+    b1 = flat[jnp.minimum(base + 1, b * _BLOCK_WORDS - 1)]
+    inside = (b0 << p) | jnp.where(p > 0, b1 >> ((32 - p) & 31), 0)
+    out = jnp.where(valid, inside, 0)
+
+    # strictly-inside blocks (first, L]: modular cumsum range difference
+    bsc = buf[:, 0] >> (starts & 31).astype(jnp.uint32)
+    csum = jnp.cumsum(bsc.astype(jnp.uint32))
+    L = first_next - (fo_ext[1:] == wbit + 32).astype(jnp.int32)
+    extra = csum[L] - csum[first]               # 0 when L == first
+    return out + jnp.where(L > first, extra, 0), total_bits
+
+
+def _concat_blocks_v5(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
+    """v3 with only the fo scatter replaced by a per-word gather
+    (offsets[first]); the extra scatter-add stays. Bit-identical."""
+    b = buf.shape[0]
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nbits)]).astype(jnp.int32)
+    total_bits = offsets[-1]
+    starts = offsets[:-1]
+    bidx = jnp.arange(b, dtype=jnp.int32)
+
+    wce = (starts + 31) >> 5
+    first = jax.lax.cummax(
+        jnp.full((out_words,), -1, jnp.int32)
+        .at[wce].max(bidx, mode="drop"))
+    first = jnp.clip(first, 0, b - 1)
+    fo = offsets[first]
+
+    bsc = buf[:, 0] >> (starts & 31).astype(jnp.uint32)
+    wob = starts >> 5
+    extra = jnp.zeros((out_words,), jnp.uint32).at[wob].add(
+        jnp.where((starts & 31) != 0, bsc, 0), mode="drop")
+
+    w = jnp.arange(out_words, dtype=jnp.int32)
+    wbit = w << 5
+    valid = wbit < total_bits
+    pos = wbit - fo
+    p = (pos & 31).astype(jnp.uint32)
+    k0 = jnp.clip(pos >> 5, 0, _BLOCK_WORDS - 1)
+    flat = buf.reshape(-1)
+    base = first * _BLOCK_WORDS + k0
+    b0 = flat[base]
+    b1 = flat[jnp.minimum(base + 1, b * _BLOCK_WORDS - 1)]
+    inside = (b0 << p) | jnp.where(p > 0, b1 >> ((32 - p) & 31), 0)
+    return jnp.where(valid, inside, 0) + extra, total_bits
+
+
 @functools.partial(jax.jit,
                    static_argnames=("layout", "out_words", "use_pallas",
-                                    "interpret"))
+                                    "interpret", "fused", "concat"))
 def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
                      layout: McuLayout, out_words: int,
-                     use_pallas: bool = False, interpret: bool = False):
+                     use_pallas: bool = False, interpret: bool = False,
+                     fused: Optional[bool] = None,
+                     concat: Optional[str] = None):
     """(F, BH, BW, 64) int16 coefficient planes → packed scan bits.
 
     Returns (packed (F, out_words) uint32, bits (F,) int32). With
@@ -724,7 +808,14 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
     flat = mcu.reshape(f * b, 64)
     comp_flat = jnp.tile(comp, f)
     import os
-    if use_pallas and not os.environ.get("FLUTPU_NO_FUSED_PACK"):
+    if fused is None:
+        fused = not os.environ.get("FLUTPU_NO_FUSED_PACK")
+    if concat is None:
+        # v3 (scatter formulation) measured 87.6 vs 104.4 ms/GOP for the
+        # full 1080p program on the v5e (benches/tpu_sweep.py round 3);
+        # v4/v5 hybrids measured slower — TPU scatters price well here
+        concat = os.environ.get("FLUTPU_CONCAT", "v3")
+    if use_pallas and fused:
         # round 3: slot construction fused INTO the pack kernel — the XLA
         # slot stage materialized hundreds of (B, 63) intermediates in HBM
         # (~15 ms/GOP of the round-2 stage budget); the fused kernel reads
@@ -747,9 +838,15 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
     nbits = nbits.reshape(f, b)
     luma_min, chroma_min = _min_block_bits()
     mbb = min(luma_min, chroma_min)
-    if os.environ.get("FLUTPU_CONCAT", "v2") == "v3":
+    if concat == "v3":
         return jax.vmap(
             lambda bb, nn: _concat_blocks_v3(bb, nn, out_words))(buf, nbits)
+    if concat == "v4":
+        return jax.vmap(
+            lambda bb, nn: _concat_blocks_v4(bb, nn, out_words))(buf, nbits)
+    if concat == "v5":
+        return jax.vmap(
+            lambda bb, nn: _concat_blocks_v5(bb, nn, out_words))(buf, nbits)
     return jax.vmap(
         lambda bb, nn: _concat_blocks_v2(bb, nn, out_words,
                                          min_block_bits=mbb))(
@@ -758,10 +855,12 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("layout", "prefix_words", "use_pallas",
-                                    "interpret"))
+                                    "interpret", "fused", "concat"))
 def encode_gop_scans_combined(yq, cbq, crq, layout: McuLayout,
                               prefix_words: int, use_pallas: bool = False,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              fused: Optional[bool] = None,
+                              concat: Optional[str] = None):
     """Single-fetch variant for high-latency host links: returns
     combined (F, 1+prefix_words) uint32 where combined[f, 0] is the frame's
     bit count and combined[f, 1:] the packed scan words. The concat stage
@@ -772,7 +871,8 @@ def encode_gop_scans_combined(yq, cbq, crq, layout: McuLayout,
     packed, bits = encode_gop_scans(yq, cbq, crq, layout=layout,
                                     out_words=prefix_words,
                                     use_pallas=use_pallas,
-                                    interpret=interpret)
+                                    interpret=interpret, fused=fused,
+                                    concat=concat)
     return jnp.concatenate(
         [bits.astype(jnp.uint32)[:, None], packed], axis=1)
 
