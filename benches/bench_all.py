@@ -181,14 +181,19 @@ def bench_full_pipeline(gops=6, w=1920, h=1088, out_h=1080):
             _ball_src8, jnp.float32(g * 8), out_h, w, h, w, overlay=overlay)
     enc.encode_gop_finalize(dispatch(0))  # compile + learn the estimate
     enc.encode_gop_finalize(dispatch(0))  # compile the adaptive program
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=2)   # threaded finalize: the
+    # fetch overlaps remote execution when issued concurrently (PERF.md)
     t0 = time.time()
-    pending = [dispatch(0)]
-    for g in range(1, gops):
-        pending.append(dispatch(g))
-        enc.encode_gop_finalize(pending.pop(0))
-    while pending:
-        enc.encode_gop_finalize(pending.pop(0))
+    futs = []
+    for g in range(gops):
+        futs.append(pool.submit(enc.encode_gop_finalize, dispatch(g)))
+        if len(futs) >= 3:
+            futs.pop(0).result()
+    for fu in futs:
+        fu.result()
     dt = time.time() - t0
+    pool.shutdown()
     name = "encode_plus_burnin_fps" if w < 3000 else "encode_plus_burnin_4k_fps"
     report(name, gops * 8 / dt, "frames/s")
 
@@ -208,16 +213,21 @@ def bench_fvc(gops=6, motion=False):
             gradient_ball_frames, jnp.float32(g * 8), 8, 1080, 1920)
     enc.encode_chunk_finalize(dispatch(0))   # compile + learn the estimate
     enc.encode_chunk_finalize(dispatch(0))   # compile the adaptive window
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=2)
     t0 = time.time()
     total = 0
-    # two chunks in flight: host finalize overlaps device compute
-    pending = [dispatch(0)]
-    for g in range(1, gops):
-        pending.append(dispatch(g))
-        total += len(enc.encode_chunk_finalize(pending.pop(0)))
-    while pending:
-        total += len(enc.encode_chunk_finalize(pending.pop(0)))
+    futs = []
+    # three chunks in flight, finalize on worker threads (fetch overlaps
+    # remote execution when issued concurrently — PERF.md round 3)
+    for g in range(gops):
+        futs.append(pool.submit(enc.encode_chunk_finalize, dispatch(g)))
+        if len(futs) >= 3:
+            total += len(futs.pop(0).result())
+    for fu in futs:
+        total += len(fu.result())
     dt = time.time() - t0
+    pool.shutdown()
     name = "fvc_motion_encode_fps" if motion else "fvc_encode_fps"
     report(name, gops * 8 / dt, "frames/s",
            kbytes_per_gop=round(total / gops / 1024, 1))
