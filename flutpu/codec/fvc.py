@@ -393,6 +393,7 @@ class FvcEncoder:
         sc = self._scan_coder
         if force_full:
             sc._prefix_used_words = None
+            sc._prefix_window = None
         combined, prefix = self._device_dispatch(frames, ph, pw)
         return self._device_finalize(combined, prefix, frames, ph, pw,
                                      force_full=force_full)
@@ -406,6 +407,7 @@ class FvcEncoder:
         bits = arr[:, 0].astype(np.int64)
         if (bits > prefix * 32).any():
             sc._prefix_used_words = None   # spike: reset the estimate
+            sc._prefix_window = None
             if callable(frames):   # src-fused dispatch: re-synthesize
                 frames = frames()
             if not force_full:
@@ -414,7 +416,7 @@ class FvcEncoder:
                     return self._encode_device(frames, ph, pw,
                                                force_full=True)
             return None, None, None
-        sc._prefix_used_words = int((bits.max() + 31) // 32)
+        sc._note_prefix_usage((bits.max() + 31) // 32)
         payloads = [stuff_and_finalize(arr[i, 1:1 + prefix], int(bits[i]))
                     for i in range(arr.shape[0])]
         mvs = itypes = None

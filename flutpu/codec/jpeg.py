@@ -378,13 +378,35 @@ class JpegEncoder:
     _PREFIX_BUCKET = 2048
 
     def _prefix_estimate(self) -> Optional[int]:
+        """Adaptive compressed-prefix window with HYSTERESIS. Every
+        distinct window value is a distinct static ``prefix_words`` → a
+        full program recompile (~20 s through the tunneled remote
+        compiler), so the window must not track usage closely: FVC
+        residual streams drift ~1%/GOP, and a freshly computed bucket
+        boundary sitting 68 words above the estimate recompiled
+        mid-pipeline (measured 111 → 4 fps on the v5e). Policy: keep the
+        current window while usage stays ≥2% below it; when growing, jump
+        to usage*1.15 + 512 rounded up a bucket, so another grow needs
+        >10% further drift. Shrink only via the overflow/spike reset."""
         used = getattr(self, "_prefix_used_words", None)
         if used is None:
             return None
-        est = int(used * 1.10) + 512
+        w = getattr(self, "_prefix_window", None)
+        if w is not None and used * 1.02 + 128 <= w:
+            return w
+        est = int(used * 1.15) + 512
         est = ((est + self._PREFIX_BUCKET - 1)
                // self._PREFIX_BUCKET) * self._PREFIX_BUCKET
-        return max(8192, est)
+        est = max(8192, est, w or 0)
+        self._prefix_window = est
+        return est
+
+    def _note_prefix_usage(self, used_words: int) -> None:
+        """Record actual usage as a RUNNING MAX (monotone → the derived
+        window never bounces between values); cleared by the spike
+        reset."""
+        prev = getattr(self, "_prefix_used_words", None) or 0
+        self._prefix_used_words = max(prev, int(used_words))
 
     def _prefix_cap(self, layout) -> int:
         """Geometry-scaled compressed-prefix cap: ~1 word (32 bits) per
@@ -459,6 +481,7 @@ class JpegEncoder:
             # adaptive window too small (content spike) or genuinely dense
             # content: recompute through the cap ladder, reset the estimate
             self._prefix_used_words = None
+            self._prefix_window = None
             if callable(frames_dev):   # src-fused dispatch: re-synthesize
                 frames_dev = frames_dev()
             ph, pw = frames_dev.shape[1], frames_dev.shape[2]
@@ -470,7 +493,7 @@ class JpegEncoder:
                 subsample=self.subsample)
             scans = self._scans_device(coefs) or self._scans_host(coefs)
             return [hdr + s + b"\xff\xd9" for s in scans]
-        self._prefix_used_words = int((bits_host.max() + 31) // 32)
+        self._note_prefix_usage((bits_host.max() + 31) // 32)
         return [hdr + stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
                 + b"\xff\xd9" for i in range(arr.shape[0])]
 
@@ -499,10 +522,11 @@ class JpegEncoder:
                 # track actual usage for the adaptive window (mirror of
                 # encode_gop_finalize — a stale low estimate would make
                 # every later call overflow into the double-dispatch path)
-                self._prefix_used_words = int((bits_host.max() + 31) // 32)
+                self._note_prefix_usage((bits_host.max() + 31) // 32)
                 return [stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
                         for i in range(arr.shape[0])]
             self._prefix_used_words = None  # spike: reset the estimate
+            self._prefix_window = None
             scans = self._scans_device(coefs)  # rare: dense content
             if scans is not None:
                 return scans
