@@ -8,13 +8,15 @@ search loop and another ~54 ms for the masked-roll compensation at 1080p,
 the current frame and the wrap-padded reference resident in VMEM and runs
 both 225-candidate loops on-chip:
 
-  pass 1 (search): per candidate, SAD per macroblock via a sublane
-      reduction + a block-diagonal-ones MXU matmul for the lane direction;
-      running argmin in VMEM (first-scanned candidate wins ties — the
-      XLA loop's order, reproduced).
-  pass 2 (predict): per candidate, select the shifted reference into the
-      prediction wherever that candidate won (per-pixel candidate-index
-      map built once with the same ones matrix).
+  ONE fused candidate loop (round 3): per candidate, SAD per macroblock
+  via a sublane reduction + a block-diagonal-ones MXU matmul for the
+  lane direction; running argmin in VMEM (first-scanned candidate wins
+  ties — the XLA loop's order, reproduced). The PREDICTION updates
+  incrementally in the same iteration: the per-macroblock `better` mask
+  broadcast to pixels (transposed-ones MXU dot, exact in bf16 for 0/1
+  values) selects the already-computed shifted reference into pred_ref.
+  The original two-pass form re-rolled the padded band 225 more times in
+  a separate predict loop; fusing halves the kernel's roll traffic.
 
 All arithmetic is f32 — mv and prediction are bit-identical to
 motion_search + motion_compensate (tested in interpret mode).
@@ -64,27 +66,37 @@ def _search_mc_kernel(cur_ref, prevp_ref, ones_ref, onest_ref,
         r = pltpu.roll(r, (p1 - (rng - dx)) % p1, axis=1)
         return r[:rows, :w]
 
-    def sad(c):
-        d = jnp.abs(cur_ref[:] - shifted(c))
-        s1 = d.reshape(mbr, mb, w).sum(axis=1)          # (mbr, w)
-        # exact f32: the default bf16 dot loses low SAD bits and flips
-        # near-tie candidates (measured +7.6% bitrate at equal quality);
-        # Mosaic supports only DEFAULT/HIGHEST in-kernel
-        return jnp.dot(s1, ones_ref[:],
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)  # (mbr, mbw)
-
     def body(c, state):
         best, by, bx = state
         dy = c // n - rng
         dx = c % n - rng
+        sh = shifted(c)
+        d = jnp.abs(cur_ref[:] - sh)
+        s1 = d.reshape(mbr, mb, w).sum(axis=1)          # (mbr, w)
+        # exact f32: the default bf16 dot loses low SAD bits and flips
+        # near-tie candidates (measured +7.6% bitrate at equal quality);
+        # Mosaic supports only DEFAULT/HIGHEST in-kernel
+        sadv = jnp.dot(s1, ones_ref[:],
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)  # (mbr, mbw)
         # integer-scaled center-preferring tie bias — exact in f32 and
         # bit-identical to ops/motion.py motion_search (SAD*64 + |mv|)
-        cost = sad(c) * 64 + (jnp.abs(dy) + jnp.abs(dx))
+        cost = sadv * 64 + (jnp.abs(dy) + jnp.abs(dx))
         better = cost < best
         best = jnp.where(better, cost, best)
         by = jnp.where(better, dy, by)
         bx = jnp.where(better, dx, bx)
+        # incremental prediction: broadcast the per-macroblock win mask
+        # to pixels (0/1 values through the one-hot transposed ones —
+        # exact even at the default bf16 dot; pad mb-columns hit zero
+        # rows of onest and never touch real pixels). c=0 always wins
+        # (cost < inf) so pred_ref is fully initialized on the first
+        # iteration.
+        bet_rows = jnp.dot(better.astype(jnp.float32), onest_ref[:],
+                           preferred_element_type=jnp.float32)  # (mbr, w)
+        bet_map = jnp.broadcast_to(bet_rows[:, None, :],
+                                   (mbr, mb, w)).reshape(rows, w)
+        pred_ref[:] = jnp.where(bet_map > 0, sh, pred_ref[:])
         return best, by, bx
 
     zero = jnp.zeros((mbr, mbw), jnp.int32)
@@ -93,21 +105,6 @@ def _search_mc_kernel(cur_ref, prevp_ref, ones_ref, onest_ref,
         (jnp.full((mbr, mbw), jnp.inf, jnp.float32), zero, zero))
     mvy_ref[:] = by
     mvx_ref[:] = bx
-
-    # per-pixel winning-candidate index map: (mbr, mbw) -> (rows, w) via
-    # the transposed ones matrix on the lane axis + sublane broadcast
-    cand = ((by + rng) * n + (bx + rng)).astype(jnp.float32)
-    # one-hot row sums of integers <= 224: exact even in bf16
-    cand_rows = jnp.dot(cand, onest_ref[:],
-                        preferred_element_type=jnp.float32)   # (mbr, w)
-    cand_map = jnp.broadcast_to(cand_rows[:, None, :],
-                                (mbr, mb, w)).reshape(rows, w)
-
-    def fill(c, pred):
-        return jnp.where(cand_map == c, shifted(c), pred)
-
-    pred_ref[:] = jax.lax.fori_loop(
-        0, n * n, fill, jnp.zeros((rows, w), jnp.float32))
 
 
 @functools.partial(jax.jit,
