@@ -23,6 +23,7 @@ from ..core import (Buffer, BufferFlags, Caps, Element, Event, EventType,
 class VideoEncoder(Element):
     """Base class for video encoder elements."""
 
+    WARM_DEVICE = True
     SINK_CAPS = "video/x-raw"
     SRC_CAPS = ""  # subclasses must declare their bitstream caps
 

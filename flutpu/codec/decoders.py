@@ -66,6 +66,7 @@ class JpegDec(Element):
     """Decodes our baseline JFIF subset back to raw RGB frames."""
 
     FACTORY = "jpegdec"
+    WARM_DEVICE = True
 
     def __init__(self, name=None, **props):
         super().__init__(name, **props)
@@ -117,6 +118,7 @@ class FvcDec(Element):
     frame)."""
 
     FACTORY = "fvcdec"
+    WARM_DEVICE = True
 
     def __init__(self, name=None, **props):
         super().__init__(name, **props)

@@ -153,11 +153,18 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         rec_y, rec_cb, rec_cr, idx = carry
         cy, ccb, ccr = xs
         if use_kernel:
-            from .ops.motion_pallas import motion_search_mc_pallas
+            from .ops.motion_pallas import (chroma_mc_pallas,
+                                            motion_search_mc_pallas)
             mv, pred_p_y = motion_search_mc_pallas(
                 cy, rec_y, search_range=search_range)
-            mc_c = lambda p, m: motion_compensate(
-                p, m, search_range=search_range, mb=8)
+            # both chroma planes in ONE VMEM kernel (64 in-VMEM rolls
+            # instead of 2x64 HBM whole-plane rolls; bit-identical).
+            # FLUTPU_NO_CHROMA_KERNEL=1 forces the XLA arm for A/Bs.
+            if os.environ.get("FLUTPU_NO_CHROMA_KERNEL"):
+                mc_c = lambda p, m: motion_compensate(
+                    p, m, search_range=search_range, mb=8)
+            else:
+                mc_c = None
         else:
             search = motion_search_hier if hier else motion_search
             mv = search(cy, rec_y, search_range=search_range)
@@ -181,8 +188,13 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         is_i = (idx == 0) | (sad_i < sad_p)
         mv = jnp.where(is_i, jnp.zeros_like(mv), mv)
         pred_y = jnp.where(is_i, 128.0, pred_p_y)
-        pred_cb = jnp.where(is_i, 128.0, mc_c(rec_cb, mv))
-        pred_cr = jnp.where(is_i, 128.0, mc_c(rec_cr, mv))
+        if mc_c is None:
+            pcb, pcr = chroma_mc_pallas(rec_cb, rec_cr, mv,
+                                        search_range=search_range)
+        else:
+            pcb, pcr = mc_c(rec_cb, mv), mc_c(rec_cr, mv)
+        pred_cb = jnp.where(is_i, 128.0, pcb)
+        pred_cr = jnp.where(is_i, 128.0, pcr)
         oy, ry_rec = code_plane(cy - pred_y, qy)
         ocb, rcb_rec = code_plane(ccb - pred_cb, qc)
         ocr, rcr_rec = code_plane(ccr - pred_cr, qc)

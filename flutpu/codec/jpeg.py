@@ -326,6 +326,8 @@ class JpegEncoder:
 
     def __init__(self, quality: int = 85, subsample: bool = True,
                  engine: str = "auto", use_pallas: Optional[bool] = None):
+        from ..core.devwarm import warm_device
+        warm_device()   # axon: first execution must be on the main thread
         self.quality = quality
         self.subsample = subsample
         self.engine = engine

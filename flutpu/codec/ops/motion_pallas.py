@@ -193,3 +193,112 @@ def motion_search_mc_pallas(cur_y: jax.Array, prev_y: jax.Array,
     mv = jnp.stack([mvy[..., :mbw].reshape(mbh, mbw),
                     mvx[..., :mbw].reshape(mbh, mbw)], axis=-1)
     return mv, pred.reshape(h, w)
+
+
+@functools.lru_cache()
+def _onest_chroma(wc: int, mbw_p: int) -> np.ndarray:
+    """(mbw_p, wc_p128) f32 transposed block-selector: row j is one over
+    lanes [8j, 8j+8) for j < wc//8, zero rows beyond (pad mb-columns and
+    pad lanes select nothing)."""
+    wcp = -(-wc // 128) * 128
+    m = np.zeros((mbw_p, wcp), np.float32)
+    for j in range(wc // 8):
+        m[j, 8 * j:8 * j + 8] = 1.0
+    return m
+
+
+def _chroma_mc_kernel(prevp_ref, dyh_ref, dxh_ref, onest_ref, pred_ref,
+                      *, hc, wcp, m, lo, R):
+    mbh = dyh_ref.shape[0]
+    # per-pixel winning-shift index map, built ONCE: shift index
+    # c = (dyh-lo)*m + (dxh-lo) < 64 — exact even through the default
+    # bf16 dot (one-hot row selector, integer values < 2^8)
+    cand = ((dyh_ref[:] - lo) * m + (dxh_ref[:] - lo)).astype(jnp.float32)
+    cand_rows = jnp.dot(cand, onest_ref[:],
+                        preferred_element_type=jnp.float32)  # (mbh, wcp)
+    cand_map = jnp.broadcast_to(cand_rows[:, None, :],
+                                (mbh, 8, wcp)).reshape(hc, wcp)
+
+    def body(c, _):
+        sdy = c // m + lo
+        sdx = c % m + lo
+        p0, p1 = prevp_ref.shape
+        # roll left by (R - shift) ≡ roll right by p - (R - shift):
+        # pltpu.roll needs NON-NEGATIVE shifts (see _search_mc_kernel)
+        r = pltpu.roll(prevp_ref[:], (p0 - (R - sdy)) % p0, axis=0)
+        r = pltpu.roll(r, (p1 - (R - sdx)) % p1, axis=1)
+        pred_ref[:] = jnp.where(cand_map == c, r[:hc, :wcp], pred_ref[:])
+        return 0
+
+    # every real macroblock matches exactly ONE shift, so pred_ref is
+    # fully covered; pad lanes keep garbage and are sliced by the caller
+    jax.lax.fori_loop(0, m * m, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "interpret"))
+def chroma_mc_pallas(prev_cb: jax.Array, prev_cr: jax.Array, mv: jax.Array,
+                     search_range: int = 7, interpret: bool = False):
+    """Fused 4:2:0 chroma motion compensation for BOTH planes: the
+    floor-halved luma vectors collapse onto (r//2 - (-(r+1)//2) + 1)^2
+    distinct shifts (r=7: 64); each shift is one VMEM `pltpu.roll` of the
+    wrap-padded plane instead of an HBM whole-plane roll. Bit-identical
+    to ops.motion.motion_compensate(prev, mv, mb=8) (the scale!=1 arm):
+    pure selection, no arithmetic on pixel values.
+
+    prev_cb/prev_cr: (H/2, W/2) f32; mv: (H/16, W/16, 2) int luma-grid
+    vectors. Returns (pred_cb, pred_cr)."""
+    hc, wc = prev_cb.shape
+    r = search_range
+    lo = -((r + 1) // 2)
+    hi = r // 2
+    m = hi - lo + 1
+    R = max(hi, -lo)
+    mbh, mbw = hc // 8, wc // 8
+    if wc % 64 or hc % 8:
+        raise ValueError(f"chroma_mc_pallas needs wc % 64 == 0 and "
+                         f"hc % 8 == 0 (got {hc}x{wc})")
+
+    dyh = (mv[..., 0].astype(jnp.int32)) // 2
+    dxh = (mv[..., 1].astype(jnp.int32)) // 2
+    mbw_p = -(-mbw // 128) * 128
+    dyh = jnp.pad(dyh, ((0, 0), (0, mbw_p - mbw)))
+    dxh = jnp.pad(dxh, ((0, 0), (0, mbw_p - mbw)))
+
+    # wrap-pad ±R (roll semantics as in-VMEM rolls + static slice), then
+    # zero-pad to (8, 128) tile multiples for tpu.dynamic_rotate
+    prevp = jnp.stack([
+        jnp.pad(prev_cb.astype(jnp.float32), ((R, R), (R, R)), mode="wrap"),
+        jnp.pad(prev_cr.astype(jnp.float32), ((R, R), (R, R)), mode="wrap"),
+    ])
+    pr = -(hc + 2 * R) % 8
+    pc = -(wc + 2 * R) % 128
+    if pr or pc:
+        prevp = jnp.pad(prevp, ((0, 0), (0, pr), (0, pc)))
+    p0, p1 = hc + 2 * R + pr, wc + 2 * R + pc
+    wcp = -(-wc // 128) * 128
+
+    onest = jnp.asarray(_onest_chroma(wc, mbw_p))
+    kernel = functools.partial(_chroma_mc_kernel, hc=hc, wcp=wcp,
+                               m=m, lo=lo, R=R)
+
+    def kernel3d(prevp_ref, dyh_ref, dxh_ref, onest_ref, pred_ref):
+        kernel(prevp_ref.at[0], dyh_ref, dxh_ref, onest_ref,
+               pred_ref.at[0])
+
+    grid_spec = pl.GridSpec(
+        grid=(2,),
+        in_specs=[
+            pl.BlockSpec((1, p0, p1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((mbh, mbw_p), lambda i: (0, 0)),
+            pl.BlockSpec((mbh, mbw_p), lambda i: (0, 0)),
+            pl.BlockSpec((mbw_p, wcp), lambda i: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, hc, wcp), lambda i: (i, 0, 0))],
+    )
+    pred = pl.pallas_call(
+        kernel3d,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((2, hc, wcp), jnp.float32)],
+        interpret=interpret,
+    )(prevp, dyh, dxh, onest)[0]
+    return pred[0, :, :wc], pred[1, :, :wc]

@@ -72,8 +72,17 @@ class Element:
 
     FACTORY: str = ""
     PROPERTIES: List[PropertySpec] = []
+    #: elements that execute jax programs set this so construction (on
+    #: the caller/main thread — parse_launch, Harness, direct API) arms
+    #: the accelerator before streaming threads run: the axon backend
+    #: wedges permanently if its first execution is off the main thread
+    #: (core/devwarm.py, measured round 3)
+    WARM_DEVICE: bool = False
 
     def __init__(self, name: Optional[str] = None, **props: Any):
+        if self.WARM_DEVICE:
+            from .devwarm import warm_device
+            warm_device()
         self.name = name or _auto_name(self.FACTORY or type(self).__name__.lower())
         self.pads: Dict[str, Pad] = {}
         self.state = State.NULL

@@ -41,6 +41,7 @@ class TTMLRender(TTMLBase):
     device compositing)."""
 
     FACTORY = "ttmlrender"
+    WARM_DEVICE = True
 
     PROPERTIES = [
         PropertySpec("default-font-family", "default"),

@@ -252,6 +252,28 @@ def test_motion_pallas_kernel_matches_xla(monkeypatch):
         np.testing.assert_array_equal(np.asarray(pred), pred_ref)
 
 
+def test_chroma_mc_pallas_matches_xla():
+    """Interpret-mode fused two-plane chroma MC kernel is bit-identical
+    to motion_compensate(..., mb=8) across shapes and search ranges."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops.motion import motion_compensate
+    from flutpu.codec.ops.motion_pallas import chroma_mc_pallas
+    rng = np.random.default_rng(9)
+    for (hc, wc, r) in ((64, 128, 7), (72, 192, 7), (64, 128, 5)):
+        cb = jnp.asarray(rng.normal(128, 30, (hc, wc)).astype(np.float32))
+        cr = jnp.asarray(rng.normal(128, 30, (hc, wc)).astype(np.float32))
+        mv = jnp.asarray(rng.integers(-r, r + 1, (hc // 8, wc // 8, 2))
+                         .astype(np.int32))
+        pcb, pcr = chroma_mc_pallas(cb, cr, mv, search_range=r,
+                                    interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(pcb),
+            np.asarray(motion_compensate(cb, mv, search_range=r, mb=8)))
+        np.testing.assert_array_equal(
+            np.asarray(pcr),
+            np.asarray(motion_compensate(cr, mv, search_range=r, mb=8)))
+
+
 def test_chroma_mc_distinct_shift_rolls_bit_identical(monkeypatch):
     """The chroma rolls arm enumerates only the ~(r+2)^2 DISTINCT
     floor-halved shifts (round 3: 225 → 64 rolls at r=7) and stays
