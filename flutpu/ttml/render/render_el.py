@@ -65,6 +65,13 @@ class TTMLRender(TTMLBase):
                      "program (one upload + one dispatch per document "
                      "instead of per interval — the high-latency-link "
                      "program shape of the codecs)"),
+        PropertySpec("crop-delivery", True,
+                     "host-delivered batched intervals: composite only "
+                     "the batch's union instance bounding box on device "
+                     "and paste into full frames on the host — subtitles "
+                     "cover a fraction of the window, so the fetch (the "
+                     "host-delivery floor on this link) shrinks by the "
+                     "same fraction; device-out output is unaffected"),
     ]
 
     def __init__(self, name=None, **props):
@@ -370,18 +377,64 @@ class TTMLRender(TTMLBase):
         for i, (out_i, out_c, _, _, _) in enumerate(pending):
             ints[i], cols[i] = pad_instances(out_i, out_c, cap=cap)
         device_out = bool(self.get_property("device-out"))
-        frames = composite_instances_batch(
-            get_atlas().device_array(), jnp.asarray(ints), jnp.asarray(cols),
-            window_h=h, window_w=w, unstack=device_out,
-            imgatlas=self._imgatlas())
-        if not device_out:
-            frames = np.asarray(frames)  # the one fetch
+        crop = None
+        if not device_out and bool(self.get_property("crop-delivery")):
+            crop = self._union_bbox(ints, w, h)
+        if crop is not None:
+            # composite only the union instance bbox: instance/clip
+            # coordinates are a uniform shift away, so the SAME batch
+            # program runs at crop dimensions — less device work and a
+            # fetch smaller by the (subtitle area / window area) ratio,
+            # the floor of host delivery on this link
+            ox, oy, cw_, ch_ = crop
+            sh = np.array([0, ox, oy, 0, 0, ox, oy, ox, oy], np.int32)
+            frames_c = np.asarray(composite_instances_batch(
+                get_atlas().device_array(), jnp.asarray(ints - sh),
+                jnp.asarray(cols), window_h=ch_, window_w=cw_,
+                unstack=False, imgatlas=self._imgatlas()))  # the one fetch
+            frames = np.zeros((kpad, h, w, 4), np.uint8)
+            frames[:, oy:oy + ch_, ox:ox + cw_] = frames_c
+        else:
+            frames = composite_instances_batch(
+                get_atlas().device_array(), jnp.asarray(ints),
+                jnp.asarray(cols), window_h=h, window_w=w,
+                unstack=device_out, imgatlas=self._imgatlas())
+            if not device_out:
+                frames = np.asarray(frames)  # the one fetch
         for i, (_, _, cbegin, cdur, unbounded) in enumerate(pending):
             if self.current_status != FlowReturn.OK:
                 break  # downstream error: stop draining (mirrors
                 # _emit_interval's stop on non-OK status)
             self._push_interval_buffer(Buffer(frames[i]), cbegin, cdur,
                                        unbounded)
+
+    @staticmethod
+    def _union_bbox(ints: np.ndarray, w: int, h: int):
+        """Union visible bounding box of a padded instance batch, bucketed
+        to 64-px multiples for static-shape reuse. Returns
+        (ox, oy, crop_w, crop_h) with ox+crop_w <= w, or None when the
+        crop would not shrink the fetch meaningfully (>= 3/4 of the
+        window area) or nothing is visible."""
+        x = ints[..., 1]
+        y = ints[..., 2]
+        x0 = np.maximum(np.maximum(x, ints[..., 5]), 0)
+        y0 = np.maximum(np.maximum(y, ints[..., 6]), 0)
+        x1 = np.minimum(np.minimum(x + ints[..., 3], ints[..., 7]), w)
+        y1 = np.minimum(np.minimum(y + ints[..., 4], ints[..., 8]), h)
+        vis = (x1 > x0) & (y1 > y0)
+        if not vis.any():
+            return None
+        bx0 = int(x0[vis].min())
+        by0 = int(y0[vis].min())
+        bx1 = int(x1[vis].max())
+        by1 = int(y1[vis].max())
+        cw = min(w, -(-(bx1 - bx0) // 64) * 64)
+        ch = min(h, -(-(by1 - by0) // 64) * 64)
+        if cw * ch * 4 >= 3 * w * h:
+            return None
+        ox = min(bx0, w - cw)
+        oy = min(by0, h - ch)
+        return ox, oy, cw, ch
 
     def _flush_timeline(self) -> None:
         super()._flush_timeline()

@@ -445,6 +445,35 @@ class TestBatchedIntervals:
             assert (pa, da) == (pb, db)
             np.testing.assert_array_equal(fa, fb)
 
+    def test_crop_delivery_bit_identical_to_full_window(self):
+        """crop-delivery composites only the union instance bbox and
+        pastes into full frames host-side — pixels must be identical to
+        the full-window composite."""
+        def run(crop: bool):
+            h_el = Harness(
+                "ttmlrender window-width=320 window-height=240 "
+                "render-engine=atlas batch-intervals=true "
+                f"crop-delivery={'true' if crop else 'false'}")
+            h_el.set_src_caps("application/ttml+xml")
+            h_el.push(Buffer(self.DOC.encode(), pts=0))
+            h_el.push_eos()
+            out = []
+            while True:
+                b = h_el.try_pull(timeout=0.3)
+                if b is None:
+                    break
+                out.append((b.pts, np.asarray(b.data)))
+            h_el.teardown()
+            return out
+
+        cropped = run(True)
+        full = run(False)
+        assert len(cropped) == len(full) and len(cropped) >= 4
+        for (pa, fa), (pb, fb) in zip(cropped, full):
+            assert pa == pb
+            assert fa.shape == fb.shape == (240, 320, 4)
+            np.testing.assert_array_equal(fa, fb)
+
     def test_mixed_engine_interval_keeps_order(self):
         # a vertical writing-mode region falls back to the layer path
         # mid-stream; the pending batch must drain first (strict pts order)
