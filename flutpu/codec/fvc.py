@@ -153,14 +153,17 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         rec_y, rec_cb, rec_cr, idx = carry
         cy, ccb, ccr = xs
         if use_kernel:
-            from .ops.motion_pallas import (chroma_mc_pallas,
+            from .ops.motion_pallas import (chroma_mc_fits,
+                                            chroma_mc_pallas,
                                             motion_search_mc_pallas)
             mv, pred_p_y = motion_search_mc_pallas(
                 cy, rec_y, search_range=search_range)
             # both chroma planes in ONE VMEM kernel (64 in-VMEM rolls
             # instead of 2x64 HBM whole-plane rolls; bit-identical).
+            # Whole planes must fit VMEM (1080p yes, 4K no — XLA arm).
             # FLUTPU_NO_CHROMA_KERNEL=1 forces the XLA arm for A/Bs.
-            if os.environ.get("FLUTPU_NO_CHROMA_KERNEL"):
+            if os.environ.get("FLUTPU_NO_CHROMA_KERNEL") or \
+                    not chroma_mc_fits(pad_h // 2, pad_w // 2):
                 mc_c = lambda p, m: motion_compensate(
                     p, m, search_range=search_range, mb=8)
             else:

@@ -235,6 +235,17 @@ def _chroma_mc_kernel(prevp_ref, dyh_ref, dxh_ref, onest_ref, pred_ref,
     jax.lax.fori_loop(0, m * m, body, 0)
 
 
+def chroma_mc_fits(hc: int, wc: int) -> bool:
+    """True when a whole (hc, wc) chroma plane fits the kernel's VMEM
+    working set (padded prev + pred + roll/mask temps ≈ 4 plane-sized
+    f32 arrays). 1080p (544×960) fits comfortably; 4K (1080×1920) does
+    not — callers fall back to the XLA rolls arm there (the kernel has
+    no band split: a band's macroblock rows would need sublane-aligned
+    BlockSpec slices of the mv grid, 8 mb-rows per 64 plane rows)."""
+    wcp = -(-wc // 128) * 128
+    return 4 * hc * wcp * 4 < 11 * 2 ** 20
+
+
 @functools.partial(jax.jit, static_argnames=("search_range", "interpret"))
 def chroma_mc_pallas(prev_cb: jax.Array, prev_cr: jax.Array, mv: jax.Array,
                      search_range: int = 7, interpret: bool = False):
