@@ -101,8 +101,13 @@ def main():
             prev_y, prev_cb, prev_cr = carry
             cy, ccb, ccr = xs
             mv, pred = search_fn(cy, prev_y)
-            pcb = motion_compensate(prev_cb, mv, mb=8)
-            pcr = motion_compensate(prev_cr, mv, mb=8)
+            if on_tpu:
+                # product path: both planes in one VMEM kernel
+                from flutpu.codec.ops.motion_pallas import chroma_mc_pallas
+                pcb, pcr = chroma_mc_pallas(prev_cb, prev_cr, mv)
+            else:
+                pcb = motion_compensate(prev_cb, mv, mb=8)
+                pcr = motion_compensate(prev_cr, mv, mb=8)
             return (cy, ccb, ccr), mv.sum() + pred.sum() + pcb.sum() \
                 + pcr.sum()
 
