@@ -107,8 +107,14 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         return jax.vmap(one)(fr)
 
     n_out = 5 if motion else 3
+    # check_vma=False: the motion arm runs pallas_call (search+predict,
+    # chroma MC) inside the sharded region, and pallas output
+    # ShapeDtypeStructs carry no varying-manual-axes annotation — the
+    # default check_vma=True rejects them on TPU (measured round 3).
+    # Per-chunk codecs touch no cross-shard state, so the check adds
+    # nothing here.
     fn = shard_map(
         local_mc if motion else local_v1, mesh=mesh,
         in_specs=(P("chunk", None, None, None, None), P(), P()),
-        out_specs=(P("chunk"),) * n_out)
+        out_specs=(P("chunk"),) * n_out, check_vma=False)
     return fn(frames, qy, qc)
