@@ -108,11 +108,24 @@ class Harness:
             self._eos = True
         return True
 
-    def pull(self, timeout: float = 10.0) -> Buffer:
-        try:
-            return self._out.get(timeout=timeout)
-        except _pyqueue.Empty:
-            raise TimeoutError("harness pull timed out")
+    def pull(self, timeout: float = 10.0) -> Optional[Buffer]:
+        """Next buffer, or None once EOS has been reached and the queue
+        is drained (the appsink pull_sample contract — loops can simply
+        `while (b := h.pull(...)) is not None`). Raises TimeoutError only
+        when the stream is still live and nothing arrived in time."""
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                return self._out.get(timeout=min(
+                    0.05, max(0.0, deadline - time.monotonic()))
+                    if self._eos else max(0.0, deadline - time.monotonic()))
+            except _pyqueue.Empty:
+                if self._eos:
+                    # drained past EOS: end of stream, not a timeout
+                    if self._out.qsize() == 0:
+                        return None
+                    continue
+                raise TimeoutError("harness pull timed out")
 
     def try_pull(self, timeout: float = 0.1) -> Optional[Buffer]:
         try:

@@ -221,6 +221,25 @@ class TestHarness:
         assert h.wait_for_eos(2)
         h.teardown()
 
+    def test_pull_returns_none_at_eos(self):
+        """pull() drains buffers then returns None once EOS is reached
+        (the appsink pull_sample contract) instead of raising
+        TimeoutError; a live stream with no data still times out."""
+        h = Harness("identity")
+        h.push(Buffer(b"a"))
+        h.push(Buffer(b"b"))
+        h.push_eos()
+        assert h.pull().data == b"a"
+        assert h.pull().data == b"b"
+        assert h.pull(timeout=2) is None      # EOS: end of stream
+        assert h.pull(timeout=0.2) is None    # stays None
+        h.teardown()
+        h2 = Harness("identity")
+        import pytest
+        with pytest.raises(TimeoutError):     # live stream, no data
+            h2.pull(timeout=0.2)
+        h2.teardown()
+
 
 class TestVideoConvert:
     def _run(self, in_fmt, out_fmt, data):
