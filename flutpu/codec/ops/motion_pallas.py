@@ -46,6 +46,12 @@ def _search_mc_kernel(cur_ref, prevp_ref, ones_ref, onest_ref,
                       mvy_ref, mvx_ref, pred_ref, *, rows, w, rng, mb):
     n = 2 * rng + 1
     mbr = rows // mb          # macroblock rows in this band
+    mbr_p = mvy_ref.shape[0]  # sublane-aligned mv block rows (pad rows
+    #                           are zero-filled; Mosaic rejects writing
+    #                           a non-8-multiple sublane sub-block of an
+    #                           int32 output ref — hit at 4K where
+    #                           mbr=9 lowered to a (1,9,256) slice of
+    #                           the padded (1,16,256) block memref)
     mbw = ones_ref.shape[1]   # 128-padded mb columns (pad cols: zero ones
     #                           -> zero SAD -> candidate 0 wins; those mv
     #                           lanes are sliced away by the caller and
@@ -103,6 +109,10 @@ def _search_mc_kernel(cur_ref, prevp_ref, ones_ref, onest_ref,
     best, by, bx = jax.lax.fori_loop(
         0, n * n, body,
         (jnp.full((mbr, mbw), jnp.inf, jnp.float32), zero, zero))
+    if mbr_p > mbr:
+        padrows = jnp.zeros((mbr_p - mbr, mbw), jnp.int32)
+        by = jnp.concatenate([by, padrows], axis=0)
+        bx = jnp.concatenate([bx, padrows], axis=0)
     mvy_ref[:] = by
     mvx_ref[:] = bx
 
@@ -153,6 +163,8 @@ def motion_search_mc_pallas(cur_y: jax.Array, prev_y: jax.Array,
     prows, pcols = rows + 2 * rng + pr, w + 2 * rng + pc
 
     mbw_p = -(-mbw // 128) * 128   # lane-aligned mb-column count
+    mbr = rows // mb
+    mbr_p = -(-mbr // 8) * 8       # sublane-aligned mv block rows
     ones_np = _ones_blockdiag(w, mb)
     ones = jnp.asarray(np.pad(ones_np, ((0, 0), (0, mbw_p - mbw))))
     onest = jnp.asarray(np.pad(ones_np.T, ((0, mbw_p - mbw), (0, 0))))
@@ -168,8 +180,8 @@ def motion_search_mc_pallas(cur_y: jax.Array, prev_y: jax.Array,
             pl.BlockSpec((mbw_p, w), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, rows // mb, mbw_p), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, rows // mb, mbw_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0)),
         ],
     )
@@ -183,15 +195,15 @@ def motion_search_mc_pallas(cur_y: jax.Array, prev_y: jax.Array,
         kernel3d,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((g, rows // mb, mbw_p), jnp.int32),
-            jax.ShapeDtypeStruct((g, rows // mb, mbw_p), jnp.int32),
+            jax.ShapeDtypeStruct((g, mbr_p, mbw_p), jnp.int32),
+            jax.ShapeDtypeStruct((g, mbr_p, mbw_p), jnp.int32),
             jax.ShapeDtypeStruct((g, rows, w), jnp.float32),
         ],
         interpret=interpret,
     )(cur_b, prevp_b, ones, onest)
 
-    mv = jnp.stack([mvy[..., :mbw].reshape(mbh, mbw),
-                    mvx[..., :mbw].reshape(mbh, mbw)], axis=-1)
+    mv = jnp.stack([mvy[:, :mbr, :mbw].reshape(mbh, mbw),
+                    mvx[:, :mbr, :mbw].reshape(mbh, mbw)], axis=-1)
     return mv, pred.reshape(h, w)
 
 
