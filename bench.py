@@ -102,9 +102,12 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     t0 = time.time()
     first = np.asarray(gop_program(jnp.float32(0), enc._qy_dev, enc._qc_dev))
     used = int((first[:, 0].astype(np.int64).max() + 31) // 32)
-    # mirror JpegEncoder._prefix_estimate (round-3 tight margin)
-    prefix = min(full_prefix,
-                 max(8192, ((int(used * 1.10) + 512 + 2047) // 2048) * 2048))
+    # derive the window through the encoder's own policy so the program
+    # this warms is byte-for-byte the one the product path dispatches
+    # (a hand-copied formula drifted in round 3 and reintroduced a
+    # first-GOP recompile in the driver shape)
+    enc._note_prefix_usage(used)
+    prefix = min(full_prefix, enc._prefix_estimate() or full_prefix)
     payloads = finalize(
         gop_program(jnp.float32(0), enc._qy_dev, enc._qc_dev,
                     prefix=prefix), prefix)

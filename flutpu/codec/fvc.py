@@ -29,7 +29,12 @@ zlib-compressed when header flags bit1 is set — raw vectors cost
 2 B/macroblock and compress ~100x on smooth fields; in HALF-PIXEL units
 when flags bit2 is set; flags bit3 = the in-loop reconstruction used the
 planar DCT formulation — decoders must reconstruct through the same
-formulation or P-chain state drifts) | payload. v2 P frames code the pixel-domain residual against the
+formulation or P-chain state drifts. FORMAT NOTE: bit3 is meaningful
+only for streams written at or after the revision that introduced it;
+earlier TPU-written v2 streams used planar in-loop recon but wrote
+bit3=0, and decoding them with a bit3-honoring decoder drifts — there is
+no in-band way to distinguish them, so such pre-revision streams must be
+re-encoded) | payload. v2 P frames code the pixel-domain residual against the
 motion-compensated previous reconstruction (hybrid loop with in-loop
 recon — see fvc_mc_encode_chunk). Frame types are decided per frame in
 the encode scan (intra wins when flat prediction beats motion — the
@@ -644,10 +649,13 @@ def _mc_np(prev: np.ndarray, mv: np.ndarray, mb: int,
     return out
 
 
-@jax.jit
-def _plane_from_coefs(q: jax.Array, qtab: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("planar",))
+def _plane_from_coefs(q: jax.Array, qtab: jax.Array,
+                      planar: Optional[bool] = None) -> jax.Array:
     from .ops.quant import zigzag_unflatten
-    if jax.default_backend() == "cpu":
+    use_planar = (jax.default_backend() != "cpu") if planar is None \
+        else bool(planar)
+    if not use_planar:
         from .ops.dct import plane_idct
         from .ops.quant import dequantize
         return plane_idct(
@@ -767,14 +775,18 @@ class FvcDecoder:
         return [rgb[i, :h, :w] for i in range(f)]
 
     def _reconstruct_mc_np(self, planes, mvs, qy, qc, h: int, w: int,
-                           subpel: bool = False):
+                           subpel: bool = False, planar: bool = False):
+        """Test-only reference reconstruction. ``planar`` must match the
+        stream's header flags bit 3 (the in-loop DCT formulation) or the
+        P-chain drifts from the encoder's in-loop state — the same
+        contract FvcDecoder honors via ``decode_chunk``."""
         from .ops.colorspace import i420_to_rgb
         rec_y = rec_cb = rec_cr = None
         out = []
         for i, (yq, cbq, crq) in enumerate(planes):
-            ry = np.asarray(_plane_from_coefs(jnp.asarray(yq), qy))
-            rcb = np.asarray(_plane_from_coefs(jnp.asarray(cbq), qc))
-            rcr = np.asarray(_plane_from_coefs(jnp.asarray(crq), qc))
+            ry = np.asarray(_plane_from_coefs(jnp.asarray(yq), qy, planar))
+            rcb = np.asarray(_plane_from_coefs(jnp.asarray(cbq), qc, planar))
+            rcr = np.asarray(_plane_from_coefs(jnp.asarray(crq), qc, planar))
             if i == 0 or mvs[i] is None:
                 py = pcb = pcr = 128.0
             else:

@@ -174,17 +174,21 @@ class FvcLadderEnc(Element):
     def _select_rung(self, chunks: List[bytes], dur_ns, n_frames: int) -> int:
         """Highest rung whose chunk bitrate fits within ``headroom`` of the
         meter's conservative (asymmetric-EWMA) bandwidth estimate; the
-        lowest rung is the floor. No estimate yet -> top rung."""
+        lowest rung is the floor. Candidates are ranked by actual chunk
+        size (largest = highest quality), so the ``rungs`` property may be
+        listed in any order. No estimate yet -> highest-quality rung."""
         dur_sec = dur_ns / 1e9 if dur_ns else n_frames / 30.0
         dur_sec = max(dur_sec, 1e-6)
+        # rank by measured chunk size, descending — list order is irrelevant
+        order = sorted(range(len(chunks)), key=lambda i: -len(chunks[i]))
         _, avg_bps, _ = self._meter.stats()
         headroom = float(self.get_property("headroom"))
         if avg_bps <= 0:
-            return 0
-        for i, chunk in enumerate(chunks):
-            if len(chunk) * 8 / dur_sec <= avg_bps * headroom:
+            return order[0]
+        for i in order:
+            if len(chunks[i]) * 8 / dur_sec <= avg_bps * headroom:
                 return i
-        return len(chunks) - 1
+        return order[-1]
 
     def _sink_event(self, pad: Pad, event: Event) -> bool:
         if event.type == EventType.CAPS:

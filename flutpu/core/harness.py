@@ -124,6 +124,10 @@ class Harness:
                     # drained past EOS: end of stream, not a timeout
                     if self._out.qsize() == 0:
                         return None
+                    if time.monotonic() >= deadline:
+                        # a racing consumer kept the queue non-empty past the
+                        # caller's deadline — honor the timeout contract
+                        raise TimeoutError("harness pull timed out post-EOS")
                     continue
                 raise TimeoutError("harness pull timed out")
 

@@ -150,7 +150,8 @@ class TestFvcMotion:
         qy = jnp.asarray(scale_qtable(LUMA_QTABLE, quality))
         qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, quality))
         ref = dec._reconstruct_mc_np(planes, mvs, qy, qc, h, w,
-                                     subpel=bool(flags & 4))
+                                     subpel=bool(flags & 4),
+                                     planar=bool(flags & 8))
         for i in range(f):
             diff = np.abs(dev[i].astype(int) - ref[i].astype(int))
             assert diff.max() <= 1, (i, diff.max())  # f32 vs f64 rounding
