@@ -36,6 +36,7 @@ class TaskOutcome(enum.IntEnum):
     COULD_NOT_RESOLVE_HOST = 11
     SSL_ERROR = 12
     NO_TASK = 13
+    TOO_MANY_REDIRECTS = 14
 
 
 class SslStatus(enum.IntEnum):
@@ -327,7 +328,12 @@ class _PythonWorker:
                              else TaskOutcome.OK)
             except urllib.error.HTTPError as e:
                 task.http_status = e.code
-                self._finish(task, TaskOutcome.HTTP_ERROR)
+                # urllib surfaces an exhausted redirect chain as an
+                # HTTPError carrying the final 3xx status
+                self._finish(task,
+                             TaskOutcome.TOO_MANY_REDIRECTS
+                             if e.code in (301, 302, 303, 307, 308)
+                             else TaskOutcome.HTTP_ERROR)
             except FileNotFoundError:
                 self._finish(task, TaskOutcome.FILE_NOT_FOUND)
             except urllib.error.URLError as e:

@@ -3,7 +3,8 @@
 // Rebuild of the reference's libcurl downloader
 // (libs/flu/downloader/lib/fludownloader.c) as a native component with no
 // external dependencies: http:// via POSIX sockets (HTTP/1.1, chunked and
-// content-length bodies, redirects) and file:// via stdio. Semantics kept:
+// content-length bodies, redirect following with a 5-hop cap) and file://
+// via stdio. Semantics kept:
 //   - one worker thread per session owning all I/O (:490-532)
 //   - task queue with LOOK-AHEAD PIPELINING: the next task's request is
 //     issued once the current transfer passes 75% of its content length
@@ -60,13 +61,14 @@ enum Outcome {
   TASK_COULD_NOT_RESOLVE_HOST,
   TASK_SSL_ERROR,
   TASK_NO_TASK,
+  TASK_TOO_MANY_REDIRECTS,
 };
 
 const char* kOutcomeNames[] = {
     "OK", "PENDING", "ABORTED", "ERROR", "COULD_NOT_CONNECT",
     "CONNECTION_REFUSED", "HTTP_ERROR", "SEND_ERROR", "RECV_ERROR",
     "TIMEOUT", "FILE_NOT_FOUND", "COULD_NOT_RESOLVE_HOST", "SSL_ERROR",
-    "NO_TASK"};
+    "NO_TASK", "TOO_MANY_REDIRECTS"};
 
 typedef int (*DataCb)(const void* buf, size_t size, void* user, void* task);
 typedef void (*DoneCb)(int outcome, int http_status, size_t size, void* user,
@@ -259,6 +261,32 @@ bool read_connect_reply(int fd, long timeout_ms, long idle_ms) {
   return status == 200;
 }
 
+// Resolve a Location header value against the URL that produced it
+// (RFC 3986 relative references: absolute, scheme-relative, absolute-path
+// and relative-path forms). Reference behavior: CURLOPT_FOLLOWLOCATION
+// (libs/flu/downloader/lib/fludownloader.c:733-734).
+std::string resolve_redirect(const std::string& base, std::string loc) {
+  while (!loc.empty() && (loc.front() == ' ' || loc.front() == '\t'))
+    loc.erase(loc.begin());
+  while (!loc.empty() && (loc.back() == ' ' || loc.back() == '\t' ||
+                          loc.back() == '\r' || loc.back() == '\n'))
+    loc.pop_back();
+  if (loc.rfind("http://", 0) == 0 || loc.rfind("https://", 0) == 0)
+    return loc;
+  std::string scheme, host, path;
+  int port = 80;
+  if (!parse_url(base, &scheme, &host, &port, &path)) return loc;
+  if (loc.rfind("//", 0) == 0) return scheme + ":" + loc;
+  std::string origin = scheme + "://" + host;
+  bool default_port = (scheme == "http" && port == 80) ||
+                      (scheme == "https" && (port == 443 || port == 80));
+  if (!default_port) origin += ":" + std::to_string(port);
+  if (!loc.empty() && loc.front() == '/') return origin + loc;
+  std::string dir = path.substr(0, path.find_last_of('/') + 1);
+  if (dir.empty()) dir = "/";
+  return origin + dir + loc;
+}
+
 bool prepare_http(Session* s, Task* t, int* outcome) {
   std::string scheme, host, path;
   int port = 80;
@@ -325,8 +353,13 @@ bool prepare_http(Session* s, Task* t, int* outcome) {
   bool head = t->range == "HEAD";
   // plain-http proxy requests use the absolute URI form
   std::string target = (via_proxy && !https) ? t->url : path;
+  // Host must carry the port when it isn't the scheme default (RFC 9112
+  // §3.2) — servers build absolute redirect targets from it
+  std::string host_hdr = host;
+  if ((https && port != 443) || (!https && port != 80))
+    host_hdr += ":" + std::to_string(port);
   std::string req = std::string(head ? "HEAD " : "GET ") + target +
-                    " HTTP/1.1\r\nHost: " + host +
+                    " HTTP/1.1\r\nHost: " + host_hdr +
                     "\r\nUser-Agent: " + s->user_agent +
                     "\r\nConnection: close\r\n";
   if (!t->range.empty() && !head)
@@ -436,7 +469,12 @@ void run_file_task(Session* s, Task* t) {
     t->outcome = t->abort_requested.load() ? TASK_ABORTED : TASK_OK;
 }
 
-void run_http_task(Session* s, Task* t) {
+// One HTTP request/response exchange. On a 301/302/303/307/308 response
+// carrying a Location header, *redirect receives the resolved target URL,
+// the transport is closed, nothing is delivered to the data callback and
+// the task outcome stays PENDING — the caller loops. Otherwise behaves as
+// a complete transfer (sets t->outcome).
+void run_http_transfer(Session* s, Task* t, std::string* redirect) {
   int outcome = TASK_ERROR;
   if (!t->request_sent && !prepare_http(s, t, &outcome)) {
     t->outcome = outcome;
@@ -527,6 +565,19 @@ void run_http_task(Session* s, Task* t) {
       t->date_header = find_hdr("date");
       chunked = find_hdr("transfer-encoding").find("chunked")
                 != std::string::npos;
+      int st = t->http_status;
+      if (st == 301 || st == 302 || st == 303 || st == 307 || st == 308) {
+        std::string loc = find_hdr("location");
+        if (!loc.empty()) {
+          // redirect: hand the resolved target to the caller; the stub
+          // body is never delivered (Connection: close lets us just drop
+          // the socket instead of draining it)
+          *redirect = resolve_redirect(t->url, loc);
+          t->close_transport();
+          t->request_sent = false;
+          return;
+        }
+      }
       if (t->http_status >= 400) return finish(TASK_HTTP_ERROR);
       if (t->range == "HEAD") return finish(TASK_OK);
       // leftover bytes after the header block are body
@@ -588,6 +639,30 @@ void run_http_task(Session* s, Task* t) {
     body_carry.clear();
   }
   finish(t->abort_requested.load() ? TASK_ABORTED : TASK_ERROR);
+}
+
+void run_http_task(Session* s, Task* t) {
+  // Follow 301/302/303/307/308 with a hop cap, matching the reference's
+  // CURLOPT_FOLLOWLOCATION (fludownloader.c:733-734). Range and cookies
+  // are reapplied on each hop (prepare_http reads them fresh). Method
+  // semantics: this client only issues GET and HEAD, both of which are
+  // preserved across every redirect class (303's POST→GET rewrite never
+  // applies).
+  const int kMaxRedirects = 5;
+  for (int hop = 0;; ++hop) {
+    std::string redirect;
+    run_http_transfer(s, t, &redirect);
+    if (redirect.empty()) return;
+    if (hop >= kMaxRedirects) {
+      t->outcome = TASK_TOO_MANY_REDIRECTS;
+      return;
+    }
+    t->url = redirect;  // effective URL, as curl reports after following
+    t->content_length = 0;
+    t->raw_headers.clear();
+    t->date_header.clear();
+    t->http_status = 0;
+  }
 }
 
 void worker_loop(Session* s) {
@@ -732,7 +807,7 @@ void flu_dl_task_set_outcome(void* task, int outcome) {
 }
 
 const char* flu_dl_outcome_string(int outcome) {
-  if (outcome < 0 || outcome > TASK_NO_TASK) return "UNKNOWN";
+  if (outcome < 0 || outcome > TASK_TOO_MANY_REDIRECTS) return "UNKNOWN";
   return kOutcomeNames[outcome];
 }
 

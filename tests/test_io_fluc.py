@@ -143,7 +143,50 @@ def http_server(tmp_path_factory):
         def log_message(self, *a):
             pass
 
+        def _redirect(self, status, location):
+            self.send_response(status)
+            self.send_header("Location", location)
+            body = b"<a>moved</a>"  # redirect stub body, must never surface
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
+            # redirect endpoints (reference follows redirects via
+            # CURLOPT_FOLLOWLOCATION, fludownloader.c:733-734)
+            if self.path.startswith("/chain/"):
+                n = int(self.path.rsplit("/", 1)[-1])
+                if n <= 0:
+                    self._redirect(302, "/hello.txt")      # absolute-path
+                else:
+                    self._redirect(301, f"/chain/{n - 1}")
+                return
+            if self.path == "/rel":
+                self._redirect(302, "hello.txt")           # relative-path
+                return
+            if self.path == "/abs":
+                host = self.headers.get("Host")
+                self._redirect(303, f"http://{host}/hello.txt")  # absolute
+                return
+            if self.path == "/r307range":
+                self._redirect(307, "/big.bin")
+                return
+            if self.path == "/loop":
+                self._redirect(302, "/loop")
+                return
+            if self.path == "/rcookie":
+                self._redirect(302, "/cookiecheck")
+                return
+            if self.path.startswith("/rto/"):
+                self._redirect(302, self.path[4:])
+                return
+            if self.path == "/cookiecheck":
+                body = self.headers.get("Cookie", "").encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             rng = self.headers.get("Range")
             if rng and rng.startswith("bytes="):
                 path = self.translate_path(self.path)
@@ -257,6 +300,113 @@ class TestDownloader:
 
     def test_outcome_string(self, http_server, force_python):
         assert outcome_string(TaskOutcome.TIMEOUT) == "TIMEOUT"
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+class TestRedirects:
+    """Redirect following (reference: CURLOPT_FOLLOWLOCATION,
+    fludownloader.c:733-734): 301/302/303/307/308, relative and absolute
+    Location forms, hop cap, range/cookie reapplication."""
+
+    def test_redirect_chain(self, http_server, force_python):
+        base, root = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, status = h.download(f"{base}/chain/2")
+        assert outcome == TaskOutcome.OK
+        assert status == 200
+        assert data == (root / "hello.txt").read_bytes()
+
+    def test_redirect_relative_location(self, http_server, force_python):
+        base, root = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, _ = h.download(f"{base}/rel")
+        assert outcome == TaskOutcome.OK
+        assert data == (root / "hello.txt").read_bytes()
+
+    def test_redirect_absolute_303(self, http_server, force_python):
+        base, root = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, _ = h.download(f"{base}/abs")
+        assert outcome == TaskOutcome.OK
+        assert data == (root / "hello.txt").read_bytes()
+
+    def test_redirect_307_reapplies_range(self, http_server, force_python):
+        base, root = http_server
+        full = (root / "big.bin").read_bytes()
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, _ = h.download(f"{base}/r307range",
+                                          range="100-199")
+        assert outcome == TaskOutcome.OK
+        assert data == full[100:200]
+
+    def test_redirect_loop_hits_hop_cap(self, http_server, force_python):
+        base, _ = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, _ = h.download(f"{base}/loop")
+        assert data is None
+        assert outcome == TaskOutcome.TOO_MANY_REDIRECTS
+
+    def test_redirect_stub_body_never_delivered(self, http_server,
+                                                force_python):
+        base, root = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, _ = h.download(f"{base}/chain/1")
+        assert outcome == TaskOutcome.OK
+        assert b"moved" not in data
+        assert data == (root / "hello.txt").read_bytes()
+
+    def test_redirect_reapplies_cookies(self, http_server, force_python):
+        if force_python:
+            pytest.skip("cookies are a native-session feature")
+        base, _ = http_server
+        with DownloadHelper(cookies="sid=abc123",
+                            force_python=force_python) as h:
+            data, outcome, _ = h.download(f"{base}/rcookie")
+        assert outcome == TaskOutcome.OK
+        assert data == b"sid=abc123"
+
+
+class TestRedirectedImageThroughRenderer:
+    def test_ttmlrender_fetches_redirected_background_image(
+            self, http_server):
+        """End-to-end: a TTML backgroundImage URL behind a 302 renders the
+        real image, not the redirect stub (the round-3 gap: a redirect was
+        treated as a successful download of the stub)."""
+        import io as _io
+
+        import numpy as np
+        from PIL import Image
+
+        from flutpu.core import Buffer
+        from flutpu.core.harness import Harness
+
+        base, root = http_server
+        img = Image.new("RGBA", (8, 8), (0, 255, 0, 255))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        (root / "green.png").write_bytes(buf.getvalue())
+
+        doc = f"""<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"
+    xmlns:tts="http://www.w3.org/ns/ttml#styling"
+    xmlns:smpte="http://www.smpte-ra.org/schemas/2052-1/2010/smpte-tt">
+  <head><layout>
+    <region xml:id="r1" tts:origin="0% 0%" tts:extent="50% 50%"
+            smpte:backgroundImage="{base}/rto/green.png"/>
+  </layout></head>
+  <body><div><p begin="0s" end="1s" region="r1">x</p></div></body>
+</tt>
+"""
+        h_el = Harness("ttmlrender window-width=64 window-height=48")
+        h_el.set_src_caps("application/ttml+xml")
+        h_el.push(Buffer(doc.encode(), pts=0))
+        h_el.push_eos()
+        b = h_el.try_pull(timeout=5.0)
+        h_el.teardown()
+        assert b is not None
+        out = np.asarray(b.data)
+        greens = (out[..., 1] > 200) & (out[..., 2] < 64) & (out[..., 3] > 0)
+        assert greens.sum() >= 32
 
 
 class TestNativeDownloaderSpecifics:
