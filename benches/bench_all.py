@@ -111,6 +111,70 @@ def bench_injectbin_swap(n=200):
            swaps=len(lat))
 
 
+def bench_injectbin_swap_device(n=48, w=64, h=32, period_s=0.01):
+    """Config 2b: swap a DEVICE encoder (tpujpegenc) into a live stream.
+
+    The compile happens in Element.prewarm BEFORE the blocking probe is
+    installed, so the stream keeps flowing while the program builds.
+    Reports the prewarm cost (paid off the streaming path, on the caller
+    thread) and the max observable output gap around the swap (bounded
+    by queue depth + one GOP batch, NOT by compile time)."""
+    import threading
+    from flutpu.core import Buffer, MSECOND, parse_launch, make
+    p = parse_launch(
+        f"appsrc name=src caps='video/x-raw, format=RGB, width={w}, "
+        f"height={h}' ! injectbin name=ib ! appsink name=out")
+    src, ib, sink = (p.get_by_name(x) for x in ("src", "ib", "out"))
+    p.play()
+    frame = np.zeros((h, w, 3), np.uint8)
+    arrivals = []
+    pulled = []
+
+    def puller():
+        while True:
+            b = sink.try_pull_buffer(timeout=10)
+            if b is None:
+                return
+            arrivals.append(time.perf_counter())
+            pulled.append(b)
+
+    pt = threading.Thread(target=puller)
+    pt.start()
+
+    swap_done = threading.Event()
+
+    def feeder():
+        # keep the stream flowing through the compile, then `n` more
+        # frames after the swap request so the probe fires and the new
+        # encoder emits
+        i = 0
+        extra = 0
+        while extra < n:
+            src.push(Buffer(frame, pts=i * MSECOND, offset=i))
+            i += 1
+            if swap_done.is_set():
+                extra += 1
+            time.sleep(period_s)
+        src.end_of_stream()
+
+    ft = threading.Thread(target=feeder)
+    ft.start()
+    time.sleep(period_s * 10)  # mid-stream
+    enc = make("tpujpegenc", batch_frames=8)
+    t0 = time.perf_counter()
+    ib.set_property("element", enc)   # prewarm (compile) happens in here
+    prewarm_ms = (time.perf_counter() - t0) * 1e3
+    swap_done.set()
+    ft.join()
+    pt.join()
+    p.stop()
+    gaps = np.diff(arrivals) * 1e3 if len(arrivals) > 1 else [0.0]
+    jpegs = sum(1 for b in pulled if bytes(b.data[:2]) == b"\xff\xd8")
+    report("injectbin_device_swap", float(np.max(gaps)), "ms_max_gap",
+           prewarm_ms=round(prewarm_ms, 1), outputs=len(pulled),
+           jpeg_outputs=jpegs)
+
+
 def bench_4k_convert(frames=4, reps=5):
     """Config 4: 4K fused convert+DCT+quant+zigzag device throughput.
 
@@ -239,6 +303,7 @@ def main():
         bench_ttml_render()
     if "inject" in which:
         bench_injectbin_swap()
+        bench_injectbin_swap_device()
     if "4k" in which:
         bench_4k_convert()
     if "full" in which:

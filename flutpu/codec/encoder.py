@@ -65,6 +65,20 @@ class TpuJpegEnc(VideoEncoder):
         if name in ("quality", "subsample", "engine"):
             self._encoder = None  # rebuild with new tables
 
+    def prewarm(self, caps=None) -> bool:
+        """Compile the whole-GOP device program for ``caps``' geometry
+        (and run it once) so an injectbin swap-in never first-compiles on
+        the streaming thread."""
+        if caps is None:
+            return False
+        w, h = caps.get("width"), caps.get("height")
+        if not w or not h:
+            return False
+        n = _bucket(int(self.get_property("batch-frames")))
+        frames = np.zeros((n, int(h), int(w), 3), np.uint8)
+        self._get_encoder().encode_gop(frames)
+        return True
+
     def set_format(self, caps: Caps) -> Optional[Caps]:
         fields = {k: v for k, v in caps.fields.items()
                   if k in ("width", "height", "framerate")}

@@ -903,6 +903,19 @@ class FvcEnc(VideoEncoder):
                   if k in ("width", "height", "framerate")}
         return Caps.new("video/x-fvc", **fields)
 
+    def prewarm(self, caps=None) -> bool:
+        """Compile the chunk program for ``caps``' geometry ahead of an
+        injectbin swap-in (see Element.prewarm)."""
+        if caps is None:
+            return False
+        w, h = caps.get("width"), caps.get("height")
+        if not w or not h:
+            return False
+        gop = self._chunk_gop or int(self.get_property("gop-size"))
+        frames = np.zeros((gop, int(h), int(w), 3), np.uint8)
+        self._enc().encode_chunk(frames)
+        return True
+
     def encode_frame(self, buf: Buffer, keyframe: bool) -> Optional[Buffer]:
         if keyframe and self._pending:
             self._flush_chunk()  # new sync point closes the open chunk

@@ -96,6 +96,16 @@ class Element:
         for k, v in props.items():
             self.set_property(k.replace("_", "-"), v)
 
+    def prewarm(self, caps=None) -> bool:
+        """Compile/warm any device programs this element will run for
+        ``caps``, BEFORE it is linked into a flowing pipeline. Swap
+        machinery (injectbin) calls this so a hot-swapped device stage
+        never pays its first-buffer jit compile on the streaming thread —
+        a first compile costs minutes on remote links, vs the reference's
+        brief bounded block (gstinjectbin.c:131-174). Returns True when a
+        program was warmed; the default has nothing to warm."""
+        return False
+
     # -- properties --------------------------------------------------------
     @classmethod
     def _all_prop_specs(cls) -> List[PropertySpec]:

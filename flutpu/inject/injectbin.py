@@ -10,10 +10,15 @@ new one, retargets the src ghost pad, syncs state (:149-173), and emits
 ``notify::element`` (:176-191). A None element means passthrough through
 the anchor.
 
-TPU angle: a swapped-in stage that wraps a jitted program recompiles lazily
-on its first buffer — the swap machinery itself stays host-side and
-data-flow synchronized, so in-flight device work of the old stage drains
-before teardown.
+TPU angle: before any dataflow block is installed, the incoming element's
+device programs are PRE-WARMED against the currently negotiated caps
+(``Element.prewarm``) — the stream keeps flowing through the old element
+while the new one compiles, so the observable swap gap stays bounded by
+queue depth (the reference's brief-block contract) rather than paying a
+first-buffer jit compile (minutes on remote links) on the streaming
+thread. The swap machinery itself stays host-side and data-flow
+synchronized, so in-flight device work of the old stage drains before
+teardown.
 """
 
 from __future__ import annotations
@@ -59,6 +64,22 @@ class InjectBin(Bin):
     def do_set_property(self, name: str, value) -> None:
         if name != "element":
             return
+        # Pre-warm the incoming element's device programs against the
+        # current negotiated caps BEFORE any dataflow block exists
+        # (SURVEY §7.7: drain → retarget only after the new program is
+        # ready). The stream keeps flowing through the old element while
+        # the compile runs, so the swap gap stays bounded by queue depth
+        # — the reference's brief-block contract (gstinjectbin.c:131-174)
+        # — instead of a minutes-long first-compile stall on the
+        # streaming thread.
+        if value is not None and self.state >= State.PAUSED:
+            from ..core.events import EventType
+            caps_ev = self._identity.sinkpad.sticky.get(EventType.CAPS)
+            try:
+                if value.prewarm(caps_ev.caps if caps_ev else None):
+                    CAT.info("pre-warmed %s for swap", value.name)
+            except Exception as e:  # warm failure must not block the swap
+                CAT.warning("prewarm of %s failed: %s", value.name, e)
         with self._swap_lock:
             self._requested = value
             if self._pending_probe is not None:
