@@ -231,3 +231,98 @@ class TestContentFixtures:
             '<p begin="1s">open ended</p></div></body></tt>')
         cue = [o for o in out if "open ended" in o[2]][0]
         assert cue[0] == SECOND and cue[1] == 2 * SECOND
+
+
+# ---------------------------------------------------------------------------
+# Conformance corpus sweep — 87 synthesized documents in the W3C TTML1
+# testsuite's six areas + EBU-TT-D patterns (reference validates against
+# those suites manually, plugins/ttml/README.md:12-45; this turns that
+# implicit golden-file strategy into explicit fixtures per SURVEY §4).
+# Corpus: tests/ttml_corpus/<Area>/<Name>.xml (synthesized from the TTML1
+# spec, provenance in _make_corpus.py). Goldens: parse timelines + render
+# fingerprints, regenerate via tests/ttml_corpus/gen_goldens.py when a
+# behavior change is intentional.
+# ---------------------------------------------------------------------------
+import json
+import os
+
+import numpy as np
+
+_CORPUS = os.path.join(os.path.dirname(__file__), "ttml_corpus")
+_AREAS = ("Animation", "Content", "Metadata", "Parameters", "Styling",
+          "Timing", "EbuTtD")
+
+
+def _corpus_docs():
+    for area in _AREAS:
+        d = os.path.join(_CORPUS, area)
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".xml"):
+                yield f"{area}/{name[:-4]}"
+
+
+def _goldens():
+    with open(os.path.join(_CORPUS, "goldens.json")) as f:
+        return json.load(f)
+
+
+_GOLDENS = _goldens()
+_DOCS = list(_corpus_docs())
+
+
+def test_corpus_is_complete():
+    assert len(_DOCS) >= 50, len(_DOCS)
+    assert set(_GOLDENS) == set(_DOCS)
+    per_area = {a: sum(1 for k in _DOCS if k.startswith(a + "/"))
+                for a in _AREAS}
+    assert all(v >= 5 for v in per_area.values()), per_area
+
+
+@pytest.mark.parametrize("key", _DOCS)
+def test_corpus_parse_timeline(key):
+    doc = open(os.path.join(_CORPUS, key + ".xml")).read()
+    got = run_parse(doc)
+    want = _GOLDENS[key]["parse"]
+    assert len(got) == len(want), (len(got), len(want))
+    for (pts, dur, text), w in zip(got, want):
+        assert pts == w["pts"] and dur == w["dur"], (key, pts, dur, w)
+        assert text == w["text"], (key, text, w["text"])
+
+
+@pytest.mark.parametrize("key", _DOCS)
+def test_corpus_render_fingerprint(key):
+    doc = open(os.path.join(_CORPUS, key + ".xml")).read()
+    h = Harness("ttmlrender window-width=320 window-height=240")
+    h.set_src_caps("application/ttml+xml")
+    h.push(Buffer(doc.encode(), pts=0))
+    h.push_eos()
+    got = []
+    while True:
+        b = h.try_pull(timeout=0.5)
+        if b is None:
+            break
+        img = np.asarray(b.data)
+        nz = img[..., 3] > 0
+        if nz.any():
+            ys, xs = np.nonzero(nz)
+            bbox = [int(ys.min()), int(xs.min()),
+                    int(ys.max()), int(xs.max())]
+        else:
+            bbox = []
+        got.append({"pts": b.pts, "dur": b.duration,
+                    "nonzero": int(nz.sum()), "bbox": bbox,
+                    "sums": [int(img[..., c].astype(np.int64).sum())
+                             for c in range(4)]})
+    h.teardown()
+    want = _GOLDENS[key]["render"]
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g["pts"] == w["pts"] and g["dur"] == w["dur"], (key, g, w)
+        assert g["nonzero"] == w["nonzero"], (key, g["nonzero"], w["nonzero"])
+        assert g["bbox"] == w["bbox"], (key, g["bbox"], w["bbox"])
+        for cs, ws in zip(g["sums"], w["sums"]):
+            # exact on this pinned-font deterministic CPU backend; a
+            # small tolerance keeps FreeType micro-updates from mass-
+            # failing the sweep
+            assert abs(cs - ws) <= max(16, int(0.005 * max(ws, 1))), \
+                (key, g["sums"], w["sums"])

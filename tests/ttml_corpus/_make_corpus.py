@@ -1,0 +1,418 @@
+"""Generate the TTML conformance corpus.
+
+The reference validates fluttml manually against the public W3C TTML1
+testsuite and the IRT EBU-TT-D application samples, organized in six
+feature areas (reference: plugins/ttml/README.md:12-45 — Animation,
+Content, Metadata, Parameters, Styling, Timing). Those suites cannot be
+vendored here (no network egress), so this corpus is a FAITHFUL
+SYNTHESIS: every document is written from the TTML1 spec feature the
+same-named W3C test exercises, in the W3C suite's area/numbered-name
+layout, plus an EbuTtD area for the IRT sample patterns (cell-resolution
+styling, linePadding-style padding, 100% extents). No document text is
+copied from either suite.
+
+Run from the repo root:  python tests/ttml_corpus/_make_corpus.py
+Regenerates every .xml fixture deterministically (idempotent).
+"""
+
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+TT = ('<tt xmlns="http://www.w3.org/ns/ttml" '
+      'xmlns:tts="http://www.w3.org/ns/ttml#styling" '
+      'xmlns:ttp="http://www.w3.org/ns/ttml#parameter" '
+      'xmlns:ttm="http://www.w3.org/ns/ttml#metadata"')
+
+XML = '<?xml version="1.0" encoding="utf-8"?>\n'
+
+
+def doc(attrs: str = "", head: str = "", body: str = "") -> str:
+    a = (" " + attrs) if attrs else ""
+    h = f"  <head>\n{head}  </head>\n" if head else ""
+    return f"{XML}{TT}{a}>\n{h}  <body>\n{body}  </body>\n</tt>\n"
+
+
+def region(rid: str, extra: str = "", origin: str = "10% 70%",
+           extent: str = "80% 20%") -> str:
+    return (f'      <region xml:id="{rid}" tts:origin="{origin}" '
+            f'tts:extent="{extent}"{(" " + extra) if extra else ""}/>\n')
+
+
+def layout(*regions: str) -> str:
+    return "    <layout>\n" + "".join(regions) + "    </layout>\n"
+
+
+def styling(*styles: str) -> str:
+    return "    <styling>\n" + "".join(styles) + "    </styling>\n"
+
+
+def p(text: str, begin="0s", end="2s", extra: str = "") -> str:
+    return (f'    <div>\n      <p begin="{begin}" end="{end}"'
+            f'{(" " + extra) if extra else ""}>{text}</p>\n    </div>\n')
+
+
+DOCS = {}
+
+# ---------------------------------------------------------------- Animation
+DOCS["Animation"] = {
+    # a SET changing color mid-cue -> three intervals
+    "Animation001": doc(body=p(
+        'Fade\n      <set begin="0.5s" end="1s" tts:color="red"/>',
+        extra='tts:color="white"')),
+    # SET with dur instead of end
+    "Animation002": doc(body=p(
+        'Pulse\n      <set begin="1s" dur="0.5s" tts:color="lime"/>',
+        extra='tts:color="yellow"')),
+    # two sequential SETs on the same attribute
+    "Animation003": doc(body=p(
+        'Steps'
+        '\n      <set begin="0.5s" end="1s" tts:color="red"/>'
+        '\n      <set begin="1s" end="1.5s" tts:color="blue"/>',
+        extra='tts:color="white"')),
+    # SET on backgroundColor
+    "Animation004": doc(body=p(
+        'BgFlash\n      <set begin="1s" end="2s" '
+        'tts:backgroundColor="maroon"/>',
+        end="3s", extra='tts:backgroundColor="navy"')),
+    # SET toggling visibility (blink)
+    "Animation005": doc(body=p(
+        'Blink\n      <set begin="0.5s" end="1s" tts:visibility="hidden"/>',
+        extra='tts:visibility="visible"')),
+    # SET on fontSize
+    "Animation006": doc(body=p(
+        'Grow\n      <set begin="1s" end="2s" tts:fontSize="32px"/>',
+        end="3s", extra='tts:fontSize="16px"')),
+    # SET inside a span
+    "Animation007": doc(body=p(
+        '<span tts:color="silver">inner'
+        '<set begin="1s" end="1.5s" tts:color="fuchsia"/></span>')),
+    # SET with times relative to a non-zero cue begin
+    "Animation008": doc(body=p(
+        'Late\n      <set begin="0.5s" end="1s" tts:color="aqua"/>',
+        begin="2s", end="4s", extra='tts:color="white"')),
+}
+
+# ------------------------------------------------------------------ Content
+DOCS["Content"] = {
+    "Br001": doc(body=p('line one<br/>line two')),
+    "Br002": doc(body=p('a<br/><br/>b')),
+    "Span001": doc(body=p('plain <span tts:color="red">red</span> plain')),
+    "Span002": doc(body=p(
+        '<span tts:color="red">r <span tts:fontWeight="bold">rb</span>'
+        ' r</span>')),
+    "Span003": doc(body=p(
+        '<span tts:color="red">one</span> and '
+        '<span tts:color="blue">two</span>')),
+    # span with its own timing splits the paragraph interval
+    "Span004": doc(body=p(
+        'base <span begin="1s" end="2s" tts:color="green">timed</span>',
+        end="3s")),
+    "Div001": doc(
+        head=layout(region("r1", origin="0% 0%", extent="100% 40%"),
+                    region("r2", origin="0% 60%", extent="100% 40%")),
+        body=('    <div region="r1"><p begin="0s" end="2s">top</p></div>\n'
+              '    <div region="r2"><p begin="0s" end="2s">bottom</p>'
+              '</div>\n')),
+    "Paragraph001": doc(body=(
+        '    <div>\n'
+        '      <p begin="0s" end="1s">first</p>\n'
+        '      <p begin="1s" end="2s">second</p>\n'
+        '      <p begin="2s" end="3s">third</p>\n'
+        '    </div>\n')),
+    # overlapping paragraphs in one div
+    "Paragraph002": doc(body=(
+        '    <div>\n'
+        '      <p begin="0s" end="2s">long</p>\n'
+        '      <p begin="1s" end="3s">overlap</p>\n'
+        '    </div>\n')),
+    "MixedContent001": doc(body=p(
+        'head <span tts:fontStyle="italic">mid</span> tail')),
+}
+
+# ----------------------------------------------------------------- Metadata
+DOCS["Metadata"] = {
+    # title/desc/copyright in head metadata must not affect output
+    "Desc001": doc(
+        head=('    <metadata>\n'
+              '      <ttm:title>corpus title</ttm:title>\n'
+              '      <ttm:desc>a descriptive string</ttm:desc>\n'
+              '      <ttm:copyright>2026 flutpu</ttm:copyright>\n'
+              '    </metadata>\n'),
+        body=p('content')),
+    # agent declarations referenced from content
+    "Agent001": doc(
+        head=('    <metadata>\n'
+              '      <ttm:agent type="person" xml:id="speaker1">\n'
+              '        <ttm:name type="full">Narrator</ttm:name>\n'
+              '      </ttm:agent>\n'
+              '    </metadata>\n'),
+        body=p('spoken line', extra='ttm:agent="speaker1"')),
+    # metadata nested inside body content is ignored for rendering
+    "Metadata001": doc(body=p(
+        '<metadata><ttm:desc>inline meta</ttm:desc></metadata>visible')),
+    # ttm:role on a paragraph
+    "Role001": doc(body=p('captioned', extra='ttm:role="caption"')),
+    # foreign-namespace attributes must be skipped without error
+    "Foreign001": doc(
+        attrs='xmlns:x="urn:example:foreign" x:custom="1"',
+        body=p('tolerant', extra='x:other="y"')),
+}
+
+# --------------------------------------------------------------- Parameters
+DOCS["Parameters"] = {
+    "CellResolution001": doc(
+        attrs='ttp:cellResolution="20 10"',
+        head=layout(region("r1", origin="1c 7c", extent="10c 2c")),
+        body=p('cells', extra='region="r1"')),
+    "CellResolution002": doc(
+        attrs='ttp:cellResolution="40 24"',
+        body=p('<span tts:fontSize="2c">two cells tall</span>')),
+    "FrameRate001": doc(
+        attrs='ttp:frameRate="25"',
+        body=p('frames', begin="00:00:00:05", end="00:00:01:15")),
+    "FrameRateMultiplier001": doc(
+        attrs='ttp:frameRate="30" ttp:frameRateMultiplier="1000 1001"',
+        body=p('ntsc', begin="00:00:00:15", end="00:00:02:00")),
+    "PixelAspectRatio001": doc(
+        attrs='ttp:pixelAspectRatio="16 11" tts:extent="704px 576px"',
+        body=p('anamorphic')),
+    "TickRate001": doc(
+        attrs='ttp:tickRate="10"',
+        body=p('ticks', begin="5t", end="20t")),
+    "SubFrameRate001": doc(
+        attrs='ttp:frameRate="25" ttp:subFrameRate="2"',
+        body=p('subframes', begin="00:00:00:10.1", end="00:00:01:00")),
+    "TimeBase001": doc(
+        attrs='ttp:timeBase="media"',
+        body=p('media time', begin="00:00:01", end="00:00:02")),
+}
+
+# ------------------------------------------------------------------ Styling
+DOCS["Styling"] = {
+    "Color001": doc(body=p('<span tts:color="red">named</span>')),
+    "Color002": doc(body=p('<span tts:color="#00ff00">hex6</span>')),
+    "Color003": doc(body=p('<span tts:color="#0000ff80">hex8</span>')),
+    "Color004": doc(body=p('<span tts:color="rgb(255,128,0)">rgb</span>')),
+    "Color005": doc(body=p(
+        '<span tts:color="rgba(255,0,255,128)">rgba</span>')),
+    "BackgroundColor001": doc(
+        head=layout(region("r1", extra='tts:backgroundColor="navy"')),
+        body=p('on region', extra='region="r1"')),
+    "BackgroundColor002": doc(body=p(
+        '<span tts:backgroundColor="teal">boxed</span>')),
+    "Direction001": doc(body=p(
+        '<span tts:direction="rtl">abc</span>')),
+    "DisplayAlign001": doc(
+        head=layout(region("r1", extra='tts:displayAlign="after" '
+                                       'tts:backgroundColor="gray"',
+                           origin="10% 10%", extent="80% 80%")),
+        body=p('bottom aligned', extra='region="r1"')),
+    "Display001": doc(body=(
+        '    <div>\n'
+        '      <p begin="0s" end="2s" tts:display="none">hidden</p>\n'
+        '      <p begin="0s" end="2s">shown</p>\n'
+        '    </div>\n')),
+    "FontFamily001": doc(body=p(
+        '<span tts:fontFamily="monospaceSansSerif">mono</span>')),
+    "FontSize001": doc(body=p('<span tts:fontSize="24px">px24</span>')),
+    "FontSize002": doc(body=p(
+        '<span tts:fontSize="150%">bigger</span>')),
+    "FontSize003": doc(body=p(
+        '<span tts:fontSize="2em">two em</span>')),
+    "FontStyle001": doc(body=p(
+        '<span tts:fontStyle="italic">slanted</span>')),
+    "FontWeight001": doc(body=p(
+        '<span tts:fontWeight="bold">heavy</span>')),
+    "LineHeight001": doc(body=p(
+        '<span tts:lineHeight="200%">first</span><br/>second')),
+    "Opacity001": doc(
+        head=layout(region("r1", extra='tts:opacity="0.5" '
+                                       'tts:backgroundColor="red"')),
+        body=p('half', extra='region="r1"')),
+    "Origin001": doc(
+        head=layout(region("r1", origin="25% 25%", extent="50% 50%",
+                           extra='tts:backgroundColor="green"')),
+        body=p('centered box', extra='region="r1"')),
+    "Origin002": doc(
+        head=layout(region("r1", origin="40px 30px", extent="200px 60px",
+                           extra='tts:backgroundColor="purple"')),
+        body=p('pixel box', extra='region="r1"')),
+    "Overflow001": doc(
+        head=layout(region("r1", origin="10% 10%", extent="20% 10%",
+                           extra='tts:overflow="hidden" '
+                                 'tts:backgroundColor="black"')),
+        body=p('a very long line that cannot possibly fit the tiny region',
+               extra='region="r1"')),
+    "Padding001": doc(
+        head=layout(region("r1", extra='tts:padding="5px 10px" '
+                                       'tts:backgroundColor="olive"')),
+        body=p('padded', extra='region="r1"')),
+    "Padding002": doc(
+        head=layout(region("r1", extra='tts:padding="2px 4px 6px 8px" '
+                                       'tts:backgroundColor="olive"')),
+        body=p('asym pad', extra='region="r1"')),
+    "ShowBackground001": doc(
+        head=layout(region("r1", extra='tts:showBackground="always" '
+                                       'tts:backgroundColor="maroon"')),
+        body=p('late cue', begin="1s", end="2s", extra='region="r1"')),
+    "TextAlign001": doc(body=p('centered', extra='tts:textAlign="center"')),
+    "TextAlign002": doc(body=p('right side', extra='tts:textAlign="right"')),
+    "TextAlign003": doc(body=p('at end', extra='tts:textAlign="end"')),
+    "TextDecoration001": doc(body=p(
+        '<span tts:textDecoration="underline">under</span>')),
+    "TextDecoration002": doc(body=p(
+        '<span tts:textDecoration="lineThrough">struck</span>')),
+    "TextDecoration003": doc(body=p(
+        '<span tts:textDecoration="overline">over</span>')),
+    "TextOutline001": doc(body=p(
+        '<span tts:textOutline="black 2px">outlined</span>')),
+    "UnicodeBidi001": doc(body=p(
+        '<span tts:unicodeBidi="bidiOverride" tts:direction="rtl">'
+        'forced</span>')),
+    "Visibility001": doc(body=(
+        '    <div>\n'
+        '      <p begin="0s" end="2s" tts:visibility="hidden">ghost</p>\n'
+        '      <p begin="0s" end="2s">solid</p>\n'
+        '    </div>\n')),
+    "WrapOption001": doc(
+        head=layout(region("r1", origin="10% 10%", extent="30% 30%")),
+        body=p('nowrap text that would otherwise fold into several lines',
+               extra='region="r1" tts:wrapOption="noWrap"')),
+    "WritingMode001": doc(
+        head=layout(region("r1", origin="70% 10%", extent="20% 80%",
+                           extra='tts:writingMode="tbrl" '
+                                 'tts:backgroundColor="navy"')),
+        body=p('vertical', extra='region="r1"')),
+    "ZIndex001": doc(
+        head=layout(
+            region("r1", origin="10% 10%", extent="50% 50%",
+                   extra='tts:zIndex="2" tts:backgroundColor="red"'),
+            region("r2", origin="30% 30%", extent="50% 50%",
+                   extra='tts:zIndex="1" tts:backgroundColor="blue"')),
+        body=('    <div region="r1"><p begin="0s" end="2s">front</p></div>\n'
+              '    <div region="r2"><p begin="0s" end="2s">back</p>'
+              '</div>\n')),
+    # referential styling: style element referenced by id
+    "StyleReference001": doc(
+        head=styling('      <style xml:id="s1" tts:color="yellow" '
+                     'tts:fontWeight="bold"/>\n'),
+        body=p('styled by reference', extra='style="s1"')),
+    # style chaining: a style that references another style
+    "StyleReference002": doc(
+        head=styling(
+            '      <style xml:id="base" tts:color="lime"/>\n'
+            '      <style xml:id="derived" style="base" '
+            'tts:fontStyle="italic"/>\n'),
+        body=p('chained', extra='style="derived"')),
+    # region style applies to content flowed into it
+    "RegionStyle001": doc(
+        head=(styling('      <style xml:id="rs" tts:color="aqua"/>\n') +
+              layout(region("r1", extra='style="rs"'))),
+        body=p('region styled', extra='region="r1"')),
+}
+
+# ------------------------------------------------------------------- Timing
+DOCS["Timing"] = {
+    "BeginEnd001": doc(body=p('plain seconds', begin="1s", end="3s")),
+    "BeginEnd002": doc(body=p('clock time', begin="00:00:01",
+                              end="00:00:02.5")),
+    "BeginEnd003": doc(body=(
+        '    <div begin="1s" end="5s">\n'
+        '      <p begin="0.5s" end="2s">container relative</p>\n'
+        '    </div>\n')),
+    "Dur001": doc(body=p('duration only', begin="1s", end="", extra="")
+                  .replace(' end=""', ' dur="2s"')),
+    "Dur002": doc(body=(
+        '    <div>\n'
+        '      <p begin="0s" dur="3s" end="2s">min of dur and end</p>\n'
+        '    </div>\n')),
+    "OffsetMetrics001": doc(body=p('milliseconds', begin="500ms",
+                                   end="1500ms")),
+    "OffsetMetrics002": doc(body=p('minutes', begin="0.01m", end="0.03m")),
+    "OffsetMetrics003": doc(
+        attrs='ttp:frameRate="25"',
+        body=p('frame metric', begin="10f", end="50f")),
+    "Fraction001": doc(body=p('fractional', begin="0.25s", end="1.75s")),
+    "Sequence001": doc(body=(
+        '    <div timeContainer="seq">\n'
+        '      <p dur="1s">first</p>\n'
+        '      <p dur="1s">second</p>\n'
+        '      <p dur="1s">third</p>\n'
+        '    </div>\n')),
+    "Parallel001": doc(body=(
+        '    <div timeContainer="par">\n'
+        '      <p begin="0s" end="1s">one</p>\n'
+        '      <p begin="0s" end="1s">two</p>\n'
+        '    </div>\n')),
+    "BodyTiming001": doc(body=(
+        '    <div>\n'
+        '      <p begin="0s" end="100s">clipped by body</p>\n'
+        '    </div>\n').replace("<body>", "")
+        ).replace("<body>", '<body begin="0s" dur="2s">'),
+}
+
+# ------------------------------------------------------------------ EbuTtD
+EBU_TT = ('<tt xmlns="http://www.w3.org/ns/ttml" '
+          'xmlns:tts="http://www.w3.org/ns/ttml#styling" '
+          'xmlns:ttp="http://www.w3.org/ns/ttml#parameter" '
+          'xmlns:ebuttm="urn:ebu:tt:metadata" '
+          'xmlns:ebutts="urn:ebu:tt:style"')
+
+
+def ebu_doc(attrs: str, head: str, body: str) -> str:
+    return (f"{XML}{EBU_TT} {attrs}>\n  <head>\n{head}  </head>\n"
+            f"  <body>\n{body}  </body>\n</tt>\n")
+
+
+DOCS["EbuTtD"] = {
+    # EBU-TT-D: cell-based styling with explicit cellResolution
+    "EbuTtD001": ebu_doc(
+        'ttp:cellResolution="32 15" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:fontSize="1c" '
+                'tts:color="white" tts:backgroundColor="black"/>\n') +
+        layout(region("bottom", origin="10% 80%", extent="80% 13%")),
+        p('EBU cell sized', extra='region="bottom" style="s0"')),
+    # the IRT samples' two-row bottom-region pattern
+    "EbuTtD002": ebu_doc(
+        'ttp:cellResolution="50 30" ttp:timeBase="media"',
+        layout(region("bottom", origin="10% 70%", extent="80% 26%")),
+        p('row one<br/>row two', begin="00:00:00.000",
+          end="00:00:02.000", extra='region="bottom"')),
+    # clock-format times with fractional seconds (EBU-TT-D style)
+    "EbuTtD003": ebu_doc(
+        'ttp:timeBase="media"',
+        layout(region("r1")),
+        p('precise clock', begin="00:00:00.480", end="00:00:02.120",
+          extra='region="r1"')),
+    # percentage line height on multi-line content
+    "EbuTtD004": ebu_doc(
+        'ttp:cellResolution="40 24"',
+        layout(region("r1", origin="5% 5%", extent="90% 90%")),
+        p('<span tts:lineHeight="120%">a</span><br/>b',
+          extra='region="r1"')),
+    # default cell resolution (40x24 per EBU-TT-D when absent? TTML1
+    # default 32x15 applies) — exercise the default path
+    "EbuTtD005": ebu_doc(
+        'ttp:timeBase="media"',
+        layout(region("r1")),
+        p('<span tts:fontSize="1c">default cells</span>',
+          extra='region="r1"')),
+}
+
+
+def main() -> int:
+    n = 0
+    for area, docs in DOCS.items():
+        d = os.path.join(HERE, area)
+        os.makedirs(d, exist_ok=True)
+        for name, xml in docs.items():
+            with open(os.path.join(d, name + ".xml"), "w") as f:
+                f.write(xml)
+            n += 1
+    print(f"wrote {n} corpus documents in {len(DOCS)} areas")
+    return n
+
+
+if __name__ == "__main__":
+    main()
