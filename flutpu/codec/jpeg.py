@@ -81,17 +81,27 @@ def encode_gop_to_coefs(frames: jax.Array, qy: jax.Array, qc: jax.Array,
 # ----------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "pad_h", "pad_w", "subsample", "layout", "prefix_words", "use_pallas"))
+    "pad_h", "pad_w", "subsample", "layout", "prefix_words", "use_pallas",
+    "seg_words"))
 def _gop_dispatch_program(frames, qy, qc, overlay, pad_h, pad_w, subsample,
-                          layout, prefix_words, use_pallas):
+                          layout, prefix_words, use_pallas,
+                          seg_words=None):
     """ONE device program: optional BGRA overlay burn-in → convert/DCT/
-    quant/zigzag → entropy pack → combined (bits + prefix) output."""
-    from .ops.entropy import encode_gop_scans_combined
+    quant/zigzag → entropy pack → combined (bits + prefix) output. With
+    ``seg_words`` the round-4 SEGMENT layout replaces the block-granular
+    concat: combined is (F, 1 + S + prefix) — aligned words, per-segment
+    bit counts, word-aligned stream (host compacts)."""
+    from .ops.entropy import (encode_gop_scans_combined,
+                              encode_gop_scans_segmented)
     if overlay is not None:
         from ..ttml.render import overlay_on_frames
         frames = overlay_on_frames(frames, overlay)
     yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
                                        pad_w=pad_w, subsample=subsample)
+    if seg_words is not None:
+        return encode_gop_scans_segmented(
+            yq, cbq, crq, layout=layout, prefix_words=prefix_words,
+            seg_words=seg_words, interpret=not use_pallas)
     return encode_gop_scans_combined(
         yq, cbq, crq, layout=layout, prefix_words=prefix_words,
         use_pallas=use_pallas)
@@ -99,22 +109,28 @@ def _gop_dispatch_program(frames, qy, qc, overlay, pad_h, pad_w, subsample,
 
 @functools.partial(jax.jit, static_argnames=(
     "src_fn", "pad_h", "pad_w", "subsample", "layout", "prefix_words",
-    "use_pallas"))
+    "use_pallas", "seg_words"))
 def _gop_dispatch_program_src(start, qy, qc, overlay, src_fn, pad_h, pad_w,
-                              subsample, layout, prefix_words, use_pallas):
+                              subsample, layout, prefix_words, use_pallas,
+                              seg_words=None):
     """_gop_dispatch_program with an on-device frame SOURCE fused in:
     ``src_fn(pad_h, pad_w, start) -> (F, pad_h, pad_w, 3) uint8`` traces
     into the same single program as the burn-in + encode. On high-latency
     links a separate source dispatch costs a full extra round trip per GOP
     (the round-2 encode+burn-in collapse: two chained dispatches measured
     at ~2x the fused program's wall clock — see PERF.md)."""
-    from .ops.entropy import encode_gop_scans_combined
+    from .ops.entropy import (encode_gop_scans_combined,
+                              encode_gop_scans_segmented)
     frames = src_fn(pad_h, pad_w, start)
     if overlay is not None:
         from ..ttml.render import overlay_on_frames
         frames = overlay_on_frames(frames, overlay)
     yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
                                        pad_w=pad_w, subsample=subsample)
+    if seg_words is not None:
+        return encode_gop_scans_segmented(
+            yq, cbq, crq, layout=layout, prefix_words=prefix_words,
+            seg_words=seg_words, interpret=not use_pallas)
     return encode_gop_scans_combined(
         yq, cbq, crq, layout=layout, prefix_words=prefix_words,
         use_pallas=use_pallas)
@@ -324,8 +340,15 @@ class JpegEncoder:
     CAP_LADDER = (256, 1024, 1664)
     _WORD_BUCKET = 16 * 1024  # transfer granularity: 64 KB
 
+    #: segment layout (round 4): blocks per segment and the adaptive
+    #: per-segment staging capacity start/cap (words). The cap is the
+    #: theoretical CAP_LADDER[-1] bound for SEG_G blocks.
+    SEG_G = 16
+    SEG_WORDS0 = 64
+
     def __init__(self, quality: int = 85, subsample: bool = True,
-                 engine: str = "auto", use_pallas: Optional[bool] = None):
+                 engine: str = "auto", use_pallas: Optional[bool] = None,
+                 segmented: Optional[bool] = None):
         from ..core.devwarm import warm_device
         warm_device()   # axon: first execution must be on the main thread
         self.quality = quality
@@ -334,6 +357,13 @@ class JpegEncoder:
         # pallas pack kernel on real TPU; lax.scan elsewhere
         self.use_pallas = (jax.default_backend() not in ("cpu",)
                            if use_pallas is None else use_pallas)
+        # segment bitstream layout: device concat replaced by word-aligned
+        # segment placement + host compaction (entropy.py round-4 design);
+        # hardware A/B pending, so opt-in via flag/env until measured
+        import os
+        self.segmented = (bool(os.environ.get("FLUTPU_SEGMENTED"))
+                          if segmented is None else bool(segmented))
+        self._seg_words = self.SEG_WORDS0
         self.qy = scale_qtable(LUMA_QTABLE, quality)
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
@@ -352,13 +382,10 @@ class JpegEncoder:
         f, h, w, _ = frames.shape
         coefs = self._coefs(frames)
         hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
-        if self.engine in ("device", "auto"):
-            scans = self._scans_device(coefs)
-            if scans is not None:
-                return [hdr + s + b"\xff\xd9" for s in scans]
-            if self.engine == "device":
-                raise OverflowError("device entropy cap exceeded")
-        return [hdr + s + b"\xff\xd9" for s in self._scans_host(coefs)]
+        # scan_planes owns engine selection, the single-fetch combined
+        # device path (adaptive window, segment layout) and the overflow
+        # ladder/host fallbacks
+        return [hdr + s + b"\xff\xd9" for s in self.scan_planes(coefs)]
 
     # -- async pipeline API (overlap dispatch with host finalization) ------
     # (the fused one-program dispatch lives at module level:
@@ -445,8 +472,10 @@ class JpegEncoder:
         combined = _gop_dispatch_program(
             frames_dev, self._qy_dev, self._qc_dev, overlay,
             pad_h=ph, pad_w=pw, subsample=self.subsample, layout=layout,
-            prefix_words=prefix, use_pallas=self.use_pallas)
-        return (combined, frames_dev, overlay, prefix, h, w)
+            prefix_words=prefix, use_pallas=self.use_pallas,
+            seg_words=self._seg_words if self.segmented else None)
+        return (combined, frames_dev, overlay, prefix, h, w,
+                self._n_segs(layout) if self.segmented else 0)
 
     def encode_gop_dispatch_src(self, src_fn, start, h: int, w: int,
                                 ph: int, pw: int,
@@ -467,37 +496,74 @@ class JpegEncoder:
         combined = _gop_dispatch_program_src(
             start, self._qy_dev, self._qc_dev, overlay, src_fn,
             pad_h=ph, pad_w=pw, subsample=self.subsample, layout=layout,
-            prefix_words=prefix, use_pallas=self.use_pallas)
+            prefix_words=prefix, use_pallas=self.use_pallas,
+            seg_words=self._seg_words if self.segmented else None)
         # frames synthesize lazily for the rare overflow fallback
         return (combined, lambda: src_fn(ph, pw, start), overlay, prefix,
-                h, w)
+                h, w, self._n_segs(layout) if self.segmented else 0)
+
+    def _n_segs(self, layout) -> int:
+        """Segments per frame in the segment layout (frame blocks padded
+        to a SEG_G multiple)."""
+        return (layout.n_blocks + self.SEG_G - 1) // self.SEG_G
 
     def encode_gop_finalize(self, handle) -> List[bytes]:
         """Blocking half: one fetch, stuff, wrap headers."""
-        from .ops.entropy import stuff_and_finalize
-        combined, frames_dev, overlay, prefix, h, w = handle
+        from .ops.entropy import (compact_aligned_segments,
+                                  stuff_and_finalize)
+        combined, frames_dev, overlay, prefix, h, w, n_segs = handle
         arr = np.asarray(combined)  # single transfer: bits + prefixes
-        bits_host = arr[:, 0].astype(np.int64)
         hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
+        if n_segs:
+            # segment layout: [0]=aligned words, [1..S]=segment bits,
+            # [S+1..]=word-aligned stream (host compacts)
+            used = arr[:, 0].astype(np.int64)
+            segbits = arr[:, 1:1 + n_segs].astype(np.int64)
+            if (used > prefix).any() \
+                    or (segbits > self._seg_words * 32).any():
+                # prefix overflow or segment-capacity overflow: grow the
+                # adaptive capacity, reset the window, recompute via the
+                # ladder
+                self._seg_words = min(
+                    _pad_to(self._seg_words * 2, 8),
+                    _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8))
+                self._prefix_used_words = None
+                self._prefix_window = None
+                return self._finalize_overflow(handle, hdr)
+            self._note_prefix_usage(int(used.max()))
+            out = []
+            for i in range(arr.shape[0]):
+                stream, total = compact_aligned_segments(
+                    segbits[i], arr[i, 1 + n_segs:])
+                out.append(hdr + stuff_and_finalize(stream, total)
+                           + b"\xff\xd9")
+            return out
+        bits_host = arr[:, 0].astype(np.int64)
         if (bits_host > prefix * 32).any():
             # adaptive window too small (content spike) or genuinely dense
             # content: recompute through the cap ladder, reset the estimate
             self._prefix_used_words = None
             self._prefix_window = None
-            if callable(frames_dev):   # src-fused dispatch: re-synthesize
-                frames_dev = frames_dev()
-            ph, pw = frames_dev.shape[1], frames_dev.shape[2]
-            if overlay is not None:
-                from ..ttml.render import overlay_on_frames
-                frames_dev = overlay_on_frames(frames_dev, overlay)
-            coefs = encode_gop_to_coefs(
-                frames_dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
-                subsample=self.subsample)
-            scans = self._scans_device(coefs) or self._scans_host(coefs)
-            return [hdr + s + b"\xff\xd9" for s in scans]
+            return self._finalize_overflow(handle, hdr)
         self._note_prefix_usage((bits_host.max() + 31) // 32)
         return [hdr + stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
                 + b"\xff\xd9" for i in range(arr.shape[0])]
+
+    def _finalize_overflow(self, handle, hdr: bytes) -> List[bytes]:
+        """Rare spike path shared by both combined layouts: re-encode the
+        GOP through the cap ladder from (re-synthesized) frames."""
+        _, frames_dev, overlay, _, _, _, _ = handle
+        if callable(frames_dev):   # src-fused dispatch: re-synthesize
+            frames_dev = frames_dev()
+        ph, pw = frames_dev.shape[1], frames_dev.shape[2]
+        if overlay is not None:
+            from ..ttml.render import overlay_on_frames
+            frames_dev = overlay_on_frames(frames_dev, overlay)
+        coefs = encode_gop_to_coefs(
+            frames_dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
+            subsample=self.subsample)
+        scans = self._scans_device(coefs) or self._scans_host(coefs)
+        return [hdr + s + b"\xff\xd9" for s in scans]
 
     def scan_planes(self, coefs) -> List[bytes]:
         """Entropy-code already-quantized (F, BH, BW, 64) int16 zigzag
@@ -505,8 +571,10 @@ class JpegEncoder:
         the JPEG and FVC encoders: device engine with a single combined
         fetch per GOP, cap-ladder escalation, host fallback."""
         if self.engine in ("device", "auto"):
-            from .ops.entropy import (encode_gop_scans_combined, mcu_layout,
-                                      stuff_and_finalize)
+            from .ops.entropy import (compact_aligned_segments,
+                                      encode_gop_scans_combined,
+                                      encode_gop_scans_segmented,
+                                      mcu_layout, stuff_and_finalize)
             yq, cbq, crq = coefs
             layout = mcu_layout(yq.shape[2], yq.shape[1],
                                 cbq.shape[2], cbq.shape[1], self.subsample)
@@ -514,6 +582,36 @@ class JpegEncoder:
             est = self._prefix_estimate()
             if est is not None:
                 prefix = min(prefix, est)
+            if self.segmented:
+                n_segs = self._n_segs(layout)
+                combined = encode_gop_scans_segmented(
+                    jnp.asarray(yq), jnp.asarray(cbq), jnp.asarray(crq),
+                    layout=layout, prefix_words=prefix,
+                    seg_words=self._seg_words,
+                    interpret=not self.use_pallas)
+                arr = np.asarray(combined)
+                used = arr[:, 0].astype(np.int64)
+                segbits = arr[:, 1:1 + n_segs].astype(np.int64)
+                if not ((used > prefix).any()
+                        or (segbits > self._seg_words * 32).any()):
+                    self._note_prefix_usage(int(used.max()))
+                    out = []
+                    for i in range(arr.shape[0]):
+                        stream, total = compact_aligned_segments(
+                            segbits[i], arr[i, 1 + n_segs:])
+                        out.append(stuff_and_finalize(stream, total))
+                    return out
+                self._seg_words = min(
+                    _pad_to(self._seg_words * 2, 8),
+                    _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8))
+                self._prefix_used_words = None
+                self._prefix_window = None
+                scans = self._scans_device(coefs)
+                if scans is not None:
+                    return scans
+                if self.engine == "device":
+                    raise OverflowError("device entropy cap exceeded")
+                return self._scans_host(coefs)
             combined = encode_gop_scans_combined(
                 jnp.asarray(yq), jnp.asarray(cbq), jnp.asarray(crq),
                 layout=layout, prefix_words=prefix,

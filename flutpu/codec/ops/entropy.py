@@ -735,21 +735,10 @@ def _concat_blocks_v5(buf: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     return jnp.where(valid, inside, 0) + extra, total_bits
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("layout", "out_words", "use_pallas",
-                                    "interpret", "fused", "concat"))
-def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
-                     layout: McuLayout, out_words: int,
-                     use_pallas: bool = False, interpret: bool = False,
-                     fused: Optional[bool] = None,
-                     concat: Optional[str] = None):
-    """(F, BH, BW, 64) int16 coefficient planes → packed scan bits.
-
-    Returns (packed (F, out_words) uint32, bits (F,) int32). With
-    ``use_pallas`` the intra-block packing runs as the VMEM-resident TPU
-    kernel (flutpu.codec.ops.entropy_pallas) instead of the lax.scan
-    formulation — same bits, ~50x less HBM traffic.
-    """
+def _mcu_blocks(yq, cbq, crq, layout: McuLayout):
+    """Shared front half of the scan encoders: MCU reorder (structural
+    reshape/transpose where the interleave allows) + DC prediction.
+    Returns (mcu (F, B, 64) int32 DC-diffed blocks, comp (B,) int32)."""
     f = yq.shape[0]
     prev_np = np.asarray(layout.prev_same_comp)
     comp = jnp.asarray(layout.comp_is_chroma)
@@ -803,7 +792,136 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
         return jnp.concatenate([(dc - prev_dc)[:, None], blocks[:, 1:]],
                                axis=1)
 
-    mcu = jax.vmap(dc_diff)(mcu)               # (F, B, 64)
+    return jax.vmap(dc_diff)(mcu), comp         # (F, B, 64), (B,)
+
+
+def _concat_segments_aligned(segbuf: jnp.ndarray, segbits: jnp.ndarray,
+                             out_words: int):
+    """Word-ALIGNED segment placement (the round-4 concat replacement).
+
+    segbuf (S, C) uint32 per-segment packed bits, segbits (S,) int32.
+    Each segment lands at the next 32-bit word boundary — no bit shifts,
+    no per-word OR of neighbors, no binary search: the containing segment
+    per output word is one scatter + cummax (every segment starts at its
+    own word exactly), and the word value is ONE flat gather. Dynamic-
+    indexed elements per frame: ~S scatter + 2*out_words gather/cummax —
+    ~6x fewer than _concat_blocks_v3's block-granular machinery. The
+    word-alignment padding (avg 16 bits per ~16-block segment, ~6% of the
+    stream) is removed HOST-side by compact_aligned_segments inside the
+    already-overlapped threaded finalize, reproducing the byte-identical
+    JPEG stream."""
+    s_count, c = segbuf.shape
+    wcnt = (segbits + 31) >> 5                      # (S,) words used
+    ends = jnp.cumsum(wcnt).astype(jnp.int32)
+    fo = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
+    total_words = ends[-1]
+    sidx = jnp.arange(s_count, dtype=jnp.int32)
+    # padding segments (segbits == 0) share fo with their successor —
+    # drop them from the scatters (OOB target)
+    tgt = jnp.where(wcnt > 0, fo, out_words)
+    first = jax.lax.cummax(
+        jnp.full((out_words,), -1, jnp.int32).at[tgt].max(sidx,
+                                                          mode="drop"))
+    first = jnp.clip(first, 0, s_count - 1)
+    fw = jax.lax.cummax(
+        jnp.zeros((out_words,), jnp.int32).at[tgt].max(fo, mode="drop"))
+    w = jnp.arange(out_words, dtype=jnp.int32)
+    k = w - fw
+    flat = segbuf.reshape(-1)
+    out = flat[first * c + jnp.clip(k, 0, c - 1)]
+    valid = (w < total_words) & (k < c)
+    return jnp.where(valid, out, 0), total_words
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "prefix_words", "seg_g",
+                                    "seg_words", "interpret"))
+def encode_gop_scans_segmented(yq, cbq, crq, layout: McuLayout,
+                               prefix_words: int, seg_g: int = 16,
+                               seg_words: int = 64,
+                               interpret: bool = False):
+    """Segment-layout scan encode (round 4): the Pallas kernel packs
+    ``seg_g`` consecutive blocks per lane into contiguous bit segments,
+    the device word-aligns whole segments (no block-granular concat),
+    and the host bit-compacts. Returns combined (F, 1 + S + prefix_words)
+    uint32 per frame: [0] = aligned words used (prefix-overflow check),
+    [1..S] = per-segment bit counts (capacity check + host compaction),
+    [S+1..] = the word-aligned stream. Decode side: byte-identical to
+    the v2/v3 paths after compact_aligned_segments + stuff_and_finalize.
+    """
+    from .entropy_pallas import pack_segments_fused
+    f = yq.shape[0]
+    mcu, comp = _mcu_blocks(yq, cbq, crq, layout)
+    b = mcu.shape[1]
+    b_pad = ((b + seg_g - 1) // seg_g) * seg_g
+    if b_pad != b:   # pad per frame so segments never span frames
+        mcu = jnp.concatenate(
+            [mcu, jnp.zeros((f, b_pad - b, 64), jnp.int32)], axis=1)
+        comp_f = jnp.concatenate(
+            [comp, jnp.full((b_pad - b,), -1, jnp.int32)])
+    else:
+        comp_f = comp
+    s_per_frame = b_pad // seg_g
+    segbuf, segbits = pack_segments_fused(
+        mcu.reshape(f * b_pad, 64), jnp.tile(comp_f, f), seg_g=seg_g,
+        seg_words=seg_words, interpret=interpret)
+    segbuf = segbuf.reshape(f, s_per_frame, seg_words)
+    segbits = segbits.reshape(f, s_per_frame)
+    out, total_words = jax.vmap(
+        lambda sb, sn: _concat_segments_aligned(sb, sn, prefix_words))(
+        segbuf, segbits)
+    return jnp.concatenate(
+        [total_words.astype(jnp.uint32)[:, None],
+         segbits.astype(jnp.uint32), out], axis=1)
+
+
+def compact_aligned_segments(seg_bits: np.ndarray, words: np.ndarray):
+    """Host half of the segment layout: merge word-aligned segments into
+    the exact contiguous bitstream (vectorized numpy; runs on the
+    threaded-finalize pool). seg_bits (S,) per-segment bit counts
+    (zeros = padding segments), words (>= sum ceil(bits/32),) uint32.
+    Returns (stream_words uint32, total_bits)."""
+    seg_bits = np.asarray(seg_bits, np.int64)
+    seg_bits = seg_bits[seg_bits > 0]
+    if seg_bits.size == 0:
+        return np.zeros(0, np.uint32), 0
+    wcnt = (seg_bits + 31) >> 5
+    src_end = np.cumsum(wcnt)
+    total_bits = int(seg_bits.sum())
+    bo = np.cumsum(seg_bits) - seg_bits            # dest bit offset/seg
+    j = int(src_end[-1])
+    seg_of = np.repeat(np.arange(len(seg_bits)), wcnt)
+    k = np.arange(j, dtype=np.int64) - np.repeat(src_end - wcnt, wcnt)
+    w = np.asarray(words[:j], np.uint32)
+    p = (bo[seg_of] & 31).astype(np.uint32)
+    d = ((bo[seg_of] >> 5) + k).astype(np.int64)
+    hi = w >> p
+    lo = np.where(p > 0, w << ((32 - p) & np.uint32(31)), 0) \
+        .astype(np.uint32)
+    out = np.zeros(int((total_bits + 31) // 32) + 1, np.uint32)
+    # consecutive segments own disjoint bit ranges → OR-accumulate
+    np.bitwise_or.at(out, d, hi)
+    np.bitwise_or.at(out, d + 1, lo)
+    return out[:(total_bits + 31) // 32], total_bits
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "out_words", "use_pallas",
+                                    "interpret", "fused", "concat"))
+def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
+                     layout: McuLayout, out_words: int,
+                     use_pallas: bool = False, interpret: bool = False,
+                     fused: Optional[bool] = None,
+                     concat: Optional[str] = None):
+    """(F, BH, BW, 64) int16 coefficient planes → packed scan bits.
+
+    Returns (packed (F, out_words) uint32, bits (F,) int32). With
+    ``use_pallas`` the intra-block packing runs as the VMEM-resident TPU
+    kernel (flutpu.codec.ops.entropy_pallas) instead of the lax.scan
+    formulation — same bits, ~50x less HBM traffic.
+    """
+    f = yq.shape[0]
+    mcu, comp = _mcu_blocks(yq, cbq, crq, layout)
     b = mcu.shape[1]
     flat = mcu.reshape(f * b, 64)
     comp_flat = jnp.tile(comp, f)

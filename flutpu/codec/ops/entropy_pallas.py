@@ -287,6 +287,208 @@ def pack_block_bits_fused(zz: jax.Array, comp: jax.Array,
     return buf_t[:, :b].T, nbits_t[0, :b]
 
 
+def _fused_seg_kernel(seg_g, seg_words, bound_ref, zz_ref, comp_ref,
+                      buf_ref, nbits_ref):
+    """Segment variant of _fused_kernel: each LANE packs ``seg_g``
+    CONSECUTIVE MCU-ordered blocks contiguously into one bit segment —
+    the in-lane concat is the same sequential bit-append the per-block
+    kernel already does, just without resetting the offset between
+    blocks. This removes the per-block concat stage entirely: segments
+    leave the kernel as (seg_words, N) staging columns + per-segment bit
+    counts, the device then only word-aligns SEGMENTS (S = B/seg_g of
+    them), and the host bit-compacts during the overlapped finalize.
+    Cross-lane bit concat (the rejected Pallas-concat) is still never
+    attempted — lanes stay independent. Bit semantics identical to
+    _fused_kernel per block; comp < 0 marks padding blocks that emit
+    zero bits."""
+    n = zz_ref.shape[1]
+    buf_ref[:] = jnp.zeros((seg_words, n), jnp.uint32)
+    word_iota = jax.lax.broadcasted_iota(jnp.int32, (seg_words, n), 0)
+    dc_t, ac_t, zrl_t, eob_t = _bake_tables()
+    bound_base = pl.program_id(0) * seg_g  # hoisted: not legal in loop body
+
+    def magnitude(v, max_bits):
+        a = jnp.abs(v)
+        size = jnp.zeros_like(v)
+        for i in range(max_bits):
+            size = size + (a >= (1 << i)).astype(v.dtype)
+        return size
+
+    def place(off, slen, hi, lo):
+        q = off & 31
+        t = q + slen
+        r = jnp.clip(96 - t, 0, 95)
+        k = r >> 5
+        m = (r & 31).astype(jnp.uint32)
+        minv = ((32 - m) & 31).astype(jnp.uint32)
+        spill_hi = jnp.where(m > 0, hi >> minv, jnp.uint32(0))
+        spill_lo = jnp.where(m > 0, lo >> minv, jnp.uint32(0))
+        c0 = jnp.where(k == 0, spill_hi,
+                       jnp.where(k == 1, (hi << m) | spill_lo, lo << m))
+        c1 = jnp.where(k == 0, (hi << m) | spill_lo,
+                       jnp.where(k == 1, lo << m, jnp.uint32(0)))
+        c2 = jnp.where(k == 0, lo << m, jnp.uint32(0))
+        widx = off >> 5
+        active = slen > 0
+        return (jnp.where(active & (word_iota == widx), c0, jnp.uint32(0))
+                | jnp.where(active & (word_iota == widx + 1), c1,
+                            jnp.uint32(0))
+                | jnp.where(active & (word_iota == widx + 2), c2,
+                            jnp.uint32(0)))
+
+    def block_body(g, off):
+        comp_row = comp_ref[pl.ds(g, 1), :]          # (1, N)
+        chroma = comp_row == 1
+        live = comp_row >= 0                         # padding blocks: -1
+
+        def cmux(luma_const, chroma_const):
+            return jnp.where(chroma, jnp.int32(chroma_const),
+                             jnp.int32(luma_const))
+
+        # ---- DC slot ----------------------------------------------------
+        diff = zz_ref[pl.ds(g * 64, 1), :]
+        dsize = magnitude(diff, 12)
+        entry = jnp.zeros_like(diff)
+        for s in range(11, -1, -1):
+            entry = jnp.where(dsize == s, cmux(dc_t[0][s], dc_t[1][s]),
+                              entry)
+        dc_len = (entry >> 16) & 0xFFFF
+        dc_code = entry & 0xFFFF
+        extra = jnp.where(diff < 0, diff + (1 << dsize) - 1, diff)
+        slen0 = jnp.where(live, dc_len + dsize, 0)
+        lo0 = ((dc_code << dsize) | (extra & ((1 << dsize) - 1))) \
+            .astype(jnp.uint32)
+        buf_ref[:] = buf_ref[:] | place(off, slen0,
+                                        jnp.zeros_like(lo0), lo0)
+        off = off + slen0
+
+        zrl_entry = cmux(zrl_t[0], zrl_t[1])
+        zrl_len = (zrl_entry >> 16) & 0xFFFF
+        zrl_code = zrl_entry & 0xFFFF
+
+        # ---- AC slots ---------------------------------------------------
+        def ac_body(s, carry):
+            off, prev = carry
+            ac = zz_ref[pl.ds(g * 64 + s, 1), :]
+            nz = ac != 0
+            run = s - prev - 1
+            asize = magnitude(ac, 11)
+            rem = run & 15
+            entry = jnp.zeros_like(ac)
+            for r in range(16):
+                e_r = jnp.zeros_like(ac)
+                for sz in range(10, 0, -1):
+                    e_r = jnp.where(
+                        asize == sz,
+                        cmux(ac_t[0][sz - 1][r], ac_t[1][sz - 1][r]), e_r)
+                entry = jnp.where(rem == r, e_r, entry)
+            ac_len = (entry >> 16) & 0xFFFF
+            ac_code = entry & 0xFFFF
+            aextra = jnp.where(ac < 0, ac + (1 << asize) - 1, ac)
+
+            zrl_count = jnp.where(nz, run >> 4, 0)
+            c2 = jnp.minimum(zrl_count, 2)
+            la = jnp.where(nz, c2 * zrl_len, 0)
+            va = jnp.where(c2 == 2, (zrl_code << zrl_len) | zrl_code,
+                           jnp.where(c2 == 1, zrl_code, 0)) \
+                .astype(jnp.uint32)
+            lb = jnp.where(nz & (zrl_count >= 3), zrl_len, 0)
+            vb = jnp.where(lb > 0, zrl_code, 0).astype(jnp.uint32)
+            lc = jnp.where(nz, ac_len + asize, 0)
+            vc = jnp.where(nz, (ac_code << asize)
+                           | (aextra & ((1 << asize) - 1)), 0) \
+                .astype(jnp.uint32)
+            hi = jnp.zeros_like(va)
+            lo = va
+            sh = lb.astype(jnp.uint32)
+            hi = (hi << sh) | jnp.where(sh > 0, lo >> ((32 - sh) & 31),
+                                        jnp.uint32(0))
+            lo = (lo << sh) | vb
+            sh = lc.astype(jnp.uint32)
+            hi = (hi << sh) | jnp.where(sh > 0, lo >> ((32 - sh) & 31),
+                                        jnp.uint32(0))
+            lo = (lo << sh) | vc
+            mlen = la + lb + lc
+            buf_ref[:] = buf_ref[:] | place(off, mlen, hi, lo)
+            return off + mlen, jnp.where(nz, s, prev)
+
+        bound = bound_ref[bound_base + g]
+        off, prev = jax.lax.fori_loop(1, bound, ac_body,
+                                      (off, jnp.zeros_like(off)))
+
+        # ---- EOB slot ---------------------------------------------------
+        eobe = cmux(eob_t[0], eob_t[1])
+        need = live & (prev < 63)
+        elen = jnp.where(need, (eobe >> 16) & 0xFFFF, 0)
+        eval_ = jnp.where(need, eobe & 0xFFFF, 0).astype(jnp.uint32)
+        buf_ref[:] = buf_ref[:] | place(off, elen, jnp.zeros_like(eval_),
+                                        eval_)
+        return off + elen
+
+    n_lanes = zz_ref.shape[1]
+    off = jax.lax.fori_loop(0, seg_g, block_body,
+                            jnp.zeros((1, n_lanes), jnp.int32))
+    nbits_ref[:] = off
+
+
+TILE_SEG = 512  # lanes (segments) per grid step for the segment kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seg_g", "seg_words", "interpret"))
+def pack_segments_fused(zz: jax.Array, comp: jax.Array, seg_g: int = 16,
+                        seg_words: int = 64, interpret: bool = False):
+    """(B, 64) int32 DC-diffed MCU-ordered coefficients + (B,) comp flags
+    (-1 = padding block emitting zero bits) → per-SEGMENT packed bits:
+    (segbuf (S, seg_words) uint32 MSB-first, segbits (S,) int32) with
+    S = B/seg_g; blocks [s*seg_g, (s+1)*seg_g) concatenate contiguously
+    into segment s. B must be a multiple of seg_g (callers pad with
+    comp = -1 blocks)."""
+    b = zz.shape[0]
+    assert b % seg_g == 0, (b, seg_g)
+    s_count = b // seg_g
+    n_pad = ((s_count + TILE_SEG - 1) // TILE_SEG) * TILE_SEG
+    g_rows = max(8, seg_g)  # sublane-aligned comp rows
+    zz_t = jnp.zeros((seg_g * 64, n_pad), jnp.int32) \
+        .at[:, :s_count].set(zz.reshape(s_count, seg_g * 64).T)
+    comp_t = jnp.full((g_rows, n_pad), -1, jnp.int32) \
+        .at[:seg_g, :s_count].set(comp.reshape(s_count, seg_g).T)
+
+    # per-(tile, g) AC loop bound: last nonzero position + 1, maxed over
+    # the tile's lanes
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, 63), 1) + 1
+    last_nz = jnp.max(jnp.where(zz[:, 1:] != 0, pos, 0), axis=1)  # (b,)
+    last_t = jnp.zeros((n_pad, seg_g), jnp.int32) \
+        .at[:s_count].set(last_nz.reshape(s_count, seg_g))
+    n_tiles = n_pad // TILE_SEG
+    bounds = (jnp.max(last_t.reshape(n_tiles, TILE_SEG, seg_g), axis=1)
+              + 1).astype(jnp.int32).reshape(-1)   # (n_tiles*seg_g,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((seg_g * 64, TILE_SEG), lambda i, *_: (0, i)),
+            pl.BlockSpec((g_rows, TILE_SEG), lambda i, *_: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((seg_words, TILE_SEG), lambda i, *_: (0, i)),
+            pl.BlockSpec((1, TILE_SEG), lambda i, *_: (0, i)),
+        ],
+    )
+    buf_t, nbits_t = pl.pallas_call(
+        functools.partial(_fused_seg_kernel, seg_g, seg_words),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((seg_words, n_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bounds, zz_t, comp_t)
+
+    return buf_t[:, :s_count].T, nbits_t[0, :s_count]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pack_block_bits_pallas64(lens: jax.Array, his: jax.Array,
                              los: jax.Array, interpret: bool = False):

@@ -116,3 +116,78 @@ def test_fused_slot_pack_bit_identical():
                                             interpret=True)
     np.testing.assert_array_equal(np.asarray(got_nb), np.asarray(ref_nb))
     np.testing.assert_array_equal(np.asarray(got_buf), np.asarray(ref_buf))
+
+
+class TestSegmentLayout:
+    """Round-4 segment bitstream layout: the pack kernel emits per-lane
+    segments of SEG_G consecutive blocks, the device word-aligns whole
+    segments (no block-granular concat), the host bit-compacts. The
+    contract everywhere is BYTE IDENTITY with the v2/v3 stream."""
+
+    def _planes(self, f=2, ybh=8, ybw=12, seed=0, dense=False):
+        rng = np.random.default_rng(seed)
+        shape = lambda bh, bw: (f, bh, bw, 64)  # noqa: E731
+        def sparse(s):
+            a = rng.integers(-40, 40, size=s).astype(np.int16)
+            a = np.where(rng.random(s) < (0.3 if dense else 0.08), a, 0)
+            a[..., 0] = rng.integers(-200, 200, size=s[:-1])
+            return a
+        return (sparse(shape(ybh, ybw)), sparse(shape(ybh // 2, ybw // 2)),
+                sparse(shape(ybh // 2, ybw // 2)))
+
+    def test_segmented_scan_byte_identical(self):
+        from flutpu.codec.ops import entropy as E
+        yq, cbq, crq = self._planes()
+        layout = E.mcu_layout(12, 8, 6, 4, True)
+        prefix = 4096
+        packed, bits = E.encode_gop_scans(
+            jnp.asarray(yq), jnp.asarray(cbq), jnp.asarray(crq),
+            layout=layout, out_words=prefix)
+        comb = E.encode_gop_scans_segmented(
+            jnp.asarray(yq), jnp.asarray(cbq), jnp.asarray(crq),
+            layout=layout, prefix_words=prefix, seg_g=16, seg_words=128,
+            interpret=True)
+        arr = np.asarray(comb)
+        s = arr.shape[1] - 1 - prefix
+        for i in range(yq.shape[0]):
+            segbits = arr[i, 1:1 + s]
+            assert (segbits <= 128 * 32).all()
+            stream, total = E.compact_aligned_segments(
+                segbits, arr[i, 1 + s:])
+            assert total == int(np.asarray(bits)[i])
+            assert (E.stuff_and_finalize(stream, total)
+                    == E.stuff_and_finalize(np.asarray(packed)[i],
+                                            int(np.asarray(bits)[i])))
+
+    def test_encoder_segmented_matches_standard(self):
+        frames = make_test_frame("gradient", 32, 32, 2)[None].repeat(2, 0)
+        std = JpegEncoder(quality=85, engine="device",
+                          use_pallas=False).encode_gop(frames)
+        seg = JpegEncoder(quality=85, engine="device", use_pallas=False,
+                          segmented=True).encode_gop(frames)
+        assert seg == std
+
+    def test_encoder_dispatch_finalize_segmented(self):
+        frames = make_test_frame("gradient", 32, 32, 7)[None].repeat(2, 0)
+        std = JpegEncoder(quality=85, use_pallas=False)
+        seg = JpegEncoder(quality=85, use_pallas=False, segmented=True)
+        fdev = jnp.asarray(frames)
+        want = std.encode_gop_finalize(std.encode_gop_dispatch(fdev, 32, 32))
+        got = seg.encode_gop_finalize(seg.encode_gop_dispatch(fdev, 32, 32))
+        assert got == want
+
+    def test_capacity_overflow_grows_and_stays_correct(self):
+        """A GOP whose densest segment exceeds the staging capacity must
+        fall back (same bytes) and grow the capacity for the next GOP."""
+        frames = (np.random.default_rng(3)
+                  .integers(0, 256, size=(2, 32, 32, 3)).astype(np.uint8))
+        std = JpegEncoder(quality=97, use_pallas=False)
+        seg = JpegEncoder(quality=97, use_pallas=False, segmented=True)
+        seg._seg_words = 8  # force overflow (8 words = 256 bits/segment)
+        want = std.encode_gop(frames)
+        got = seg.encode_gop(frames)
+        assert got == want
+        assert seg._seg_words > 8, "capacity did not grow"
+        # next GOP rides the segment path at the grown capacity
+        got2 = seg.encode_gop(frames)
+        assert got2 == want
