@@ -68,29 +68,50 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     import jax.numpy as jnp
     from flutpu.codec.jpeg import JpegEncoder, jpeg_headers, _pad_to
     from flutpu.codec.jpeg import encode_gop_to_coefs
-    from flutpu.codec.ops.entropy import (encode_gop_scans_combined,
+    from flutpu.codec.ops.entropy import (compact_aligned_segments,
+                                          encode_gop_scans_combined,
+                                          encode_gop_scans_segmented,
                                           mcu_layout, stuff_and_finalize)
     from flutpu.codec.ops.testsrc import gradient_ball_frames
 
+    segmented = bool(os.environ.get("FLUTPU_SEGMENTED"))
     enc = JpegEncoder(quality=QUALITY, engine="auto")
     layout = mcu_layout(PW // 8, PH // 8, PW // 16, PH // 16, True)
     full_prefix = enc.PREFIX_WORDS
+    n_segs = (layout.n_blocks + enc.SEG_G - 1) // enc.SEG_G
+    seg_words = enc.SEG_WORDS0
     hdr = jpeg_headers(H, W, enc.qy, enc.qc, True)
 
     # the whole GOP — frame synthesis, convert/DCT/quant, entropy pack —
     # as ONE device program: a single dispatch + a single fetch per GOP
     # (the axon host link charges ~25 ms per round trip)
-    @functools.partial(jax.jit, static_argnames=("prefix",))
-    def gop_program(start, qy, qc, prefix=full_prefix):
+    @functools.partial(jax.jit, static_argnames=("prefix", "sw"))
+    def gop_program(start, qy, qc, prefix=full_prefix, sw=None):
         frames = gradient_ball_frames(PH, PW, GOP, start)
         yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=PH,
                                            pad_w=PW, subsample=True)
+        if sw is not None:
+            return encode_gop_scans_segmented(
+                yq, cbq, crq, layout=layout, prefix_words=prefix,
+                seg_words=sw, interpret=not enc.use_pallas)
         return encode_gop_scans_combined(
             yq, cbq, crq, layout=layout, prefix_words=prefix,
             use_pallas=enc.use_pallas)
 
     def finalize(combined, prefix) -> list:
         arr = np.asarray(combined)  # the one transfer
+        if segmented:
+            used = arr[:, 0].astype(np.int64)
+            assert (used <= prefix).all(), "prefix overflow in bench"
+            segbits = arr[:, 1:1 + n_segs].astype(np.int64)
+            assert (segbits <= seg_words * 32).all(), "segment overflow"
+            out = []
+            for i in range(arr.shape[0]):
+                stream, total = compact_aligned_segments(
+                    segbits[i], arr[i, 1 + n_segs:])
+                out.append(hdr + stuff_and_finalize(stream, total)
+                           + b"\xff\xd9")
+            return out
         bits = arr[:, 0].astype(np.int64)
         assert (bits <= prefix * 32).all(), "prefix overflow in bench"
         return [hdr + stuff_and_finalize(arr[i, 1:], int(bits[i])) + b"\xff\xd9"
@@ -100,8 +121,29 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     # window (fetch only what the content actually uses — round-3 tight
     # margin, see JpegEncoder._prefix_estimate)
     t0 = time.time()
-    first = np.asarray(gop_program(jnp.float32(0), enc._qy_dev, enc._qc_dev))
-    used = int((first[:, 0].astype(np.int64).max() + 31) // 32)
+    sw = seg_words if segmented else None
+    first = np.asarray(gop_program(jnp.float32(0), enc._qy_dev, enc._qc_dev,
+                                   sw=sw))
+    if segmented:
+        while first[:, 1:1 + n_segs].astype(np.int64).max() > seg_words * 32:
+            seg_words *= 2
+            sw = seg_words
+            first = np.asarray(gop_program(jnp.float32(0), enc._qy_dev,
+                                           enc._qc_dev, sw=sw))
+        # content drifts GOP to GOP (the ball moves): size the staging
+        # capacity with 1.5x headroom over GOP 0's densest segment —
+        # capacity costs VMEM only, never fetch bytes
+        maxw0 = int((first[:, 1:1 + n_segs].astype(np.int64).max()
+                     + 31) // 32)
+        grown = _pad_to(max(seg_words, int(maxw0 * 1.5) + 8), 8)
+        if grown != seg_words:
+            seg_words = grown
+            sw = seg_words
+            first = np.asarray(gop_program(jnp.float32(0), enc._qy_dev,
+                                           enc._qc_dev, sw=sw))
+        used = int(first[:, 0].astype(np.int64).max())
+    else:
+        used = int((first[:, 0].astype(np.int64).max() + 31) // 32)
     # derive the window through the encoder's own policy so the program
     # this warms is byte-for-byte the one the product path dispatches
     # (a hand-copied formula drifted in round 3 and reintroduced a
@@ -110,7 +152,7 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     prefix = min(full_prefix, enc._prefix_estimate() or full_prefix)
     payloads = finalize(
         gop_program(jnp.float32(0), enc._qy_dev, enc._qc_dev,
-                    prefix=prefix), prefix)
+                    prefix=prefix, sw=sw), prefix)
     report(f"compile+first GOP: {time.time() - t0:.2f}s; "
            f"bytes/frame ~{int(np.mean([len(p) for p in payloads]))}; "
            f"adaptive prefix {prefix}/{full_prefix} words")
@@ -127,7 +169,7 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     futs = []
     for g in range(n_gops):
         combined = gop_program(jnp.float32(g * GOP), enc._qy_dev,
-                               enc._qc_dev, prefix=prefix)
+                               enc._qc_dev, prefix=prefix, sw=sw)
         futs.append(pool.submit(finalize, combined, prefix))
         if len(futs) >= 3:
             payloads = futs.pop(0).result()
@@ -140,6 +182,62 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     dt = time.time() - t0
     pool.shutdown()
     return done / dt
+
+
+def measure_device_ms_per_gop(reps: int = 8):
+    """Load-independent companion metric (round-4 verdict #7): device
+    time per GOP measured with the rep loop INSIDE one program reduced to
+    a scalar checksum — the only timing shape that forces execution on
+    the axon link (CLAUDE.md) — minus a tiny-op fetch (the RTT floor).
+    Distinguishes a code regression from shared-chip tenant load, which
+    only moves the throughput band."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from flutpu.codec.jpeg import JpegEncoder
+    from flutpu.codec.jpeg import encode_gop_to_coefs
+    from flutpu.codec.ops.entropy import (encode_gop_scans_combined,
+                                          encode_gop_scans_segmented,
+                                          mcu_layout)
+    from flutpu.codec.ops.testsrc import gradient_ball_frames
+
+    segmented = bool(os.environ.get("FLUTPU_SEGMENTED"))
+    enc = JpegEncoder(quality=QUALITY, engine="auto")
+    layout = mcu_layout(PW // 8, PH // 8, PW // 16, PH // 16, True)
+    prefix = 24576  # fixed window: comparable across rounds/content drift
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def device_loop(start, qy, qc, reps=reps):
+        def body(i, acc):
+            frames = gradient_ball_frames(
+                PH, PW, GOP, start + i.astype(jnp.float32) * GOP)
+            yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=PH,
+                                               pad_w=PW, subsample=True)
+            if segmented:
+                c = encode_gop_scans_segmented(
+                    yq, cbq, crq, layout=layout, prefix_words=prefix,
+                    seg_words=enc.SEG_WORDS0,
+                    interpret=not enc.use_pallas)
+            else:
+                c = encode_gop_scans_combined(
+                    yq, cbq, crq, layout=layout, prefix_words=prefix,
+                    use_pallas=enc.use_pallas)
+            return acc + c.astype(jnp.uint32).sum()
+        return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
+    @jax.jit
+    def tiny(x):
+        return (x @ x).sum()
+
+    x8 = jnp.ones((8, 8), jnp.float32)
+    float(tiny(x8))                       # warm
+    int(device_loop(jnp.float32(0), enc._qy_dev, enc._qc_dev))  # compile
+    t0 = time.time()
+    float(tiny(x8))
+    rtt = time.time() - t0
+    t0 = time.time()
+    int(device_loop(jnp.float32(0), enc._qy_dev, enc._qc_dev))
+    return max(0.0, (time.time() - t0 - rtt)) / reps * 1000.0
 
 
 def run_pipeline_cpu(n_gops: int) -> float:
@@ -228,6 +326,16 @@ def main():
         return
     report(f"{backend} fps: {fps:.1f}")
 
+    # load-independent device-time companion (verdict r3 #7); never let
+    # its failure take down the headline record
+    device_ms = None
+    if backend != "cpu":
+        try:
+            device_ms = round(measure_device_ms_per_gop(), 1)
+        except Exception as e:
+            report(f"device_ms_per_gop failed: {e}")
+    report(f"device_ms_per_gop: {device_ms}")
+
     # measured CPU baseline (same contracts, CPU backend) in a subprocess
     cpu_fps = None
     try:
@@ -243,12 +351,15 @@ def main():
     report(f"cpu baseline fps: {cpu_fps}")
 
     vs = round(fps / cpu_fps, 3) if cpu_fps else None
-    print(json.dumps({
+    out = {
         "metric": "1080p_encode_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": vs,
-    }))
+    }
+    if device_ms is not None:
+        out["device_ms_per_gop"] = device_ms
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

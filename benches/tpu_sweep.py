@@ -203,6 +203,94 @@ def main():
 
     fence("headline", phase_headline)
 
+    # ---- 3b. round-4 segment layout A/B ---------------------------------
+    # Device-only: the segmented program (grouped pack + word-aligned
+    # segment placement, NO block concat) vs the winner above. Then the
+    # full throughput shape including the host compaction on the worker
+    # pool — the honest comparison, since segments trade device concat
+    # for host compaction + ~6% fetch.
+    def phase_segment_device():
+        n_segs = (layout.n_blocks + 15) // 16
+
+        def make_prog(sw):
+            @functools.partial(jax.jit, static_argnames=("pfx",))
+            def p_seg(start, pfx=prefix):
+                yq, cbq, crq = coefs(start)
+                return E.encode_gop_scans_segmented(
+                    yq, cbq, crq, layout=layout, prefix_words=pfx,
+                    seg_words=sw,
+                    interpret=jax.default_backend() == "cpu") \
+                    .astype(jnp.uint32).sum()
+            return p_seg
+
+        sw = 64
+        while sw <= 832:
+            try:
+                timed(make_prog(sw), f"seg_full_sw={sw}", n_segs=n_segs)
+                break
+            except Exception:
+                sw *= 2
+        log(stage="seg_device_vs_v3", v3_ms=results.get((True, "v3")),
+            note="compare seg_full_sw row against entropy_variants")
+
+    fence("segment_device", phase_segment_device)
+
+    def phase_headline_seg():
+        from concurrent.futures import ThreadPoolExecutor
+        from flutpu.codec.ops.entropy import (compact_aligned_segments,
+                                              stuff_and_finalize)
+        full_prefix = enc.PREFIX_WORDS
+        n_segs = (layout.n_blocks + 15) // 16
+
+        @functools.partial(jax.jit, static_argnames=("pfx", "sw"))
+        def gop_program(start, pfx=full_prefix, sw=64):
+            yq, cbq, crq = coefs(start)
+            return E.encode_gop_scans_segmented(
+                yq, cbq, crq, layout=layout, prefix_words=pfx, seg_words=sw,
+                interpret=jax.default_backend() == "cpu")
+
+        sw = 64
+        first = np.asarray(gop_program(jnp.float32(0)))
+        while first[:, 1:1 + n_segs].astype(np.int64).max() > sw * 32 \
+                and sw <= 832:
+            sw *= 2
+            first = np.asarray(gop_program(jnp.float32(0), sw=sw))
+        used = int(first[:, 0].astype(np.int64).max())
+        pfx = min(full_prefix,
+                  max(8192, ((int(used * 1.25) + 1024 + 4095) // 4096)
+                      * 4096))
+
+        def finalize(arr):
+            segbits = arr[:, 1:1 + n_segs].astype(np.int64)
+            assert (arr[:, 0].astype(np.int64) <= pfx).all()
+            for i in range(arr.shape[0]):
+                stream, total = compact_aligned_segments(
+                    segbits[i], arr[i, 1 + n_segs:])
+                stuff_and_finalize(stream, total)
+
+        np.asarray(gop_program(jnp.float32(0), pfx=pfx, sw=sw))
+        n_gops = 40 if not os.environ.get("FLUTPU_SWEEP_SMALL") else 4
+        pool = ThreadPoolExecutor(max_workers=2)
+        t0 = time.time()
+        futs = []
+        done = 0
+        for g in range(n_gops):
+            combined = gop_program(jnp.float32(g * GOP), pfx=pfx, sw=sw)
+            futs.append(pool.submit(
+                lambda c: finalize(np.asarray(c)), combined))
+            if len(futs) >= 3:
+                futs.pop(0).result()
+                done += GOP
+        for fu in futs:
+            fu.result()
+            done += GOP
+        fps = done / (time.time() - t0)
+        pool.shutdown()
+        log(metric="headline_1080p_fps_SEGMENTED", value=round(fps, 1),
+            seg_words=sw, adaptive_prefix=pfx)
+
+    fence("headline_segmented", phase_headline_seg)
+
     # ---- 4. configs 5 + 6 ---------------------------------------------
     def phase_cfg56():
         import bench_all as BA
