@@ -143,15 +143,14 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     # the fused Pallas search+predict kernel replaces the 225-roll XLA
     # loops on accelerator backends (measured ~200 of ~290 ms/GOP at
     # 1080p); it is bit-identical to motion_search + motion_compensate.
-    # hier/subpel arms and CPU keep the XLA formulation. Mosaic BlockSpec
-    # lane dims must be (8, 128)-tile aligned (CLAUDE.md lowering rules),
-    # so widths that are not a multiple of 128 (720, 480, ...) also take
-    # the XLA arm instead of risking a lowering failure / silent
-    # mis-lowering on hardware.
+    # The round-4 hier kernel (coarse-to-fine with candidate skipping,
+    # bit-identical to motion_search_hier + motion_compensate) covers
+    # search=hier; subpel and CPU keep the XLA formulation. The kernels
+    # lane-pad internally, so width alignment no longer gates them.
     # (FLUTPU_NO_MOTION_KERNEL=1 forces the XLA arm for A/Bs.)
     import os
-    use_kernel = (jax.default_backend() != "cpu" and not hier
-                  and not subpel and pad_w % 128 == 0
+    use_kernel = (jax.default_backend() != "cpu"
+                  and not subpel
                   and not os.environ.get("FLUTPU_NO_MOTION_KERNEL"))
 
     def step(carry, xs):
@@ -160,12 +159,15 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         if use_kernel:
             from .ops.motion_pallas import (chroma_mc_fits,
                                             chroma_mc_pallas,
+                                            motion_search_mc_hier_pallas,
                                             motion_search_mc_pallas)
-            mv, pred_p_y = motion_search_mc_pallas(
-                cy, rec_y, search_range=search_range)
+            ksearch = motion_search_mc_hier_pallas if hier \
+                else motion_search_mc_pallas
+            mv, pred_p_y = ksearch(cy, rec_y, search_range=search_range)
             # both chroma planes in ONE VMEM kernel (64 in-VMEM rolls
             # instead of 2x64 HBM whole-plane rolls; bit-identical).
-            # Whole planes must fit VMEM (1080p yes, 4K no — XLA arm).
+            # Band-split (round 4): 4K planes ride VMEM too; the gate is
+            # now only grid alignment (wc%64, hc%8).
             # FLUTPU_NO_CHROMA_KERNEL=1 forces the XLA arm for A/Bs.
             if os.environ.get("FLUTPU_NO_CHROMA_KERNEL") or \
                     not chroma_mc_fits(pad_h // 2, pad_w // 2):

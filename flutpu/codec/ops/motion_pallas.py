@@ -126,19 +126,29 @@ def motion_search_mc_pallas(cur_y: jax.Array, prev_y: jax.Array,
     pred (H, W) f32). Bit-identical to
     motion_search + motion_compensate (wrap-around edges, same tie
     order)."""
-    h, w = cur_y.shape
-    if w % 128:
-        # cur/pred/onest BlockSpecs use w as the lane dim; Mosaic requires
-        # (8, 128)-tile-aligned lane dims — callers gate on this and fall
-        # back to the XLA formulation (see fvc_mc_encode_chunk)
-        raise ValueError(f"motion_search_mc_pallas needs w % 128 == 0 "
-                         f"(got {w}); use the XLA motion_search path")
+    h, w_real = cur_y.shape
     rng = search_range
+    # Lane alignment: cur/pred/onest BlockSpecs use the width as the lane
+    # dim, which Mosaic requires (8, 128)-tile-aligned. Non-multiple
+    # widths (e.g. the 960-wide pooled frames of the hier coarse level)
+    # are zero-padded AFTER the wrap-pad of the reference, so wrap
+    # semantics stay those of the REAL width: the post-roll read of real
+    # column i sources padded column i + (rng - dx) <= w_real-1 + 2*rng
+    # < w_real + 2*rng, never a zero-pad lane. Pad macroblock columns see
+    # zero cur and the ones matrix's zero columns; their mv/pred lanes
+    # are sliced off below.
+    w = -(-w_real // 128) * 128
+    cur_pad = cur_y.astype(jnp.float32)
+    if w != w_real:
+        cur_pad = jnp.pad(cur_pad, ((0, 0), (0, w - w_real)))
     mbh, mbw = h // mb, w // mb
+    mbw_real = w_real // mb
 
     # wrap-padded reference: roll semantics as pure dynamic slices
     prevp = jnp.pad(prev_y.astype(jnp.float32),
                     ((rng, rng), (rng, rng)), mode="wrap")
+    if w != w_real:
+        prevp = jnp.pad(prevp, ((0, 0), (0, w - w_real)))
 
     # split into horizontal bands so cur + padded prev + pred fit VMEM
     g = mbh
@@ -153,7 +163,7 @@ def motion_search_mc_pallas(cur_y: jax.Array, prev_y: jax.Array,
     # is zero-padded up to (8, 128) tile multiples: tpu.dynamic_rotate
     # requires aligned shapes, and the post-roll [:rows, :w] slice never
     # reaches the wrapped-in tail (shift <= 2*rng <= the padding + halo).
-    cur_b = cur_y.astype(jnp.float32).reshape(g, rows, w)
+    cur_b = cur_pad.reshape(g, rows, w)
     idx = (jnp.arange(g) * rows)[:, None] + jnp.arange(rows + 2 * rng)[None]
     prevp_b = prevp[idx]                       # (g, rows+2R, w+2R)
     pr = -(rows + 2 * rng) % 8
@@ -202,9 +212,187 @@ def motion_search_mc_pallas(cur_y: jax.Array, prev_y: jax.Array,
         interpret=interpret,
     )(cur_b, prevp_b, ones, onest)
 
-    mv = jnp.stack([mvy[:, :mbr, :mbw].reshape(mbh, mbw),
-                    mvx[:, :mbr, :mbw].reshape(mbh, mbw)], axis=-1)
-    return mv, pred.reshape(h, w)
+    mv = jnp.stack([mvy[:, :mbr, :mbw_real].reshape(mbh, mbw_real),
+                    mvx[:, :mbr, :mbw_real].reshape(mbh, mbw_real)],
+                   axis=-1)
+    return mv, pred.reshape(h, w)[:, :w_real]
+
+
+def _refine_mc_kernel(cur_ref, prevp_ref, by_ref, bx_ref, ones_ref,
+                      onest_ref, mvy_ref, mvx_ref, pred_ref,
+                      *, rows, w, rng, mb):
+    """Hier refine (round 4): evaluate only the candidates ADJACENT to
+    some macroblock's coarse base vector; whole-band candidates that no
+    macroblock wants are skipped via lax.cond — on smooth motion most of
+    the (2r+1)^2 grid never rolls. Carries stay functional (best/mv/pred
+    are fori state, written to refs once at the end) so the cond body has
+    no ref effects. Contract: bit-identical vectors+prediction to
+    ops.motion.motion_search_hier + motion_compensate (refine cost is
+    PLAIN SAD — the XLA hier refine carries no center tie bias — and the
+    absolute row-major candidate order equals the XLA (oy, ox) order
+    per macroblock since its base is fixed)."""
+    n = 2 * rng + 1
+    mbr = rows // mb
+    mbr_p = mvy_ref.shape[0]
+    mbw = ones_ref.shape[1]
+
+    def shifted(c):
+        dy = c // n - rng
+        dx = c % n - rng
+        p0, p1 = prevp_ref.shape
+        r = pltpu.roll(prevp_ref[:], (p0 - (rng - dy)) % p0, axis=0)
+        r = pltpu.roll(r, (p1 - (rng - dx)) % p1, axis=1)
+        return r[:rows, :w]
+
+    by = by_ref[:mbr, :]
+    bx = bx_ref[:mbr, :]
+
+    def body(c, state):
+        dy = c // n - rng
+        dx = c % n - rng
+        adj = (jnp.abs(by - dy) <= 1) & (jnp.abs(bx - dx) <= 1)
+
+        def work(s):
+            best, my, mx, pred = s
+            sh = shifted(c)
+            d = jnp.abs(cur_ref[:] - sh)
+            s1 = d.reshape(mbr, mb, w).sum(axis=1)
+            sadv = jnp.dot(s1, ones_ref[:],
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+            better = adj & (sadv < best)
+            best = jnp.where(better, sadv, best)
+            my = jnp.where(better, dy, my)
+            mx = jnp.where(better, dx, mx)
+            bet_rows = jnp.dot(better.astype(jnp.float32), onest_ref[:],
+                               preferred_element_type=jnp.float32)
+            bet_map = jnp.broadcast_to(bet_rows[:, None, :],
+                                       (mbr, mb, w)).reshape(rows, w)
+            pred = jnp.where(bet_map > 0, sh, pred)
+            return best, my, mx, pred
+
+        return jax.lax.cond(jnp.any(adj), work, lambda s: s, state)
+
+    zero = jnp.zeros((mbr, mbw), jnp.int32)
+    best, my, mx, pred = jax.lax.fori_loop(
+        0, n * n, body,
+        (jnp.full((mbr, mbw), jnp.inf, jnp.float32), zero, zero,
+         jnp.zeros((rows, w), jnp.float32)))
+    if mbr_p > mbr:
+        padrows = jnp.zeros((mbr_p - mbr, mbw), jnp.int32)
+        my = jnp.concatenate([my, padrows], axis=0)
+        mx = jnp.concatenate([mx, padrows], axis=0)
+    mvy_ref[:] = my
+    mvx_ref[:] = mx
+    pred_ref[:] = pred
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("search_range", "mb", "interpret"))
+def motion_search_mc_hier_pallas(cur_y: jax.Array, prev_y: jax.Array,
+                                 search_range: int = 7, mb: int = 16,
+                                 interpret: bool = False):
+    """Coarse-to-fine search + prediction, fully in-kernel (the round-4
+    `search=hier` TPU arm). Coarse: the full-search kernel on
+    2x2-mean-pooled frames (±r//2, 8x8 blocks — ~1/18 the roll work of
+    the 225-candidate full search). Refine: ±1 around the upscaled base
+    with whole-band candidates skipped unless some macroblock needs them.
+    Bit-identical to ops.motion.motion_search_hier + motion_compensate
+    (all sums are integer-valued f32 < 2^24, so summation order cannot
+    split the arms)."""
+    h, w_real = cur_y.shape
+    rng = search_range
+
+    def pool(x):
+        return x.reshape(h // 2, 2, w_real // 2, 2).mean(axis=(1, 3))
+
+    coarse, _ = motion_search_mc_pallas(
+        pool(cur_y.astype(jnp.float32)), pool(prev_y.astype(jnp.float32)),
+        search_range=max(1, rng // 2), mb=mb // 2, interpret=interpret)
+    base = jnp.clip(coarse * 2, -(rng - 1), rng - 1)  # (mbh, mbw, 2)
+
+    # band split + padding: mirror motion_search_mc_pallas
+    w = -(-w_real // 128) * 128
+    cur_pad = cur_y.astype(jnp.float32)
+    if w != w_real:
+        cur_pad = jnp.pad(cur_pad, ((0, 0), (0, w - w_real)))
+    mbh, mbw = h // mb, w // mb
+    mbw_real = w_real // mb
+    prevp = jnp.pad(prev_y.astype(jnp.float32),
+                    ((rng, rng), (rng, rng)), mode="wrap")
+    if w != w_real:
+        prevp = jnp.pad(prevp, ((0, 0), (0, w - w_real)))
+    g = mbh
+    for cand in range(1, mbh + 1):
+        if mbh % cand == 0 and \
+                (h // cand) * (w + 2 * rng) * 4 * 4 < 10 * 2 ** 20:
+            g = cand
+            break
+    rows = h // g
+    cur_b = cur_pad.reshape(g, rows, w)
+    idx = (jnp.arange(g) * rows)[:, None] + jnp.arange(rows + 2 * rng)[None]
+    prevp_b = prevp[idx]
+    pr = -(rows + 2 * rng) % 8
+    pc = -(w + 2 * rng) % 128
+    if pr or pc:
+        prevp_b = jnp.pad(prevp_b, ((0, 0), (0, pr), (0, pc)))
+    prows, pcols = rows + 2 * rng + pr, w + 2 * rng + pc
+
+    mbw_p = -(-mbw // 128) * 128
+    mbr = rows // mb
+    mbr_p = -(-mbr // 8) * 8
+    ones_np = _ones_blockdiag(w, mb)
+    ones = jnp.asarray(np.pad(ones_np, ((0, 0), (0, mbw_p - mbw))))
+    onest = jnp.asarray(np.pad(ones_np.T, ((0, mbw_p - mbw), (0, 0))))
+
+    # per-band base vectors, sublane/lane padded (input blocks obey the
+    # same tiling rules as outputs — pad rows to 8, lanes to 128)
+    base_b = base.reshape(g, mbr, mbw_real, 2)
+    base_b = jnp.pad(base_b, ((0, 0), (0, mbr_p - mbr),
+                              (0, mbw_p - mbw_real), (0, 0)))
+    by_b = base_b[..., 0].astype(jnp.int32)
+    bx_b = base_b[..., 1].astype(jnp.int32)
+
+    kernel = functools.partial(_refine_mc_kernel, rows=rows, w=w,
+                               rng=rng, mb=mb)
+    grid_spec = pl.GridSpec(
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, prows, pcols), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((w, mbw_p), lambda i: (0, 0)),
+            pl.BlockSpec((mbw_p, w), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0)),
+        ],
+    )
+
+    def kernel3d(cur_ref, prevp_ref, by_ref, bx_ref, ones_ref, onest_ref,
+                 mvy_ref, mvx_ref, pred_ref):
+        kernel(cur_ref.at[0], prevp_ref.at[0], by_ref.at[0], bx_ref.at[0],
+               ones_ref, onest_ref, mvy_ref.at[0], mvx_ref.at[0],
+               pred_ref.at[0])
+
+    mvy, mvx, pred = pl.pallas_call(
+        kernel3d,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((g, mbr_p, mbw_p), jnp.int32),
+            jax.ShapeDtypeStruct((g, mbr_p, mbw_p), jnp.int32),
+            jax.ShapeDtypeStruct((g, rows, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cur_b, prevp_b, by_b, bx_b, ones, onest)
+
+    mv = jnp.stack([mvy[:, :mbr, :mbw_real].reshape(mbh, mbw_real),
+                    mvx[:, :mbr, :mbw_real].reshape(mbh, mbw_real)],
+                   axis=-1)
+    return mv, pred.reshape(h, w)[:, :w_real]
 
 
 @functools.lru_cache()
@@ -248,14 +436,15 @@ def _chroma_mc_kernel(prevp_ref, dyh_ref, dxh_ref, onest_ref, pred_ref,
 
 
 def chroma_mc_fits(hc: int, wc: int) -> bool:
-    """True when a whole (hc, wc) chroma plane fits the kernel's VMEM
-    working set (padded prev + pred + roll/mask temps ≈ 4 plane-sized
-    f32 arrays). 1080p (544×960) fits comfortably; 4K (1080×1920) does
-    not — callers fall back to the XLA rolls arm there (the kernel has
-    no band split: a band's macroblock rows would need sublane-aligned
-    BlockSpec slices of the mv grid, 8 mb-rows per 64 plane rows)."""
-    wcp = -(-wc // 128) * 128
-    return 4 * hc * wcp * 4 < 11 * 2 ** 20
+    """True when the chroma MC kernel supports the plane geometry. Since
+    the round-4 band split (64-row bands = 8 sublane-aligned mv rows per
+    band), any plane fits VMEM — only the 8/64 alignment of the grid
+    remains. 4K (1080x1920) now rides the kernel instead of the XLA
+    rolls arm."""
+    return wc % 64 == 0 and hc % 8 == 0
+
+
+_CHROMA_BAND = 64  # chroma rows per band = 8 mv rows (sublane-aligned)
 
 
 @functools.partial(jax.jit, static_argnames=("search_range", "interpret"))
@@ -264,9 +453,16 @@ def chroma_mc_pallas(prev_cb: jax.Array, prev_cr: jax.Array, mv: jax.Array,
     """Fused 4:2:0 chroma motion compensation for BOTH planes: the
     floor-halved luma vectors collapse onto (r//2 - (-(r+1)//2) + 1)^2
     distinct shifts (r=7: 64); each shift is one VMEM `pltpu.roll` of the
-    wrap-padded plane instead of an HBM whole-plane roll. Bit-identical
+    wrap-padded band instead of an HBM whole-plane roll. Bit-identical
     to ops.motion.motion_compensate(prev, mv, mb=8) (the scale!=1 arm):
     pure selection, no arithmetic on pixel values.
+
+    Round 4: planes process in 64-row BANDS (grid = planes x bands), so
+    the working set is band-sized and 4K chroma (1080x1920) rides VMEM —
+    the round-3 whole-plane kernel fell back to XLA there. Each band's
+    8 mv rows are a sublane-aligned block slice (the CLAUDE.md rule that
+    blocked banding is satisfied by construction: 8 mv rows per 64 plane
+    rows).
 
     prev_cb/prev_cr: (H/2, W/2) f32; mv: (H/16, W/16, 2) int luma-grid
     vectors. Returns (pred_cb, pred_cr)."""
@@ -281,47 +477,62 @@ def chroma_mc_pallas(prev_cb: jax.Array, prev_cr: jax.Array, mv: jax.Array,
         raise ValueError(f"chroma_mc_pallas needs wc % 64 == 0 and "
                          f"hc % 8 == 0 (got {hc}x{wc})")
 
+    g = -(-hc // _CHROMA_BAND)            # bands per plane
+    hc_p = g * _CHROMA_BAND
+    mbh_p = hc_p // 8
+
     dyh = (mv[..., 0].astype(jnp.int32)) // 2
     dxh = (mv[..., 1].astype(jnp.int32)) // 2
     mbw_p = -(-mbw // 128) * 128
-    dyh = jnp.pad(dyh, ((0, 0), (0, mbw_p - mbw)))
-    dxh = jnp.pad(dxh, ((0, 0), (0, mbw_p - mbw)))
+    dyh = jnp.pad(dyh, ((0, mbh_p - mbh), (0, mbw_p - mbw)))
+    dxh = jnp.pad(dxh, ((0, mbh_p - mbh), (0, mbw_p - mbw)))
+    dyh_b = dyh.reshape(g, 8, mbw_p)
+    dxh_b = dxh.reshape(g, 8, mbw_p)
 
-    # wrap-pad ±R (roll semantics as in-VMEM rolls + static slice), then
-    # zero-pad to (8, 128) tile multiples for tpu.dynamic_rotate
+    # wrap-pad ±R on the REAL plane (wrap semantics of the full plane),
+    # then slice each band's rows [b*64, b*64 + 64 + 2R) and zero-pad to
+    # (8, 128) tile multiples for tpu.dynamic_rotate
     prevp = jnp.stack([
         jnp.pad(prev_cb.astype(jnp.float32), ((R, R), (R, R)), mode="wrap"),
         jnp.pad(prev_cr.astype(jnp.float32), ((R, R), (R, R)), mode="wrap"),
     ])
-    pr = -(hc + 2 * R) % 8
+    if hc_p != hc:
+        prevp = jnp.pad(prevp, ((0, 0), (0, hc_p - hc), (0, 0)))
+    idx = (jnp.arange(g) * _CHROMA_BAND)[:, None] \
+        + jnp.arange(_CHROMA_BAND + 2 * R)[None]
+    prevp_b = prevp[:, idx]               # (2, g, 64+2R, wc+2R)
+    pr = -(_CHROMA_BAND + 2 * R) % 8
     pc = -(wc + 2 * R) % 128
     if pr or pc:
-        prevp = jnp.pad(prevp, ((0, 0), (0, pr), (0, pc)))
-    p0, p1 = hc + 2 * R + pr, wc + 2 * R + pc
+        prevp_b = jnp.pad(prevp_b, ((0, 0), (0, 0), (0, pr), (0, pc)))
+    p0, p1 = _CHROMA_BAND + 2 * R + pr, wc + 2 * R + pc
     wcp = -(-wc // 128) * 128
 
     onest = jnp.asarray(_onest_chroma(wc, mbw_p))
-    kernel = functools.partial(_chroma_mc_kernel, hc=hc, wcp=wcp,
-                               m=m, lo=lo, R=R)
+    kernel = functools.partial(_chroma_mc_kernel, hc=_CHROMA_BAND,
+                               wcp=wcp, m=m, lo=lo, R=R)
 
-    def kernel3d(prevp_ref, dyh_ref, dxh_ref, onest_ref, pred_ref):
-        kernel(prevp_ref.at[0], dyh_ref, dxh_ref, onest_ref,
-               pred_ref.at[0])
+    def kernel4d(prevp_ref, dyh_ref, dxh_ref, onest_ref, pred_ref):
+        kernel(prevp_ref.at[0, 0], dyh_ref.at[0], dxh_ref.at[0],
+               onest_ref, pred_ref.at[0, 0])
 
     grid_spec = pl.GridSpec(
-        grid=(2,),
+        grid=(2, g),
         in_specs=[
-            pl.BlockSpec((1, p0, p1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((mbh, mbw_p), lambda i: (0, 0)),
-            pl.BlockSpec((mbh, mbw_p), lambda i: (0, 0)),
-            pl.BlockSpec((mbw_p, wcp), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, p0, p1), lambda i, b: (i, b, 0, 0)),
+            pl.BlockSpec((1, 8, mbw_p), lambda i, b: (b, 0, 0)),
+            pl.BlockSpec((1, 8, mbw_p), lambda i, b: (b, 0, 0)),
+            pl.BlockSpec((mbw_p, wcp), lambda i, b: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, hc, wcp), lambda i: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 1, _CHROMA_BAND, wcp),
+                                lambda i, b: (i, b, 0, 0))],
     )
     pred = pl.pallas_call(
-        kernel3d,
+        kernel4d,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((2, hc, wcp), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((2, g, _CHROMA_BAND, wcp),
+                                        jnp.float32)],
         interpret=interpret,
-    )(prevp, dyh, dxh, onest)[0]
-    return pred[0, :, :wc], pred[1, :, :wc]
+    )(prevp_b, dyh_b, dxh_b, onest)[0]
+    pred = pred.reshape(2, hc_p, wcp)
+    return pred[0, :hc, :wc], pred[1, :hc, :wc]
