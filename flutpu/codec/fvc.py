@@ -231,17 +231,24 @@ def fvc_accumulate(ry, rcb, rcr):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "pad_h", "pad_w", "subsample", "layout", "prefix_words", "use_pallas"))
+    "pad_h", "pad_w", "subsample", "layout", "prefix_words", "use_pallas",
+    "seg_words"))
 def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
-                        prefix_words, use_pallas):
+                        prefix_words, use_pallas, seg_words=None):
     """ONE fused device program per GOP: convert → DCT → quantize →
     temporal residuals → entropy pack → combined (bits + prefix) output.
     A single dispatch + single fetch is the difference between 1.5 and
-    ~50 fps on high-latency host links (see PERF.md)."""
-    from .ops.entropy import encode_gop_scans_combined
+    ~50 fps on high-latency host links (see PERF.md). ``seg_words``
+    selects the round-4 segment layout (see jpeg._gop_dispatch_program)."""
+    from .ops.entropy import (encode_gop_scans_combined,
+                              encode_gop_scans_segmented)
     coefs = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
                                 subsample=subsample)
     ry, rcb, rcr = fvc_residuals(*coefs)
+    if seg_words is not None:
+        return encode_gop_scans_segmented(
+            ry, rcb, rcr, layout=layout, prefix_words=prefix_words,
+            seg_words=seg_words, interpret=not use_pallas)
     return encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
                                      prefix_words=prefix_words,
                                      use_pallas=use_pallas)
@@ -249,20 +256,26 @@ def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "pad_h", "pad_w", "search_range", "layout", "prefix_words",
-    "use_pallas", "hier", "subpel", "planar"))
+    "use_pallas", "hier", "subpel", "planar", "seg_words"))
 def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
                         prefix_words, use_pallas, hier=False, subpel=False,
-                        planar=None):
+                        planar=None, seg_words=None):
     """v1 program with the motion-compensated hybrid loop; motion vectors
     are bitcast into extra uint32 columns of the combined output so the
     whole GOP is still ONE fetch."""
-    from .ops.entropy import encode_gop_scans_combined
+    from .ops.entropy import (encode_gop_scans_combined,
+                              encode_gop_scans_segmented)
     ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
         frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
         search_range=search_range, hier=hier, subpel=subpel, planar=planar)
-    combined = encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
-                                         prefix_words=prefix_words,
-                                         use_pallas=use_pallas)
+    if seg_words is not None:
+        combined = encode_gop_scans_segmented(
+            ry, rcb, rcr, layout=layout, prefix_words=prefix_words,
+            seg_words=seg_words, interpret=not use_pallas)
+    else:
+        combined = encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
+                                             prefix_words=prefix_words,
+                                             use_pallas=use_pallas)
     f = mvs.shape[0]
     flat = mvs.reshape(f, -1)
     pad = (-flat.shape[1]) % 4
@@ -276,9 +289,10 @@ def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "src_fn", "n", "pad_h", "pad_w", "subsample", "layout", "prefix_words",
-    "use_pallas"))
+    "use_pallas", "seg_words"))
 def _fvc_gop_program_v1_src(start, qy, qc, src_fn, n, pad_h, pad_w,
-                            subsample, layout, prefix_words, use_pallas):
+                            subsample, layout, prefix_words, use_pallas,
+                            seg_words=None):
     """v1 program with an on-device frame source fused in (one dispatch
     per GOP instead of source + encode — see jpeg._gop_dispatch_program_src
     for the link-latency rationale)."""
@@ -286,21 +300,23 @@ def _fvc_gop_program_v1_src(start, qy, qc, src_fn, n, pad_h, pad_w,
     return _fvc_gop_program_v1(frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
                                subsample=subsample, layout=layout,
                                prefix_words=prefix_words,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, seg_words=seg_words)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "src_fn", "n", "pad_h", "pad_w", "search_range", "layout",
-    "prefix_words", "use_pallas", "hier", "subpel", "planar"))
+    "prefix_words", "use_pallas", "hier", "subpel", "planar", "seg_words"))
 def _fvc_gop_program_v2_src(start, qy, qc, src_fn, n, pad_h, pad_w,
                             search_range, layout, prefix_words, use_pallas,
-                            hier=False, subpel=False, planar=None):
+                            hier=False, subpel=False, planar=None,
+                            seg_words=None):
     frames = src_fn(pad_h, pad_w, n, start)
     return _fvc_gop_program_v2(frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
                                search_range=search_range, layout=layout,
                                prefix_words=prefix_words,
                                use_pallas=use_pallas, hier=hier,
-                               subpel=subpel, planar=planar)
+                               subpel=subpel, planar=planar,
+                               seg_words=seg_words)
 
 
 class FvcEncoder:
@@ -360,22 +376,26 @@ class FvcEncoder:
 
     def _device_dispatch(self, frames, ph: int, pw: int):
         """Non-blocking half: launch the fused GOP program; returns the
-        un-materialized combined array and the prefix window used."""
+        un-materialized combined array, the prefix window used and the
+        segment capacity (None = block-concat layout)."""
         sc = self._scan_coder
         layout, prefix = self._layout_prefix(ph, pw)
+        sw = sc._seg_words if sc.segmented else None
         dev = jnp.asarray(frames)
         if self.motion:
             combined = _fvc_gop_program_v2(
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
                 search_range=self.search_range, layout=layout,
                 prefix_words=prefix, use_pallas=sc.use_pallas,
-                hier=self.hier, subpel=self.subpel, planar=self.planar)
+                hier=self.hier, subpel=self.subpel, planar=self.planar,
+                seg_words=sw)
         else:
             combined = _fvc_gop_program_v1(
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
                 subsample=self.subsample, layout=layout,
-                prefix_words=prefix, use_pallas=sc.use_pallas)
-        return combined, prefix
+                prefix_words=prefix, use_pallas=sc.use_pallas,
+                seg_words=sw)
+        return combined, prefix, sw
 
     def encode_chunk_dispatch_src(self, src_fn, start, n: int, h: int,
                                   w: int):
@@ -387,23 +407,24 @@ class FvcEncoder:
         ph, pw = _pad_to(h, mult), _pad_to(w, mult)
         sc = self._scan_coder
         layout, prefix = self._layout_prefix(ph, pw)
+        sw = sc._seg_words if sc.segmented else None
         if self.motion:
             combined = _fvc_gop_program_v2_src(
                 start, self._qy_dev, self._qc_dev, src_fn, n,
                 pad_h=ph, pad_w=pw, search_range=self.search_range,
                 layout=layout, prefix_words=prefix,
                 use_pallas=sc.use_pallas, hier=self.hier,
-                subpel=self.subpel, planar=self.planar)
+                subpel=self.subpel, planar=self.planar, seg_words=sw)
         else:
             combined = _fvc_gop_program_v1_src(
                 start, self._qy_dev, self._qc_dev, src_fn, n,
                 pad_h=ph, pad_w=pw, subsample=self.subsample,
                 layout=layout, prefix_words=prefix,
-                use_pallas=sc.use_pallas)
+                use_pallas=sc.use_pallas, seg_words=sw)
         # full padded geometry (not cropped to h, w): the fallback re-encode
         # then pads to the identical content and stays bit-exact
         lazy = lambda: np.asarray(src_fn(ph, pw, n, start))
-        return ("dev", combined, prefix, lazy, n, h, w, ph, pw)
+        return ("dev", combined, prefix, sw, lazy, n, h, w, ph, pw)
 
     def _encode_device(self, frames: np.ndarray, ph: int, pw: int,
                        force_full: bool = False):
@@ -416,35 +437,62 @@ class FvcEncoder:
         if force_full:
             sc._prefix_used_words = None
             sc._prefix_window = None
-        combined, prefix = self._device_dispatch(frames, ph, pw)
-        return self._device_finalize(combined, prefix, frames, ph, pw,
+        combined, prefix, sw = self._device_dispatch(frames, ph, pw)
+        return self._device_finalize(combined, prefix, sw, frames, ph, pw,
                                      force_full=force_full)
 
-    def _device_finalize(self, combined, prefix: int, frames, ph: int,
+    def _device_finalize(self, combined, prefix: int, sw, frames, ph: int,
                          pw: int, force_full: bool = False):
-        """Blocking half: ONE fetch, overflow handling, extraction."""
-        from .ops.entropy import stuff_and_finalize
+        """Blocking half: ONE fetch, overflow handling, extraction.
+        ``sw`` = the segment capacity the dispatch compiled with (None =
+        block-concat layout)."""
+        from .ops.entropy import (compact_aligned_segments,
+                                  stuff_and_finalize)
+        from .jpeg import _pad_to as _p8
         sc = self._scan_coder
         arr = np.asarray(combined)
-        bits = arr[:, 0].astype(np.int64)
-        if (bits > prefix * 32).any():
+        layout, _ = self._layout_prefix(ph, pw)
+        n_segs = sc._n_segs(layout) if sw is not None else 0
+        scan_end = 1 + n_segs + prefix
+        if sw is not None:
+            used = arr[:, 0].astype(np.int64)
+            segbits = arr[:, 1:1 + n_segs].astype(np.int64)
+            overflow = (used > prefix).any() or (segbits > sw * 32).any()
+        else:
+            bits = arr[:, 0].astype(np.int64)
+            overflow = (bits > prefix * 32).any()
+        if overflow:
             sc._prefix_used_words = None   # spike: reset the estimate
             sc._prefix_window = None
+            if sw is not None and (segbits > sw * 32).any():
+                sc._seg_words = min(_p8(sw * 2, 8),
+                                    _p8(sc.SEG_G * sc.CAP_LADDER[-1] // 32,
+                                        8))
             if callable(frames):   # src-fused dispatch: re-synthesize
                 frames = frames()
             if not force_full:
                 _, full = self._layout_prefix(ph, pw)
-                if full > prefix:   # the window was adaptive — retry full
+                if full > prefix or                         (sw is not None and sc._seg_words > sw):
+                    # adaptive window/capacity — retry at the grown sizes
                     return self._encode_device(frames, ph, pw,
                                                force_full=True)
             return None, None, None
-        sc._note_prefix_usage((bits.max() + 31) // 32)
-        payloads = [stuff_and_finalize(arr[i, 1:1 + prefix], int(bits[i]))
-                    for i in range(arr.shape[0])]
+        if sw is not None:
+            sc._note_prefix_usage(int(used.max()))
+            payloads = []
+            for i in range(arr.shape[0]):
+                stream, total = compact_aligned_segments(
+                    segbits[i], arr[i, 1 + n_segs:scan_end])
+                payloads.append(stuff_and_finalize(stream, total))
+        else:
+            sc._note_prefix_usage((bits.max() + 31) // 32)
+            payloads = [stuff_and_finalize(arr[i, 1:1 + prefix],
+                                           int(bits[i]))
+                        for i in range(arr.shape[0])]
         mvs = itypes = None
         if self.motion:
             mv_len = (ph // 16) * (pw // 16) * 2
-            mvs = [np.frombuffer(arr[i, 1 + prefix:-1].tobytes(),
+            mvs = [np.frombuffer(arr[i, scan_end:-1].tobytes(),
                                  np.int8)[:mv_len].reshape(
                                      ph // 16, pw // 16, 2)
                    for i in range(arr.shape[0])]
@@ -483,15 +531,15 @@ class FvcEncoder:
         if self.motion and not self.subsample:
             raise ValueError("motion mode requires 4:2:0")
         if self.engine in ("device", "auto"):
-            combined, prefix = self._device_dispatch(frames, ph, pw)
-            return ("dev", combined, prefix, frames, f, h, w, ph, pw)
+            combined, prefix, sw = self._device_dispatch(frames, ph, pw)
+            return ("dev", combined, prefix, sw, frames, f, h, w, ph, pw)
         return ("host", frames, f, h, w, ph, pw)
 
     def encode_chunk_finalize(self, handle) -> bytes:
         if handle[0] == "dev":
-            _, combined, prefix, frames, f, h, w, ph, pw = handle
+            _, combined, prefix, sw, frames, f, h, w, ph, pw = handle
             payloads, mvs, itypes = self._device_finalize(
-                combined, prefix, frames, ph, pw)
+                combined, prefix, sw, frames, ph, pw)
             if payloads is None:
                 if self.engine == "device":
                     raise OverflowError("device entropy cap exceeded")

@@ -473,3 +473,34 @@ def test_planar_recon_flag_travels_and_decoder_follows_it():
     assert p_right >= p_base - 0.5
     # the mismatched decode can only be as good or worse
     assert p_right >= p_wrong - 1e-6
+
+
+class TestSegmentedLayout:
+    """Round-4 segment bitstream layout through the FVC encoder: chunks
+    must be byte-identical to the block-concat layout (the segment
+    compaction reproduces the exact scan bytes) for both v1 and motion
+    mode, and survive the capacity-overflow growth path."""
+
+    def test_v1_segmented_byte_identical(self):
+        frames = video(4)
+        std = FvcEncoder(quality=85)
+        seg = FvcEncoder(quality=85)
+        seg._scan_coder.segmented = True
+        assert std.encode_chunk(frames) == seg.encode_chunk(frames)
+
+    def test_motion_segmented_byte_identical(self):
+        frames = np.stack([np.asarray(f) for f in video(4)])
+        std = FvcEncoder(quality=85, motion=True)
+        seg = FvcEncoder(quality=85, motion=True)
+        seg._scan_coder.segmented = True
+        assert std.encode_chunk(frames) == seg.encode_chunk(frames)
+
+    def test_segmented_capacity_overflow_grows(self):
+        frames = (np.random.default_rng(7)
+                  .integers(0, 256, size=(2, 32, 32, 3)).astype(np.uint8))
+        std = FvcEncoder(quality=97)
+        seg = FvcEncoder(quality=97)
+        seg._scan_coder.segmented = True
+        seg._scan_coder._seg_words = 8
+        assert std.encode_chunk(frames) == seg.encode_chunk(frames)
+        assert seg._scan_coder._seg_words > 8
