@@ -86,11 +86,14 @@ def fvc_residuals(yq, cbq, crq):
 
 @functools.partial(jax.jit, static_argnames=("pad_h", "pad_w",
                                              "search_range", "hier",
-                                             "subpel", "planar"))
+                                             "subpel", "planar",
+                                             "spatial_axis", "n_spatial"))
 def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                         pad_h: int, pad_w: int, search_range: int = 7,
                         hier: bool = False, subpel: bool = False,
-                        planar: Optional[bool] = None):
+                        planar: Optional[bool] = None,
+                        spatial_axis: Optional[str] = None,
+                        n_spatial: int = 1):
     """Motion-compensated chunk encode (FVC v2): classic hybrid loop as a
     device scan — per frame: full-search motion estimation against the
     reconstructed reference (flutpu.codec.ops.motion), motion-compensated
@@ -150,8 +153,20 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     # (FLUTPU_NO_MOTION_KERNEL=1 forces the XLA arm for A/Bs.)
     import os
     use_kernel = (jax.default_backend() != "cpu"
-                  and not subpel
+                  and not subpel and spatial_axis is None
                   and not os.environ.get("FLUTPU_NO_MOTION_KERNEL"))
+    # Sequence-parallel mode (round 4): ``frames`` is a row STRIPE of the
+    # real frame, sharded over the ``spatial_axis`` mesh axis inside a
+    # shard_map. Motion search/compensation exchange ±r edge rows with
+    # ring neighbors over ICI (two ppermutes per plane per frame — the
+    # only collectives in the codec) and the per-frame mode decision
+    # reduces via psum so every stripe picks the same frame type.
+    # Per-pixel results are bit-identical to the unsharded formulation
+    # (ring wrap ≡ jnp.roll wrap); only an exact SAD tie in the mode
+    # decision could differ (f32 partial-sum order).
+    if spatial_axis is not None and (hier or subpel):
+        raise ValueError("spatial sharding supports full-search "
+                         "integer-pel motion only")
 
     def step(carry, xs):
         rec_y, rec_cb, rec_cr, idx = carry
@@ -175,6 +190,20 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                     p, m, search_range=search_range, mb=8)
             else:
                 mc_c = None
+        elif spatial_axis is not None:
+            from .ops.motion import (exchange_row_halos,
+                                     motion_compensate_striped,
+                                     motion_search_striped)
+            rc_halo = (search_range + 1) // 2
+            ph_y = exchange_row_halos(rec_y, search_range, spatial_axis,
+                                      n_spatial)
+            mv = motion_search_striped(cy, ph_y,
+                                       search_range=search_range)
+            pred_p_y = motion_compensate_striped(
+                ph_y, mv, search_range, search_range)
+            mc_c = lambda p, m: motion_compensate_striped(
+                exchange_row_halos(p, rc_halo, spatial_axis, n_spatial),
+                m, rc_halo, search_range, mb=8)
         else:
             search = motion_search_hier if hier else motion_search
             mv = search(cy, rec_y, search_range=search_range)
@@ -195,6 +224,10 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         # prediction worse than flat)
         sad_p = jnp.abs(cy - pred_p_y).sum()
         sad_i = jnp.abs(cy - 128.0).sum()
+        if spatial_axis is not None:
+            # all stripes must make the SAME frame-type decision
+            sad_p = jax.lax.psum(sad_p, spatial_axis)
+            sad_i = jax.lax.psum(sad_i, spatial_axis)
         is_i = (idx == 0) | (sad_i < sad_p)
         mv = jnp.where(is_i, jnp.zeros_like(mv), mv)
         pred_y = jnp.where(is_i, 128.0, pred_p_y)

@@ -148,6 +148,106 @@ def _motion_compensate_rolls(prev: jnp.ndarray, mv: jnp.ndarray,
     return jax.lax.fori_loop(0, n * n, body, prev * 0)
 
 
+# ---------------------------------------------------------------------------
+# Spatially-sharded (sequence-parallel) formulations — round 4.
+#
+# A frame row-striped over a mesh axis needs its neighbors' edge rows to
+# search/compensate near stripe boundaries. The halo travels over ICI as a
+# RING ppermute: stripe s receives stripe s-1's bottom r rows and stripe
+# s+1's top r rows, with ring wrap-around — which reproduces jnp.roll's
+# whole-frame wrap semantics EXACTLY, so per-pixel results match the
+# unsharded formulation bit for bit (the per-frame mode decision reduces
+# via psum of stripe sums, whose f32 ordering may differ from a
+# whole-frame sum on exact ties — see fvc_mc_encode_chunk).
+# ---------------------------------------------------------------------------
+
+def exchange_row_halos(plane: jnp.ndarray, r: int, axis_name: str,
+                       n_shards: int) -> jnp.ndarray:
+    """(Hs, W) stripe → (Hs + 2r, W) with ring-neighbor halos attached
+    (two ppermutes over ``axis_name``)."""
+    down = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+    up = [(j, (j - 1) % n_shards) for j in range(n_shards)]
+    halo_top = jax.lax.ppermute(plane[-r:], axis_name, down)
+    halo_bot = jax.lax.ppermute(plane[:r], axis_name, up)
+    return jnp.concatenate([halo_top, plane, halo_bot], axis=0)
+
+
+def motion_search_striped(cur_s: jnp.ndarray, prev_haloed: jnp.ndarray,
+                          search_range: int = 7, mb: int = MB):
+    """motion_search on a row stripe: ``prev_haloed`` carries ±r halo rows
+    (exchange_row_halos). Same candidate order, cost and tie semantics as
+    motion_search — bit-identical vectors for this stripe's macroblocks."""
+    hs, w = cur_s.shape
+    r = search_range
+    n = 2 * r + 1
+
+    def body(c, state):
+        best_cost, best_mv = state
+        dy = c // n - r
+        dx = c % n - r
+        sx = jnp.roll(prev_haloed, dx, axis=1)     # x wrap is stripe-local
+        shifted = jax.lax.dynamic_slice_in_dim(sx, r - dy, hs, axis=0)
+        sad = _mb_sums(jnp.abs(cur_s - shifted), mb)
+        cost = sad * 64 + (abs(dy) + abs(dx))
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        mv_c = jnp.stack([jnp.full_like(cost, dy, dtype=jnp.int32),
+                          jnp.full_like(cost, dx, dtype=jnp.int32)],
+                         axis=-1)
+        best_mv = jnp.where(better[..., None], mv_c, best_mv)
+        return best_cost, best_mv
+
+    z = cur_s[::mb, ::mb].astype(jnp.float32) * 0
+    init = (z + jnp.inf, jnp.stack([z, z], axis=-1).astype(jnp.int32))
+    _, mv = jax.lax.fori_loop(0, n * n, body, init)
+    return mv
+
+
+def motion_compensate_striped(prev_haloed: jnp.ndarray, mv: jnp.ndarray,
+                              halo: int, search_range: int = 7,
+                              mb: int = MB):
+    """motion_compensate on a row stripe (candidate-enumeration form).
+    ``prev_haloed`` carries ±halo rows; for chroma pass mb=8, the
+    chroma-haloed plane with halo=(search_range+1)//2 and the LUMA-grid
+    vectors (halved internally). Bit-identical to the unsharded rolls
+    arm for this stripe's rows."""
+    hs = prev_haloed.shape[0] - 2 * halo
+    scale = MB // mb
+    if scale != 1:
+        lo = -((search_range + 1) // 2)
+        hi = search_range // 2
+        m = hi - lo + 1
+        dyh = mv[..., 0] // 2
+        dxh = mv[..., 1] // 2
+
+        def body_c(c, pred):
+            sdy = c // m + lo
+            sdx = c % m + lo
+            sx = jnp.roll(prev_haloed, sdx, axis=1)
+            shifted = jax.lax.dynamic_slice_in_dim(sx, halo - sdy, hs,
+                                                   axis=0)
+            sel = (dyh == sdy) & (dxh == sdx)
+            mask = jnp.repeat(jnp.repeat(sel, mb, axis=0), mb, axis=1)
+            return jnp.where(mask, shifted, pred)
+
+        return jax.lax.fori_loop(0, m * m, body_c,
+                                 prev_haloed[halo:halo + hs] * 0)
+
+    n = 2 * search_range + 1
+
+    def body(c, pred):
+        dy = c // n - search_range
+        dx = c % n - search_range
+        sx = jnp.roll(prev_haloed, dx, axis=1)
+        shifted = jax.lax.dynamic_slice_in_dim(sx, halo - dy, hs, axis=0)
+        sel = (mv[..., 0] == dy) & (mv[..., 1] == dx)
+        mask = jnp.repeat(jnp.repeat(sel, mb, axis=0), mb, axis=1)
+        return jnp.where(mask, shifted, pred)
+
+    return jax.lax.fori_loop(0, n * n, body,
+                             prev_haloed[halo:halo + hs] * 0)
+
+
 @functools.partial(jax.jit, static_argnames=("search_range",))
 def motion_search_hier(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
                        search_range: int = 7):

@@ -76,20 +76,30 @@ def encode_chunks_single(frames: jax.Array, qy: jax.Array, qc: jax.Array):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "motion", "search_range",
-                                    "hier", "subpel"))
+                                    "hier", "subpel", "spatial"))
 def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                        mesh: Mesh, motion: bool = False,
                        search_range: int = 7, hier: bool = False,
-                       subpel: bool = False):
+                       subpel: bool = False, spatial: bool = False):
     """FVC GOP coding as an SPMD program: (C, F, H, W, 3) uint8, C sharded
     over the ``chunk`` mesh axis, each shard running an independent codec
     instance (frame 0 of every chunk is an I frame — the forced-keyframe
     contract that makes chunks independent, reference
-    hype/src/outputselector/imp.rs:39-43). Zero collectives.
+    hype/src/outputselector/imp.rs:39-43). Zero collectives in the chunk
+    direction.
+
+    ``spatial`` (round 4, motion mode): additionally row-stripe each
+    frame over the ``spatial`` mesh axis — the sequence-parallel path for
+    a SINGLE high-resolution stream whose latency budget cannot wait for
+    a whole chunk per chip. Motion search/compensation exchange ±r edge
+    rows with ring-neighbor ppermutes over ICI and the frame-type
+    decision reduces via psum (ops/motion.py striped formulations,
+    bit-identical per pixel to the unsharded codec). Stripe height must
+    be a multiple of 16.
 
     Returns (ry, rcb, rcr) int16 residual planes, plus mvs int8 and
-    itypes int8 when ``motion`` (the v2 hybrid loop per chunk). H/W must be multiples of 16
-    (pad upstream).
+    itypes int8 when ``motion`` (the v2 hybrid loop per chunk). H/W must
+    be multiples of 16 (pad upstream).
     """
     from ..codec.fvc import fvc_mc_encode_chunk, fvc_residuals
 
@@ -99,22 +109,39 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         coefs = _encode_block(fr, qy, qc)
         return jax.vmap(fvc_residuals)(*coefs)
 
+    n_sp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("spatial", 1)
+    sp_axis = "spatial" if spatial else None
+    h_local = h // n_sp if spatial else h
+
     def local_mc(fr, qy, qc):
         def one(chunk):
-            return fvc_mc_encode_chunk(chunk, qy, qc, pad_h=h, pad_w=w,
+            return fvc_mc_encode_chunk(chunk, qy, qc, pad_h=h_local,
+                                       pad_w=w,
                                        search_range=search_range, hier=hier,
-                                       subpel=subpel)
+                                       subpel=subpel, spatial_axis=sp_axis,
+                                       n_spatial=n_sp)
         return jax.vmap(one)(fr)
 
-    n_out = 5 if motion else 3
     # check_vma=False: the motion arm runs pallas_call (search+predict,
     # chroma MC) inside the sharded region, and pallas output
     # ShapeDtypeStructs carry no varying-manual-axes annotation — the
     # default check_vma=True rejects them on TPU (measured round 3).
-    # Per-chunk codecs touch no cross-shard state, so the check adds
-    # nothing here.
+    # Per-chunk codecs touch no cross-shard state the specs don't name.
+    if spatial:
+        if not motion:
+            raise ValueError("spatial striping applies to motion mode "
+                             "(v1 is blockwise-local; use "
+                             "encode_chunks_sharded(spatial=True))")
+        in_spec = P("chunk", None, "spatial", None, None)
+        # itypes are psum-identical across stripes → replicated over
+        # 'spatial'; planes/mvs are row-striped
+        out_specs = (P("chunk", None, "spatial"),) * 3 \
+            + (P("chunk", None, "spatial"), P("chunk"))
+    else:
+        in_spec = P("chunk", None, None, None, None)
+        out_specs = (P("chunk"),) * (5 if motion else 3)
     fn = shard_map(
         local_mc if motion else local_v1, mesh=mesh,
-        in_specs=(P("chunk", None, None, None, None), P(), P()),
-        out_specs=(P("chunk"),) * n_out, check_vma=False)
+        in_specs=(in_spec, P(), P()),
+        out_specs=out_specs, check_vma=False)
     return fn(frames, qy, qc)

@@ -205,3 +205,49 @@ class TestTpuHypeFvc:
             b"".join(bytes(c.data) for c in chunks))
         assert dec.shape == (8, 48, 64, 3)
         assert psnr(np.asarray(frames[5]), dec[5]) > 30
+
+
+class TestSpatialFvcMotion:
+    """Round-4 sequence-parallel FVC motion: frames row-striped over the
+    'spatial' mesh axis, ±r halos exchanged with ring ppermutes over ICI,
+    frame-type decision psum-reduced. Per-pixel results must equal the
+    unsharded codec (ring wrap ≡ jnp.roll wrap)."""
+
+    def _moving(self, c=2, f=3, h=64, w=32):
+        from flutpu.core.elements import make_test_frame
+        vids = []
+        for ci in range(c):
+            vids.append(np.stack([
+                np.asarray(make_test_frame("ball", w, h, ci * 7 + i))
+                for i in range(f)]))
+        return jnp.asarray(np.stack(vids))
+
+    def test_striped_motion_matches_unsharded(self, qtabs):
+        from flutpu.codec.fvc import fvc_mc_encode_chunk
+        from flutpu.parallel.gop import fvc_chunks_sharded
+        qy, qc = qtabs
+        frames = self._moving()
+        mesh = make_chunk_spatial_mesh(2, 4)
+        ry, rcb, rcr, mvs, itypes = fvc_chunks_sharded(
+            frames, qy, qc, mesh, motion=True, search_range=3,
+            spatial=True)
+        assert mvs.shape == (2, 3, 4, 2, 2)
+        for c in range(2):
+            e = fvc_mc_encode_chunk(frames[c], qy, qc, pad_h=64, pad_w=32,
+                                    search_range=3)
+            np.testing.assert_array_equal(np.asarray(itypes[c]),
+                                          np.asarray(e[4]))
+            np.testing.assert_array_equal(np.asarray(mvs[c]),
+                                          np.asarray(e[3]))
+            np.testing.assert_array_equal(np.asarray(ry[c]),
+                                          np.asarray(e[0]))
+            np.testing.assert_array_equal(np.asarray(rcb[c]),
+                                          np.asarray(e[1]))
+
+    def test_spatial_requires_motion(self, qtabs):
+        from flutpu.parallel.gop import fvc_chunks_sharded
+        qy, qc = qtabs
+        mesh = make_chunk_spatial_mesh(2, 4)
+        with pytest.raises(ValueError):
+            fvc_chunks_sharded(self._moving(f=2), qy, qc, mesh,
+                               motion=False, spatial=True)
