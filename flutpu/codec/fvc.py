@@ -29,7 +29,10 @@ zlib-compressed when header flags bit1 is set — raw vectors cost
 2 B/macroblock and compress ~100x on smooth fields; in HALF-PIXEL units
 when flags bit2 is set; flags bit3 = the in-loop reconstruction used the
 planar DCT formulation — decoders must reconstruct through the same
-formulation or P-chain state drifts. FORMAT NOTE: bit3 is meaningful
+formulation or P-chain state drifts; flags bit4 = an explicit coded-size
+extension (u16 coded_width | u16 coded_height, after the v2 search_range
+byte) when the coded geometry exceeds the minimum macroblock padding —
+spatially striped encodes pad H to 16*stripes. FORMAT NOTE: bit3 is meaningful
 only for streams written at or after the revision that introduced it;
 earlier TPU-written v2 streams used planar in-loop recon but wrote
 bit3=0, and decoding them with a bit3-honoring decoder drifts — there is
@@ -773,6 +776,18 @@ class FvcDecoder:
                 raise ValueError("truncated FVC v2 header")
             search_range = data[12]
             off = 13
+        if flags & 16:
+            # explicit coded size (flags bit 4): the coded geometry
+            # exceeds the minimum macroblock padding — e.g. spatially
+            # striped encodes pad H to 16*stripes (tpuhype spatial>1)
+            if len(data) < off + 4:
+                raise ValueError("truncated coded-size extension")
+            pw, ph = struct.unpack(">HH", data[off:off + 4])
+            off += 4
+            if ph < h or pw < w or ph % mult or pw % mult:
+                raise ValueError("invalid coded-size extension")
+            ybw, ybh = pw // 8, ph // 8
+            cbw, cbh = (pw // 16, ph // 16) if subsample else (ybw, ybh)
         planes = []
         types = []
         mvs = []
@@ -894,9 +909,11 @@ class FvcDecoder:
         while off < len(data):
             if len(data) - off < 12 or data[off:off + 4] != MAGIC:
                 raise ValueError(f"bad or truncated chunk boundary at {off}")
-            ver, _, w, h, _, f = struct.unpack(">BBHHBB",
-                                               data[off + 4:off + 12])
+            ver, cflags, w, h, _, f = struct.unpack(">BBHHBB",
+                                                    data[off + 4:off + 12])
             end = off + (13 if ver >= 2 else 12)
+            if cflags & 16:
+                end += 4  # explicit coded-size extension
             hdr = 7 if ver >= 2 else 5
             for _ in range(f):
                 if len(data) - end < hdr:

@@ -130,7 +130,9 @@ class TpuHype(VideoEncoder):
         if n < total:  # pad the tail batch (outputs dropped below)
             frames = np.concatenate(
                 [frames, np.repeat(frames[-1:], total - n, axis=0)], axis=0)
-        ph, pw = _pad_to(h, 16), _pad_to(w, 16)
+        # spatial striping needs stripe heights that are macroblock
+        # multiples: pad H to 16*spatial
+        ph, pw = _pad_to(h, 16 * spatial), _pad_to(w, 16)
         if (ph, pw) != (h, w):
             frames = np.pad(frames, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
                             mode="edge")
@@ -160,15 +162,17 @@ class TpuHype(VideoEncoder):
         from ..codec.ops.entropy import (encode_gop_scans_combined,
                                          mcu_layout, stuff_and_finalize)
         from ..parallel.gop import fvc_chunks_sharded
-        if spatial > 1:
-            raise ValueError("codec=fvc needs spatial=1 (temporal scan + "
-                             "motion wraparound don't row-stripe)")
         sr = int(self.get_property("search-range"))
         subpel = bool(self.get_property("subpel"))
+        if spatial > 1 and (subpel or
+                            str(self.get_property("search")) == "hier"):
+            raise ValueError("codec=fvc spatial striping supports "
+                             "full-search integer-pel motion (and v1)")
         out = fvc_chunks_sharded(
             jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
             mesh=mesh, motion=motion, search_range=sr,
-            hier=str(self.get_property("search")) == "hier", subpel=subpel)
+            hier=str(self.get_property("search")) == "hier", subpel=subpel,
+            spatial=spatial > 1)
         ry, rcb, rcr = out[:3]
         mvs = np.asarray(out[3]) if motion else None
         itypes = np.asarray(out[4]) if motion else None
@@ -197,6 +201,12 @@ class TpuHype(VideoEncoder):
             cflags |= 8  # planar in-loop recon (fvc_mc_encode_chunk's
             #              backend default inside fvc_chunks_sharded)
         ph, pw = chunks.shape[2], chunks.shape[3]
+        # spatial striping pads H to 16*stripes — beyond the minimum
+        # macroblock padding the decoder derives from (h, w), so the
+        # coded size travels explicitly (flags bit 4)
+        coded_ext = (ph, pw) != (_pad_to(h, 16), _pad_to(w, 16))
+        if coded_ext:
+            cflags |= 16
         for ci in range(c):
             first = ci * gop
             if first >= n:
@@ -206,6 +216,8 @@ class TpuHype(VideoEncoder):
                                         jenc.quality, real)]
             if motion:
                 parts.append(struct.pack(">B", sr))
+            if coded_ext:
+                parts.append(struct.pack(">HH", pw, ph))
             for fi in range(real):
                 payload = payloads[ci * gop + fi]
                 if motion:

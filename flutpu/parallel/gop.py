@@ -128,15 +128,16 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     # default check_vma=True rejects them on TPU (measured round 3).
     # Per-chunk codecs touch no cross-shard state the specs don't name.
     if spatial:
-        if not motion:
-            raise ValueError("spatial striping applies to motion mode "
-                             "(v1 is blockwise-local; use "
-                             "encode_chunks_sharded(spatial=True))")
         in_spec = P("chunk", None, "spatial", None, None)
-        # itypes are psum-identical across stripes → replicated over
-        # 'spatial'; planes/mvs are row-striped
-        out_specs = (P("chunk", None, "spatial"),) * 3 \
-            + (P("chunk", None, "spatial"), P("chunk"))
+        if motion:
+            # itypes are psum-identical across stripes → replicated over
+            # 'spatial'; planes/mvs are row-striped
+            out_specs = (P("chunk", None, "spatial"),) * 3 \
+                + (P("chunk", None, "spatial"), P("chunk"))
+        else:
+            # v1 (temporal coefficient deltas) is blockwise-local: stripes
+            # need no halos at all
+            out_specs = (P("chunk", None, "spatial"),) * 3
     else:
         in_spec = P("chunk", None, None, None, None)
         out_specs = (P("chunk"),) * (5 if motion else 3)

@@ -244,10 +244,72 @@ class TestSpatialFvcMotion:
             np.testing.assert_array_equal(np.asarray(rcb[c]),
                                           np.asarray(e[1]))
 
-    def test_spatial_requires_motion(self, qtabs):
-        from flutpu.parallel.gop import fvc_chunks_sharded
+    def test_striped_v1_matches_unsharded(self, qtabs):
+        """v1 (temporal coefficient deltas) stripes with zero halos."""
+        from flutpu.codec.fvc import fvc_residuals
+        from flutpu.parallel.gop import encode_chunks_single, \
+            fvc_chunks_sharded
         qy, qc = qtabs
+        frames = self._moving(f=2)
         mesh = make_chunk_spatial_mesh(2, 4)
-        with pytest.raises(ValueError):
-            fvc_chunks_sharded(self._moving(f=2), qy, qc, mesh,
-                               motion=False, spatial=True)
+        ry, rcb, rcr = fvc_chunks_sharded(frames, qy, qc, mesh,
+                                          motion=False, spatial=True)
+        for c in range(2):
+            coefs = encode_chunks_single(frames[c], qy, qc)
+            ery, _, ercr = fvc_residuals(*coefs)
+            np.testing.assert_array_equal(np.asarray(ry[c]),
+                                          np.asarray(ery))
+            np.testing.assert_array_equal(np.asarray(rcr[c]),
+                                          np.asarray(ercr))
+
+
+class TestTpuHypeFvcSpatial:
+    """tpuhype codec=fvc-motion spatial=2 — the element face of the
+    round-4 sequence-parallel path (2 chunks x 2 row stripes on the
+    virtual mesh); streams must decode like any other fvc stream."""
+    CAPS = "video/x-raw, format=RGB, width=64, height=48, framerate=30/1"
+
+    def test_fvc_motion_spatial_chunks_decode(self):
+        from flutpu.codec.fvc import FvcDecoder
+        from flutpu.codec.jpeg import psnr
+        from flutpu.core import Buffer, Harness, MSECOND
+        from flutpu.core.elements import make_test_frame
+        h = Harness("tpuhype gop-size=2 chunks=2 spatial=2 quality=90 "
+                    "codec=fvc-motion search-range=3")
+        h.set_src_caps(self.CAPS)
+        frames = [make_test_frame("ball", 64, 48, i) for i in range(8)]
+        for i, f in enumerate(frames):
+            h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        chunks = []
+        while (b := h.try_pull(timeout=30)) is not None:
+            chunks.append(b)
+        h.teardown()
+        assert [c.pts for c in chunks] == sorted(c.pts for c in chunks)
+        assert all(bytes(c.data)[4] == 2 for c in chunks)
+        dec = FvcDecoder().decode_stream(
+            b"".join(bytes(c.data) for c in chunks))
+        assert dec.shape == (8, 48, 64, 3)
+        for i in (0, 3, 7):
+            assert psnr(np.asarray(frames[i]), dec[i]) > 30, i
+
+    def test_fvc_v1_spatial_chunks_decode(self):
+        from flutpu.codec.fvc import FvcDecoder
+        from flutpu.codec.jpeg import psnr
+        from flutpu.core import Buffer, Harness, MSECOND
+        from flutpu.core.elements import make_test_frame
+        h = Harness("tpuhype gop-size=2 chunks=2 spatial=2 quality=90 "
+                    "codec=fvc")
+        h.set_src_caps(self.CAPS)
+        frames = [make_test_frame("ball", 64, 48, i) for i in range(8)]
+        for i, f in enumerate(frames):
+            h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        chunks = []
+        while (b := h.try_pull(timeout=30)) is not None:
+            chunks.append(b)
+        h.teardown()
+        dec = FvcDecoder().decode_stream(
+            b"".join(bytes(c.data) for c in chunks))
+        assert dec.shape == (8, 48, 64, 3)
+        assert psnr(np.asarray(frames[5]), dec[5]) > 30
