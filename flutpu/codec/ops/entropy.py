@@ -898,10 +898,14 @@ def compact_aligned_segments(seg_bits: np.ndarray, words: np.ndarray):
     hi = w >> p
     lo = np.where(p > 0, w << ((32 - p) & np.uint32(31)), 0) \
         .astype(np.uint32)
-    out = np.zeros(int((total_bits + 31) // 32) + 1, np.uint32)
-    # consecutive segments own disjoint bit ranges → OR-accumulate
-    np.bitwise_or.at(out, d, hi)
-    np.bitwise_or.at(out, d + 1, lo)
+    # consecutive segments own disjoint bit ranges → OR == ADD, and a
+    # float64 bincount is ~4x faster than bitwise_or.at: disjoint-bit
+    # uint32 sums stay < 2^32 < 2^53, so the accumulation is exact
+    n_out = int((total_bits + 31) // 32) + 1
+    out = (np.bincount(d, weights=hi.astype(np.float64), minlength=n_out)
+           + np.bincount(d + 1, weights=lo.astype(np.float64),
+                         minlength=n_out))
+    out = out.astype(np.uint64).astype(np.uint32)
     return out[:(total_bits + 31) // 32], total_bits
 
 
