@@ -247,17 +247,45 @@ class TpuHype(VideoEncoder):
     def _entropy(self, jenc, yq, cbq, crq, hdr):
         """Entropy-code all chunk frames. On accelerators the bits pack on
         device (only compressed data crosses the link); the host coder is
-        the CPU fallback."""
+        the CPU fallback. ``jenc.segmented`` selects the round-4 segment
+        layout (device word-aligned segments + host compaction)."""
         c, f = yq.shape[0], yq.shape[1]
         if jenc.use_pallas:
             from ..codec.jpeg import _pad_to
-            from ..codec.ops.entropy import (encode_gop_scans_combined,
+            from ..codec.ops.entropy import (compact_aligned_segments,
+                                             encode_gop_scans_combined,
+                                             encode_gop_scans_segmented,
                                              mcu_layout, stuff_and_finalize)
             layout = mcu_layout(yq.shape[3], yq.shape[2],
                                 cbq.shape[3], cbq.shape[2], True)
             prefix = min(jenc.PREFIX_WORDS,
                          _pad_to(layout.n_blocks * jenc.CAP_LADDER[-1] // 32,
                                  jenc._WORD_BUCKET))
+            if jenc.segmented:
+                n_segs = jenc._n_segs(layout)
+                combined = encode_gop_scans_segmented(
+                    yq.reshape(c * f, *yq.shape[2:]),
+                    cbq.reshape(c * f, *cbq.shape[2:]),
+                    crq.reshape(c * f, *crq.shape[2:]),
+                    layout=layout, prefix_words=prefix,
+                    seg_words=jenc._seg_words)
+                arr = np.asarray(combined)
+                used = arr[:, 0].astype(np.int64)
+                segbits = arr[:, 1:1 + n_segs].astype(np.int64)
+                if (used <= prefix).all() \
+                        and (segbits <= jenc._seg_words * 32).all():
+                    out = []
+                    for i in range(c * f):
+                        stream, total = compact_aligned_segments(
+                            segbits[i], arr[i, 1 + n_segs:])
+                        out.append(hdr + stuff_and_finalize(stream, total)
+                                   + b"\xff\xd9")
+                    return out
+                jenc._seg_words = min(
+                    _pad_to(jenc._seg_words * 2, 8),
+                    _pad_to(jenc.SEG_G * jenc.CAP_LADDER[-1] // 32, 8))
+                # overflow → block-concat path below, capacity grown for
+                # the next batch
             combined = encode_gop_scans_combined(
                 yq.reshape(c * f, *yq.shape[2:]),
                 cbq.reshape(c * f, *cbq.shape[2:]),
