@@ -117,20 +117,24 @@ def parse_avi(data: bytes):
 
     def walk(buf: bytes, pos: int, end: int):
         nonlocal width, height, rate, scale
+        end = min(end, len(buf))  # declared sizes are untrusted: a RIFF
+        #                           header claiming more bytes than exist
+        #                           must not walk past the buffer
         while pos + 8 <= end:
             fourcc = buf[pos:pos + 4]
             size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
             body_start = pos + 8
             body_end = min(body_start + size, end)
+            avail = body_end - body_start  # may be < declared size
             if fourcc == b"LIST":
                 walk(buf, body_start + 4, body_end)
-            elif fourcc == b"strh" and size >= 40:
+            elif fourcc == b"strh" and avail >= 40:
                 typ, handler = buf[body_start:body_start + 4], \
                     buf[body_start + 4:body_start + 8]
                 if typ == b"vids":
                     scale, rate = struct.unpack(
                         "<II", buf[body_start + 20:body_start + 28])
-            elif fourcc == b"strf" and size >= 16 and not width:
+            elif fourcc == b"strf" and avail >= 16 and not width:
                 width, height = struct.unpack(
                     "<ii", buf[body_start + 4:body_start + 12])
             elif fourcc[2:4] == b"dc":

@@ -188,3 +188,71 @@ class TestJpegDecFuzz:
                 pass
             h.teardown()
             payload[pos] = orig
+
+
+class TestAviFuzz:
+    """RIFF/AVI reader (codec/avimux.parse_avi) against hostile bytes —
+    the container walker recurses over attacker-controlled offsets."""
+
+    def _real_avi(self):
+        from flutpu.codec.avimux import AviMux
+        from flutpu.core import MSECOND
+        h = Harness("avimux")
+        h.set_src_caps("image/jpeg, width=16, height=16, framerate=30/1")
+        for i in range(3):
+            h.push(Buffer(b"\xff\xd8" + bytes(range(40)) + b"\xff\xd9",
+                          pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        out = b""
+        while (b := h.try_pull(timeout=2)) is not None:
+            out += bytes(b.data)
+        h.teardown()
+        return out
+
+    def test_random_bytes_return_none_or_empty(self):
+        from flutpu.codec.avimux import parse_avi
+        rng = _rng()
+        for n in (0, 4, 12, 64, 4096):
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            r = parse_avi(data)
+            assert r is None or isinstance(r, dict)
+
+    def test_riff_header_plus_garbage(self):
+        from flutpu.codec.avimux import parse_avi
+        rng = _rng()
+        for n in (0, 8, 100, 2000):
+            body = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            import struct as _s
+            data = b"RIFF" + _s.pack("<I", n + 4) + b"AVI " + body
+            r = parse_avi(data)  # must not crash/hang on bogus sizes
+            assert r is None or isinstance(r, dict)
+
+    def test_truncations_never_crash(self):
+        from flutpu.codec.avimux import parse_avi
+        real = self._real_avi()
+        assert parse_avi(real) and len(parse_avi(real)["frames"]) == 3
+        for cut in range(0, len(real), 7):
+            parse_avi(real[:cut])  # any prefix: clean result or None
+
+    def test_bitflips_contained(self):
+        from flutpu.codec.avimux import parse_avi
+        real = bytearray(self._real_avi())
+        rng = _rng()
+        for _ in range(200):
+            i = int(rng.integers(0, len(real)))
+            bit = 1 << int(rng.integers(0, 8))
+            real[i] ^= bit
+            try:
+                parse_avi(bytes(real))  # never crash; content may be junk
+            finally:
+                real[i] ^= bit
+
+    def test_size_overflow_chunks(self):
+        """Chunk sizes near 2^32 must not hang the walker or allocate."""
+        import struct as _s
+        from flutpu.codec.avimux import parse_avi
+        evil = (b"RIFF" + _s.pack("<I", 0xFFFFFFF0) + b"AVI "
+                + b"LIST" + _s.pack("<I", 0xFFFFFFF0) + b"movi"
+                + b"00dc" + _s.pack("<I", 0xFFFFFFF0) + b"x" * 32)
+        r = parse_avi(evil)
+        assert r is None or isinstance(r, dict)
