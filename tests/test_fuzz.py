@@ -256,3 +256,84 @@ class TestAviFuzz:
                 + b"00dc" + _s.pack("<I", 0xFFFFFFF0) + b"x" * 32)
         r = parse_avi(evil)
         assert r is None or isinstance(r, dict)
+
+
+class TestHttpResponseFuzz:
+    """The NATIVE downloader's HTTP response parser against hostile
+    servers — a parser crash here is a process segfault, not an
+    exception. Every response must produce a clean outcome."""
+
+    def _serve_and_fetch(self, payloads, timeout_ms=2000):
+        import socket
+        import threading
+        from flutpu.io import DownloadHelper
+
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(8)
+        port = srv.getsockname()[1]
+        stop = threading.Event()
+
+        def loop():
+            srv.settimeout(0.2)
+            i = 0
+            while not stop.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except OSError:
+                    continue
+                try:
+                    conn.recv(4096)
+                    conn.sendall(payloads[min(i, len(payloads) - 1)])
+                except OSError:
+                    pass
+                finally:
+                    conn.close()
+                i += 1
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        outcomes = []
+        try:
+            with DownloadHelper() as h:
+                h._dl.set_timeouts(1000, timeout_ms)
+                for _ in payloads:
+                    _, outcome, _ = h.download(f"http://127.0.0.1:{port}/x",
+                                               timeout=8)
+                    outcomes.append(outcome)
+        finally:
+            stop.set()
+            srv.close()
+        return outcomes
+
+    def test_random_bytes_responses(self):
+        rng = _rng()
+        payloads = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+                    for n in (0, 1, 37, 512)]
+        outcomes = self._serve_and_fetch(payloads)
+        assert len(outcomes) == len(payloads)  # no crash/hang
+
+    def test_malformed_headers(self):
+        payloads = [
+            b"HTTP/1.1 200 OK\r\nContent-Length: -5\r\n\r\nxx",
+            b"HTTP/1.1 200 OK\r\nContent-Length: 99999999999999\r\n\r\nxx",
+            b"HTTP/1.1 \r\n\r\n",
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzzzz\r\n",
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"ffffffff\r\nhi\r\n",
+            b"HTTP/1.1 301 Moved\r\n\r\n",  # redirect with NO Location
+        ]
+        outcomes = self._serve_and_fetch(payloads)
+        assert len(outcomes) == len(payloads)
+
+    def test_location_header_garbage(self):
+        """Hostile Location values must not crash the resolver."""
+        payloads = [
+            b"HTTP/1.1 302 Found\r\nLocation: \r\n\r\n",
+            b"HTTP/1.1 302 Found\r\nLocation: ht!tp://\xff\xfe\r\n\r\n",
+            b"HTTP/1.1 302 Found\r\nLocation: //\r\n\r\n",
+            b"HTTP/1.1 302 Found\r\nLocation: :::::::\r\n\r\n",
+        ]
+        outcomes = self._serve_and_fetch(payloads)
+        assert len(outcomes) == len(payloads)
