@@ -3,6 +3,9 @@
 Runs on real chips or a virtual CPU mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 FLUTPU_CPU=1 \
       python examples/mesh_encode.py fvc-motion
+  # sequence-parallel: 4 chunks x 2 row stripes, halos over ICI
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 FLUTPU_CPU=1 \
+      python examples/mesh_encode.py fvc-motion 2
 """
 
 import sys
@@ -26,13 +29,15 @@ from flutpu.core.elements import make_test_frame
 def main():
     import jax
     codec = sys.argv[1] if len(sys.argv) > 1 else "fvc"
-    chunks = min(8, len(jax.devices()))
+    spatial = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    chunks = min(8, len(jax.devices())) // spatial
     n = chunks * 2
     out = f"/tmp/mesh_encode.{'avi' if codec == 'jpeg' else 'fvc'}"
     sink = "avimux ! " if codec == "jpeg" else ""
     p = parse_launch(
         f"videotestsrc num-buffers={n} pattern=ball width=160 height=96 "
-        f"! tpuhype gop-size=2 chunks={chunks} codec={codec} quality=88 "
+        f"! tpuhype gop-size=2 chunks={chunks} spatial={spatial} "
+        f"codec={codec} quality=88 "
         f"! {sink}filesink location={out}")
     p.play()
     assert p.bus.timed_pop_filtered(300, [MessageType.EOS])
