@@ -17,6 +17,7 @@ to a scalar checksum (identical link cost → deltas isolate device time):
 Run: python benches/stage_split_fvc.py  (FLUTPU_CPU=1 for CPU)
 """
 
+import functools
 import json
 import os
 import sys
@@ -123,13 +124,28 @@ def main():
         return (ry.astype(jnp.int32).sum() + rcb.astype(jnp.int32).sum()
                 + rcr.astype(jnp.int32).sum() + mvs.astype(jnp.int32).sum())
 
-    @jax.jit
-    def p_full(start, qy, qc):
+    @functools.partial(jax.jit, static_argnames=("pfx", "hier", "sw"))
+    def p_full(start, qy, qc, pfx=prefix, hier=False, sw=None):
         out = _fvc_gop_program_v2(
             synth(start).astype(jnp.uint8), qy, qc, pad_h=PH, pad_w=PW,
-            search_range=7, layout=layout, prefix_words=prefix,
-            use_pallas=enc._scan_coder.use_pallas, subpel=False)
+            search_range=7, layout=layout, prefix_words=pfx,
+            use_pallas=enc._scan_coder.use_pallas, subpel=False,
+            hier=hier, seg_words=sw)
         return out.astype(jnp.uint32).sum()
+
+    # adaptive window: derive from the first GOP's actual usage through
+    # the encoder's own policy — the PRODUCT window (the round-3 table's
+    # entropy delta was at the FULL window, overstating the product cost)
+    sc = enc._scan_coder
+    first = np.asarray(_fvc_gop_program_v2(
+        synth(jnp.float32(0)).astype(jnp.uint8), enc._qy_dev, enc._qc_dev,
+        pad_h=PH, pad_w=PW, search_range=7, layout=layout,
+        prefix_words=prefix, use_pallas=sc.use_pallas, subpel=False))
+    sc._note_prefix_usage(int((first[:, 0].astype(np.int64).max() + 31)
+                              // 32))
+    pfx_adapt = min(prefix, sc._prefix_estimate() or prefix)
+    print(json.dumps({"adaptive_prefix": pfx_adapt, "full": prefix}),
+          flush=True)
 
     stages = [("src", lambda s: p_src(s)),
               ("i420", lambda s: p_i420(s)),
@@ -138,7 +154,13 @@ def main():
               ("mc_chunk", lambda s: p_mc_chunk(s, enc._qy_dev,
                                                 enc._qc_dev)),
               ("full=entropy", lambda s: p_full(s, enc._qy_dev,
-                                                enc._qc_dev))]
+                                                enc._qc_dev)),
+              ("full_adaptive_window", lambda s: p_full(
+                  s, enc._qy_dev, enc._qc_dev, pfx=pfx_adapt)),
+              ("full_segmented", lambda s: p_full(
+                  s, enc._qy_dev, enc._qc_dev, pfx=pfx_adapt, sw=64)),
+              ("full_hier_kernel", lambda s: p_full(
+                  s, enc._qy_dev, enc._qc_dev, pfx=pfx_adapt, hier=True))]
     reps = int(os.environ.get("STAGE_REPS", "5"))
     for name, fn in stages:
         np.asarray(fn(jnp.float32(0)))  # compile + materialize
