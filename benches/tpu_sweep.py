@@ -152,7 +152,27 @@ def main():
                 use_pallas=enc.use_pallas, fused=True, concat="v2")
             return bits.sum()  # tiny out_words: concat ~free, isolates pack
 
+        # coefs sub-stages (round 4): where do the ~16.6 ms/GOP go —
+        # colorspace conversion, DCT matmuls, or quant/zigzag?
+        from flutpu.codec.ops.colorspace import rgb_to_i420
+        from flutpu.codec.ops.dct import blockize, plane_dct_planar
+        from flutpu.codec.ops.quant import quantize_planar, zigzag_flatten
+
+        @jax.jit
+        def p_convert(start):
+            y, cb, cr = rgb_to_i420(
+                gradient_ball_frames(PH, PW, GOP, start).astype(jnp.float32))
+            return y.sum() + cb.sum() + cr.sum()
+
+        @jax.jit
+        def p_dct(start):
+            y, cb, cr = rgb_to_i420(
+                gradient_ball_frames(PH, PW, GOP, start).astype(jnp.float32))
+            return sum(plane_dct_planar(p - 128.0).sum() for p in (y, cb, cr))
+
         timed(p_src, "src")
+        timed(p_convert, "convert")
+        timed(p_dct, "convert+dct")
         timed(p_coefs, "coefs")
         timed(p_burnin, "burnin")
         timed(p_pack_fused, "pack_fused_tiny_concat")
