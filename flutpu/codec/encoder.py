@@ -44,6 +44,9 @@ class TpuJpegEnc(VideoEncoder):
         PropertySpec("batch-frames", 8, "max frames batched per device dispatch"),
         PropertySpec("subsample", True, "4:2:0 chroma subsampling"),
         PropertySpec("engine", "auto", "auto | device | host entropy coding"),
+        PropertySpec("segmented", False, "round-4 segment bitstream layout: "
+                     "device word-aligned segments + host compaction "
+                     "(byte-identical output; A/B knob)"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -58,11 +61,12 @@ class TpuJpegEnc(VideoEncoder):
             self._encoder = JpegEncoder(
                 quality=int(self.get_property("quality")),
                 subsample=bool(self.get_property("subsample")),
-                engine=str(self.get_property("engine")))
+                engine=str(self.get_property("engine")),
+                segmented=bool(self.get_property("segmented")) or None)
         return self._encoder
 
     def do_set_property(self, name, value):
-        if name in ("quality", "subsample", "engine"):
+        if name in ("quality", "subsample", "engine", "segmented"):
             self._encoder = None  # rebuild with new tables
 
     def prewarm(self, caps=None) -> bool:

@@ -974,6 +974,8 @@ class FvcEnc(VideoEncoder):
                                    "Per-chunk log-proportional quality "
                                    "controller (the rate-control role the "
                                    "reference delegates to x264)"),
+        PropertySpec("segmented", False, "round-4 segment bitstream layout "
+                     "for the entropy stage (byte-identical output)"),
     ]
 
     _RC_MIN_Q, _RC_MAX_Q = 10, 97
@@ -996,6 +998,8 @@ class FvcEnc(VideoEncoder):
                 engine=str(self.get_property("engine")),
                 hier=str(self.get_property("search")) == "hier",
                 subpel=bool(self.get_property("subpel")))
+            if self.get_property("segmented"):
+                enc._scan_coder.segmented = True
         return enc
 
     def set_format(self, caps: Caps):
