@@ -240,6 +240,31 @@ class TestHarness:
             h2.pull(timeout=0.2)
         h2.teardown()
 
+    def test_pull_post_eos_honors_deadline_under_racing_consumer(self):
+        """ADVICE r3: after EOS, a racing second consumer can keep the
+        queue transiently non-empty; pull() must still honor the caller's
+        deadline instead of looping forever."""
+        import queue as _pyqueue
+        import time as _time
+
+        import pytest
+
+        h = Harness("identity")
+        h.push(Buffer(b"a"))
+        h.push_eos()
+        # simulate the race: qsize() reports 1 but get() always loses
+        h._out = type("Q", (), {
+            "get": lambda self, timeout=None: (_ for _ in ()).throw(
+                _pyqueue.Empty),
+            "qsize": lambda self: 1,
+            "put": lambda self, item: None,
+        })()
+        t0 = _time.monotonic()
+        with pytest.raises(TimeoutError):
+            h.pull(timeout=0.3)
+        assert _time.monotonic() - t0 < 5.0
+        h.teardown()
+
 
 class TestVideoConvert:
     def _run(self, in_fmt, out_fmt, data):
