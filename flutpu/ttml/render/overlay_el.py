@@ -44,6 +44,20 @@ class OverlayCompositor(Element):
         # (start, stop, overlay ndarray) intervals, sorted by start
         self._overlays: List[Tuple[int, Optional[int], np.ndarray]] = []
 
+    def prewarm(self, caps=None) -> bool:
+        """Compile the burn-in composite for ``caps``' geometry before an
+        injectbin swap installs any dataflow block (see Element.prewarm)."""
+        if caps is None:
+            return False
+        w, h = caps.get("width"), caps.get("height")
+        if not w or not h:
+            return False
+        import jax.numpy as jnp
+        frames = jnp.zeros((1, int(h), int(w), 3), jnp.uint8)
+        ov = jnp.zeros((int(h), int(w), 4), jnp.uint8)
+        np.asarray(overlay_on_frames(frames, ov))
+        return True
+
     # -- overlay branch ----------------------------------------------------
     def _overlay_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         start = buf.pts if buf.pts is not None else 0
