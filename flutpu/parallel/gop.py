@@ -13,7 +13,6 @@ instead of threads (reference hype/src/outputselector round-robin scatter).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
