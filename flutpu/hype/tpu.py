@@ -48,7 +48,13 @@ class TpuHype(VideoEncoder):
         PropertySpec("chunks", 0, "parallel chunks (0 = all local devices)"),
         PropertySpec("spatial", 1, "row-stripe each frame across this many "
                                    "chips (chunk x spatial mesh — for frame "
-                                   "sizes too heavy for one chip, e.g. 4K)"),
+                                   "sizes too heavy for one chip, e.g. 4K). "
+                                   "Works for codec=fvc/fvc-motion too: "
+                                   "motion exchanges halo rows with ring "
+                                   "ppermutes over ICI and psum-reduces the "
+                                   "frame-type decision (integer-pel full "
+                                   "search); streams carry the coded size "
+                                   "explicitly (header flags bit 4)"),
         PropertySpec("codec", "jpeg", "jpeg | fvc | fvc-motion: MJPEG "
                                       "per-frame buffers, or FVC GOP chunks "
                                       "(one container buffer per chunk; "
