@@ -23,6 +23,15 @@ _done = False
 _lock = threading.Lock()
 
 
+def skip_warmup() -> None:
+    """Disable the construction-time warmup for this process. For tools
+    that construct elements WITHOUT streaming any data (flutpu.inspect):
+    touching the accelerator there would hang for minutes when the remote
+    link is down, for zero benefit."""
+    global _done
+    _done = True
+
+
 def warm_device() -> None:
     """Run one tiny device program from the calling thread (idempotent).
 
