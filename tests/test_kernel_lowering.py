@@ -1,0 +1,64 @@
+"""TPU lowering regression tests for every Pallas kernel at PRODUCT
+shapes (1080p and 4K) — no device needed: `.trace(...).lower(
+lowering_platforms=("tpu",))` runs the Mosaic pass pipeline, which is
+where the round-2/3 tiling rejections surfaced ("slice ... must be
+aligned to tiling (8)" hard-failed at 4K while 1080p happened to lower).
+This enforces the CLAUDE.md rule — test kernels at a 4K-like shape, not
+just the shapes that currently work — at the lowering level on every CI
+run."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _lower(fn, *args, static=(), **kw):
+    jax.jit(fn, static_argnames=static).trace(*args, **kw).lower(
+        lowering_platforms=("tpu",))
+
+
+class TestKernelLowering:
+    @pytest.mark.parametrize("blocks", [48960, 195840],
+                             ids=["1080p", "4k"])
+    def test_segment_pack_kernel(self, blocks):
+        from flutpu.codec.ops.entropy_pallas import pack_segments_fused
+        _lower(pack_segments_fused,
+               jnp.zeros((blocks, 64), jnp.int32),
+               jnp.zeros((blocks,), jnp.int32),
+               static=("seg_g", "seg_words", "interpret"),
+               seg_g=16, seg_words=64)
+
+    @pytest.mark.parametrize("blocks", [48960])
+    def test_per_block_pack_kernel(self, blocks):
+        from flutpu.codec.ops.entropy_pallas import pack_block_bits_fused
+        _lower(pack_block_bits_fused,
+               jnp.zeros((blocks, 64), jnp.int32),
+               jnp.zeros((blocks,), jnp.int32),
+               static=("interpret",))
+
+    @pytest.mark.parametrize("shape", [(1088, 1920), (2160, 3840)],
+                             ids=["1080p", "4k"])
+    def test_full_motion_kernel(self, shape):
+        from flutpu.codec.ops.motion_pallas import motion_search_mc_pallas
+        z = jnp.zeros(shape, jnp.float32)
+        _lower(motion_search_mc_pallas, z, z,
+               static=("search_range", "mb", "interpret"), search_range=7)
+
+    @pytest.mark.parametrize("shape", [(1088, 1920), (2160, 3840)],
+                             ids=["1080p", "4k"])
+    def test_hier_motion_kernel(self, shape):
+        from flutpu.codec.ops.motion_pallas import \
+            motion_search_mc_hier_pallas
+        z = jnp.zeros(shape, jnp.float32)
+        _lower(motion_search_mc_hier_pallas, z, z,
+               static=("search_range", "mb", "interpret"), search_range=7)
+
+    @pytest.mark.parametrize("shape", [(544, 960), (1080, 1920)],
+                             ids=["1080p", "4k"])
+    def test_banded_chroma_mc_kernel(self, shape):
+        from flutpu.codec.ops.motion_pallas import chroma_mc_pallas
+        hc, wc = shape
+        z = jnp.zeros((hc, wc), jnp.float32)
+        mv = jnp.zeros((hc // 8, wc // 8, 2), jnp.int32)
+        _lower(chroma_mc_pallas, z, z, mv,
+               static=("search_range", "interpret"), search_range=7)
