@@ -337,3 +337,63 @@ class TestHttpResponseFuzz:
         ]
         outcomes = self._serve_and_fetch(payloads)
         assert len(outcomes) == len(payloads)
+
+
+class TestTtmlHostileStructures:
+    """Structurally hostile (well-formed) TTML: reference loops, missing
+    targets, absurd values — parse must terminate with sane output."""
+
+    def _parse(self, doc, timeout=2.0):
+        h = Harness("ttmlparse")
+        h.set_src_caps("application/ttml+xml")
+        h.push(Buffer(doc.encode(), pts=0))
+        h.push_eos()
+        out = []
+        while (b := h.try_pull(timeout=timeout)) is not None:
+            out.append(bytes(b.data).decode())
+        h.teardown()
+        return out
+
+    TT = ('<tt xmlns="http://www.w3.org/ns/ttml" '
+          'xmlns:tts="http://www.w3.org/ns/ttml#styling">')
+
+    def test_style_reference_cycle_terminates(self):
+        doc = f"""<?xml version="1.0"?>{self.TT}
+<head><styling>
+  <style xml:id="a" style="b" tts:color="red"/>
+  <style xml:id="b" style="a" tts:fontWeight="bold"/>
+</styling></head>
+<body><div><p begin="0s" end="1s" style="a">x</p></div></body></tt>"""
+        out = self._parse(doc)
+        assert any("x" in t for t in out)
+
+    def test_self_referencing_style(self):
+        doc = f"""<?xml version="1.0"?>{self.TT}
+<head><styling><style xml:id="s" style="s" tts:color="lime"/></styling>
+</head><body><div><p begin="0s" end="1s" style="s">y</p></div></body></tt>"""
+        out = self._parse(doc)
+        assert any("y" in t for t in out)
+
+    def test_undefined_style_and_region_refs(self):
+        doc = f"""<?xml version="1.0"?>{self.TT}
+<body><div><p begin="0s" end="1s" style="ghost" region="nowhere">z</p>
+</div></body></tt>"""
+        out = self._parse(doc)
+        assert any("z" in t for t in out)
+
+    def test_absurd_times_and_depth(self):
+        deep = "<span>" * 40 + "deep" + "</span>" * 40
+        doc = f"""<?xml version="1.0"?>{self.TT}
+<body><div>
+  <p begin="999999999s" end="9999999999s">far future</p>
+  <p begin="2s" end="1s">negative duration</p>
+  <p begin="0s" end="1s">{deep}</p>
+</div></body></tt>"""
+        self._parse(doc)  # must terminate without raising
+
+    def test_huge_attribute_values(self):
+        doc = f"""<?xml version="1.0"?>{self.TT}
+<body><div><p begin="0s" end="1s"
+  tts:fontSize="{'9' * 500}px" tts:zIndex="{'9' * 100}">big</p>
+</div></body></tt>"""
+        self._parse(doc)
