@@ -423,7 +423,10 @@ class TTMLBase(Element):
                 break
             if node_type == NodeType.SET and replaced is not None \
                     and _is_styling(restored_type):
-                target = state.style.get(restored_type)
+                # raw dict access: a value-None placeholder (animated
+                # attribute with no base value) must be REUSED so repeated
+                # SETs share one timeline — Style.get hides placeholders
+                target = state.style.attributes.get(restored_type)
                 if target is None:
                     target = Attribute(restored_type, None)
                     state.style.set(target)

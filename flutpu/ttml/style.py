@@ -24,7 +24,14 @@ class Style:
         self.attributes.clear()
 
     def get(self, atype: AttrType) -> Optional[Attribute]:
-        return self.attributes.get(atype)
+        """Present attributes only: an Attribute whose value is None is a
+        timeline-only placeholder (a SET animating an attribute its
+        parent never declared — round-4 corpus Animation009/010) and must
+        read as ABSENT until its first animation event fires; every
+        consumer (markup generation, renderer layout) reads through here.
+        Writers that must see placeholders use ``attributes`` directly."""
+        a = self.attributes.get(atype)
+        return a if a is not None and a.value is not None else None
 
     def set(self, attr: Attribute) -> Optional[Attribute]:
         """Install attr; returns the replaced attribute (or None)."""

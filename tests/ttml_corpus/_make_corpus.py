@@ -91,6 +91,19 @@ DOCS["Animation"] = {
     "Animation008": doc(body=p(
         'Late\n      <set begin="0.5s" end="1s" tts:color="aqua"/>',
         begin="2s", end="4s", extra='tts:color="white"')),
+    # SET animating a region attribute (backgroundColor on the region)
+    "Animation009": doc(
+        head=layout(region("r1", extra='tts:backgroundColor="black"')
+                    .replace("/>", '>\n        <set begin="1s" end="2s" '
+                                   'tts:backgroundColor="white"/>\n'
+                             '      </region>\n')),
+        body=p('region anim', end="3s", extra='region="r1"')),
+    # two SETs on DIFFERENT attributes overlapping in time
+    "Animation010": doc(body=p(
+        'Multi'
+        '\n      <set begin="0.5s" end="1.5s" tts:color="red"/>'
+        '\n      <set begin="1s" end="2s" tts:backgroundColor="navy"/>',
+        extra='tts:color="white"')),
 }
 
 # ------------------------------------------------------------------ Content
@@ -157,6 +170,22 @@ DOCS["Metadata"] = {
     "Foreign001": doc(
         attrs='xmlns:x="urn:example:foreign" x:custom="1"',
         body=p('tolerant', extra='x:other="y"')),
+    # foreign-namespace ELEMENTS inside content are skipped, text kept
+    "Foreign002": doc(
+        attrs='xmlns:x="urn:example:foreign"',
+        body=p('keep <x:widget>drop-attr-level</x:widget> this')),
+    # SMPTE embedded image metadata (base64 PNG in head, referenced)
+    "SmpteImage001": doc(
+        attrs='xmlns:smpte="http://www.smpte-ra.org/schemas/2052-1/2010/'
+              'smpte-tt"',
+        head=('    <metadata>\n'
+              '      <smpte:image xml:id="i1" imagetype="PNG" '
+              'encoding="Base64">iVBORw0KGgoAAAANSUhEUgAAAAgAAAAICAYAAADED7'
+              '6LAAAAFklEQVR4nGP8z8Dwn4EIwESMolGFlCsEAE1NAh9VXm1eAAAAAElFTkSu'
+              'QmCC</smpte:image>\n'
+              '    </metadata>\n' + layout(
+                  region("r1", extra='smpte:backgroundImage="#i1"'))),
+        body=p('image region', extra='region="r1"')),
 }
 
 # --------------------------------------------------------------- Parameters
