@@ -49,6 +49,7 @@ class _CharBuffer:
         self.insert_space = True
         self.line_has_chars = False
         self.collapsing = False
+        self.space_done = False  # deferred space already materialized
 
     def reset(self, enable: bool, preserve: bool, insert_space: bool = True):
         self.chars = []
@@ -57,24 +58,42 @@ class _CharBuffer:
         self.insert_space = insert_space
         self.line_has_chars = False
         self.collapsing = False
+        self.space_done = False
 
     def add(self, text: str) -> None:
         if not self.enable:
             return
         if self.preserve_whitespace:
             self.chars.append(text)
+            if text:
+                self.line_has_chars = True
+                self.collapsing = False
+                self.space_done = False
             return
         out = []
         for c in text:
             if c in " \t\r\n":
                 self.collapsing = True
             else:
-                if self.collapsing and self.line_has_chars and self.insert_space:
+                if self.collapsing and self.line_has_chars \
+                        and self.insert_space and not self.space_done:
                     out.append(" ")
                 out.append(c)
                 self.collapsing = False
                 self.line_has_chars = True
+                self.space_done = False
         self.chars.append("".join(out))
+
+    def flush_pending_space(self) -> None:
+        """Materialize a deferred collapse space at an inline flush
+        boundary (span start/end): "me <span>x" must keep its word
+        boundary even though the space precedes the flush. space_done
+        suppresses the duplicate when the next scope re-derives it."""
+        if (self.enable and not self.preserve_whitespace and self.collapsing
+                and self.line_has_chars and self.insert_space
+                and not self.space_done):
+            self.chars.append(" ")
+            self.space_done = True
 
     def take(self) -> str:
         s = "".join(self.chars)
@@ -333,7 +352,17 @@ class TTMLBase(Element):
             self._buf.reset(True, state.whitespace_preserve)
         elif node_type == NodeType.SPAN:
             self._add_span(newline=False)
+            # the span continues the SAME text line: carry the pending
+            # collapse state across the reset or "me <span>x" loses its
+            # word boundary and renders "mex" (round-4 corpus
+            # Whitespace001)
+            keep_line = self._buf.line_has_chars
+            keep_coll = self._buf.collapsing
+            keep_done = self._buf.space_done
             self._buf.reset(True, state.whitespace_preserve)
+            self._buf.line_has_chars = keep_line
+            self._buf.collapsing = keep_coll
+            self._buf.space_done = keep_done
         elif node_type == NodeType.SMPTE_IMAGE:
             self._buf.reset(True, False, insert_space=False)
         elif node_type == NodeType.TT:
@@ -377,6 +406,11 @@ class TTMLBase(Element):
 
         state.container_begin = state.begin
         state.container_end = state.end
+
+        # the char-buffer resets above ran BEFORE this element's xml:space
+        # was parsed — sync the preserve mode to the new scope now
+        if node_type in (NodeType.P, NodeType.SPAN):
+            self._buf.preserve_whitespace = state.whitespace_preserve
 
         if node_type == NodeType.BR:
             self._add_span(newline=True)
@@ -443,6 +477,13 @@ class TTMLBase(Element):
             state.container_begin = state.begin
         state.container_end = state.end
 
+        # the attribute pop restored the OUTER scope's xml:space — tail
+        # text after </span> must collapse by the outer scope, not the
+        # span's (round-4 corpus Whitespace001: a preserve span leaked
+        # preservation into the following text)
+        if node_type in (NodeType.P, NodeType.SPAN) and self._buf.enable:
+            self._buf.preserve_whitespace = state.whitespace_preserve
+
     def _sax_chars(self, text: str) -> None:
         self._buf.add(text)
 
@@ -457,6 +498,9 @@ class TTMLBase(Element):
             buf.preserve_whitespace = True
             buf.add("\n")
             buf.line_has_chars = False
+        else:
+            # inline flush (span boundary): trailing deferred space stays
+            buf.flush_pending_space()
         chars = buf.take()
         buf.preserve_whitespace = state.whitespace_preserve
         if not chars:

@@ -141,6 +141,13 @@ DOCS["Content"] = {
         '    </div>\n')),
     "MixedContent001": doc(body=p(
         'head <span tts:fontStyle="italic">mid</span> tail')),
+    # xml:space toggling on nested elements
+    "Whitespace001": doc(body=p(
+        'collapse   me <span xml:space="preserve">keep   these</span>'
+        ' outer   again')),
+    # br inside a nested styled span
+    "Br003": doc(body=p(
+        '<span tts:fontWeight="bold">bold line<br/>still bold</span>')),
 }
 
 # ----------------------------------------------------------------- Metadata
@@ -343,6 +350,27 @@ DOCS["Styling"] = {
 
 # ------------------------------------------------------------------- Timing
 DOCS["Timing"] = {
+    # seq container nested inside a timed div
+    "Sequence002": doc(body=(
+        '    <div begin="1s" end="10s" timeContainer="seq">\n'
+        '      <p dur="1s">one</p>\n'
+        '      <p dur="2s">two</p>\n'
+        '    </div>\n')),
+    # par children with begin offsets
+    "Parallel002": doc(body=(
+        '    <div timeContainer="par" begin="1s" end="4s">\n'
+        '      <p begin="0s" end="1s">early</p>\n'
+        '      <p begin="1s" end="2s">late</p>\n'
+        '    </div>\n')),
+    # zero-duration cue: must not emit a negative/invalid interval
+    "ZeroDur001": doc(body=(
+        '    <div>\n'
+        '      <p begin="1s" end="1s">instant</p>\n'
+        '      <p begin="1s" end="2s">after</p>\n'
+        '    </div>\n')),
+    # span with only a begin (runs to the paragraph end)
+    "SpanBeginOnly001": doc(body=p(
+        'base <span begin="1s" tts:color="red">tail</span>', end="3s")),
     "BeginEnd001": doc(body=p('plain seconds', begin="1s", end="3s")),
     "BeginEnd002": doc(body=p('clock time', begin="00:00:01",
                               end="00:00:02.5")),
