@@ -55,17 +55,21 @@ _ATTR_NAME[AttrType.BACKGROUND_REGION_COLOR] = "backgroundColor"
 
 
 def _dump_attrs(attrs, skip_region: bool) -> str:
-    out = []
+    # dedupe by XML attribute NAME, later values winning: a region whose
+    # backgroundColor was animated carries BOTH the base
+    # BACKGROUND_REGION_COLOR and the updated BACKGROUND_COLOR — both
+    # serialize as "backgroundColor", and a duplicate attribute is
+    # malformed XML that aborts the downstream reparse (round-4 corpus
+    # roundtrip sweep, Animation009)
+    out: dict = {}
     for attr in attrs:
         if attr.type == AttrType.REGION and skip_region:
             continue
-        if attr.type == AttrType.REGION and not skip_region:
-            pass
         name = _ATTR_NAME.get(attr.type)
         val = dump_attribute(attr)
         if name and val is not None:
-            out.append(f" {name}={quoteattr(val)}")
-    return "".join(out)
+            out[name] = val
+    return "".join(f" {n}={quoteattr(v)}" for n, v in out.items())
 
 
 @register

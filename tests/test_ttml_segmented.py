@@ -169,3 +169,54 @@ def test_randomized_docs_roundtrip_property():
             assert p1 == p2 and d1 == d2, (trial, (p1, d1), (p2, d2))
             # trailing-newline placement differs; markup content must match
             assert t1.strip() == t2.strip(), (trial, t1, t2)
+
+
+def _plain_text(markup: str) -> str:
+    """Strip pango-ish markup to bare text for content comparison."""
+    import re
+    return re.sub(r"<[^>]*>", "", markup).strip()
+
+
+def _parse_texts(doc: str):
+    h = Harness("ttmlparse")
+    h.set_src_caps("application/ttml+xml")
+    h.push(Buffer(doc.encode(), pts=0))
+    h.push_eos()
+    out = []
+    while (b := h.try_pull(timeout=0.3)) is not None:
+        out.append((b.pts, _plain_text(bytes(b.data).decode())))
+    h.teardown()
+    return out
+
+
+def _corpus_docs():
+    import os
+    root = os.path.join(os.path.dirname(__file__), "ttml_corpus")
+    for area in ("Animation", "Content", "Styling", "Timing", "EbuTtD"):
+        d = os.path.join(root, area)
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".xml"):
+                yield f"{area}/{name[:-4]}", \
+                    open(os.path.join(d, name)).read()
+
+
+@pytest.mark.parametrize("key,doc", list(_corpus_docs()),
+                         ids=[k for k, _ in _corpus_docs()])
+def test_corpus_segmented_roundtrip_text(key, doc):
+    """Corpus-wide round-trip property: re-parsing ttmlsegmentedparse's
+    per-interval documents yields the same visible TEXT per interval as
+    parsing the original (styling may re-serialize differently; text and
+    timing must survive)."""
+    orig = [(p, t) for p, t in _parse_texts(doc) if t]
+    segs = run_segmented(doc)
+    for pts, dur, seg_doc in segs:
+        orig_here = [t for p, t in orig if p == pts]
+        if not orig_here:
+            continue  # blank/clearing intervals have no segment text
+        re_texts = [t for _, t in _parse_texts(seg_doc) if t]
+        assert re_texts, (key, pts, seg_doc[:200])
+        # the re-parsed segment must reproduce the interval's text
+        # (whitespace-normalized; a segment doc is one interval)
+        a = " ".join(" ".join(re_texts).split())
+        b = " ".join(" ".join(orig_here).split())
+        assert a == b, (key, pts, a, b)
