@@ -641,3 +641,43 @@ class TestAtlasFullCoverage:
         el = TTMLRender()
         params = [NS(vertical=True, bg_image=np.zeros((4, 4, 4), np.uint8))]
         assert el._atlas_ok(params)
+
+
+class TestCorpusDeviceHostAgreement:
+    """Device (atlas) vs host rendering over a deterministic corpus
+    sample: coverage (non-transparent pixel count) must agree within 25%
+    per interval. The full 97-doc sweep measured ZERO divergences
+    (round 4); this sampled version keeps the invariant in CI."""
+
+    SAMPLE = ["Animation/Animation001", "Animation/Animation009",
+              "Content/Span004", "Content/Div001", "Styling/ZIndex001",
+              "Styling/WritingMode001", "Styling/TextOutline001",
+              "Styling/Opacity001", "Styling/Padding002",
+              "Parameters/CellResolution001", "Timing/Sequence001",
+              "EbuTtD/EbuTtD002"]
+
+    def _render(self, doc, device):
+        h = Harness(f"ttmlrender window-width=320 window-height=240 "
+                    f"use-device-composite={'true' if device else 'false'}")
+        h.set_src_caps("application/ttml+xml")
+        h.push(Buffer(doc.encode(), pts=0))
+        h.push_eos()
+        out = []
+        while (b := h.try_pull(timeout=0.5)) is not None:
+            out.append(np.asarray(b.data))
+        h.teardown()
+        return out
+
+    @pytest.mark.parametrize("key", SAMPLE)
+    def test_device_matches_host_coverage(self, key):
+        import os
+        root = os.path.join(os.path.dirname(__file__), "ttml_corpus")
+        doc = open(os.path.join(root, key + ".xml")).read()
+        dev = self._render(doc, True)
+        host = self._render(doc, False)
+        assert len(dev) == len(host), (len(dev), len(host))
+        for i, (a, b) in enumerate(zip(dev, host)):
+            na, nb = int((a[..., 3] > 0).sum()), int((b[..., 3] > 0).sum())
+            if max(na, nb) == 0:
+                continue
+            assert min(na, nb) / max(na, nb) > 0.75, (key, i, na, nb)
