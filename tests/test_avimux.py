@@ -213,3 +213,32 @@ def test_avidemux_corrupt_size_stops_parsing():
              if isinstance(e, AviDemux)][0]
     assert demux._bad
     h.teardown()
+
+
+def test_demux_arbitrary_input_fragmentation():
+    """Streaming demux must be agnostic to upstream buffer boundaries:
+    byte-dribbled (1-byte) input yields the identical frames (round-4
+    robustness probe)."""
+    h = Harness("avimux")
+    h.set_src_caps("image/jpeg, width=16, height=16, framerate=30/1")
+    payloads = [b"\xff\xd8" + bytes([i] * 50) + b"\xff\xd9"
+                for i in range(5)]
+    for i, p in enumerate(payloads):
+        h.push(Buffer(p, pts=i * MSECOND, duration=MSECOND, offset=i))
+    h.push_eos()
+    avi = b""
+    while (b := h.try_pull(timeout=2)) is not None:
+        avi += bytes(b.data)
+    h.teardown()
+
+    for chunk in (1, 7, 64):
+        h = Harness("avidemux")
+        h.set_src_caps("video/x-msvideo")
+        for off in range(0, len(avi), chunk):
+            h.push(Buffer(avi[off:off + chunk], pts=None))
+        h.push_eos()
+        frames = []
+        while (b := h.try_pull(timeout=2)) is not None:
+            frames.append(bytes(b.data))
+        h.teardown()
+        assert frames == payloads, chunk
