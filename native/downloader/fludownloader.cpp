@@ -653,6 +653,11 @@ void run_http_task(Session* s, Task* t) {
     std::string redirect;
     run_http_transfer(s, t, &redirect);
     if (redirect.empty()) return;
+    if (t->abort_requested.load() || !s->running.load()) {
+      // abort between hops: don't chase further Locations
+      if (t->outcome.load() == TASK_PENDING) t->outcome = TASK_ABORTED;
+      return;
+    }
     if (hop >= kMaxRedirects) {
       t->outcome = TASK_TOO_MANY_REDIRECTS;
       return;
