@@ -255,6 +255,56 @@ def main():
 
     fence("segment_device", phase_segment_device)
 
+    def phase_headline_threaded_std():
+        """Standard layout in the SAME 3-deep threaded shape as the
+        segmented phase below — the shape-matched, same-process A/B arm
+        (separate bench.py runs sit in different chip-load windows)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from flutpu.codec.ops.entropy import stuff_and_finalize
+        full_prefix = enc.PREFIX_WORDS
+
+        @functools.partial(jax.jit, static_argnames=("pfx",))
+        def gop_program(start, pfx=full_prefix):
+            yq, cbq, crq = coefs(start)
+            return E.encode_gop_scans_combined(
+                yq, cbq, crq, layout=layout, prefix_words=pfx,
+                use_pallas=enc.use_pallas, fused=best[0], concat=best[1])
+
+        first = np.asarray(gop_program(jnp.float32(0)))
+        used = int((first[:, 0].astype(np.int64).max() + 31) // 32)
+        pfx = min(full_prefix,
+                  max(8192, ((int(used * 1.25) + 1024 + 4095) // 4096)
+                      * 4096))
+
+        def finalize(arr):
+            bits = arr[:, 0].astype(np.int64)
+            assert (bits <= pfx * 32).all()
+            for i in range(arr.shape[0]):
+                stuff_and_finalize(arr[i, 1:], int(bits[i]))
+
+        np.asarray(gop_program(jnp.float32(0), pfx=pfx))
+        n_gops = 40 if not os.environ.get("FLUTPU_SWEEP_SMALL") else 4
+        pool = ThreadPoolExecutor(max_workers=2)
+        t0 = time.time()
+        futs = []
+        done = 0
+        for g in range(n_gops):
+            combined = gop_program(jnp.float32(g * GOP), pfx=pfx)
+            futs.append(pool.submit(
+                lambda c: finalize(np.asarray(c)), combined))
+            if len(futs) >= 3:
+                futs.pop(0).result()
+                done += GOP
+        for fu in futs:
+            fu.result()
+            done += GOP
+        fps = done / (time.time() - t0)
+        pool.shutdown()
+        log(metric="headline_1080p_fps_THREADED_STD", value=round(fps, 1),
+            adaptive_prefix=pfx)
+
+    fence("headline_threaded_std", phase_headline_threaded_std)
+
     def phase_headline_seg():
         from concurrent.futures import ThreadPoolExecutor
         from flutpu.codec.ops.entropy import (compact_aligned_segments,
