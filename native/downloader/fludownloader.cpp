@@ -860,4 +860,57 @@ int flu_dl_get_tasks_count(void* ctx) {
   return (int)s->queue.size();
 }
 
+// --- reference-parity surface (fludownloader.h:94-185) ---------------------
+
+void flu_dl_global_init(void) {
+  // curl_global_init analog (fludownloader.h:94): the sockets rewrite has
+  // no process-global state to initialize; kept for API parity.
+}
+
+void flu_dl_global_shutdown(void) {}
+
+void flu_dl_lock(void* ctx) {
+  // session lock exposed so callbacks can synchronize against task
+  // mutation (fludownloader.h:125-128)
+  static_cast<Session*>(ctx)->lock.lock();
+}
+
+void flu_dl_unlock(void* ctx) {
+  static_cast<Session*>(ctx)->lock.unlock();
+}
+
+int flu_dl_task_get_abort(void* task) {
+  return static_cast<Task*>(task)->abort_requested.load() ? 1 : 0;
+}
+
+const char* kSslStatusNames[] = {
+    "OK", "CONNECT_ERROR", "ENGINE_NOT_FOUND", "ENGINE_SET_FAILED",
+    "CERTPROBLEM", "CIPHER", "CACERT", "ENGINE_INIT_FAILED",
+    "CACERT_BADFILE", "SHUTDOWN_FAILED", "CRL_BADFILE", "ISSUER_ERROR",
+    "PINNEDPUBKEYNOTMATCH", "INVALIDCERTSTATUS", "NO_TASK"};
+
+const char* flu_dl_ssl_status_string(int status) {
+  if (status < 0 || status > 14) return "UNKNOWN";
+  return kSslStatusNames[status];
+}
+
+long long flu_dl_getdate(const char* date) {
+  // RFC 7231 HTTP-date (+ the obsolete RFC 850 / asctime forms) → epoch
+  // seconds; -1 on parse failure (fludownloader.h:185 getdate role)
+  if (date == nullptr) return -1;
+  struct tm tm = {};
+  const char* fmts[] = {"%a, %d %b %Y %H:%M:%S",   // IMF-fixdate
+                        "%A, %d-%b-%y %H:%M:%S",   // RFC 850
+                        "%a %b %d %H:%M:%S %Y"};   // asctime
+  for (const char* f : fmts) {
+    struct tm t2 = {};
+    if (strptime(date, f, &t2) != nullptr) {
+      tm = t2;
+      time_t out = timegm(&tm);
+      return out == (time_t)-1 ? -1 : (long long)out;
+    }
+  }
+  return -1;
+}
+
 }  // extern "C"

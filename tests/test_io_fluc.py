@@ -760,3 +760,41 @@ class TestProxy:
         assert outcome == TaskOutcome.OK
         assert data == (root / "secure.txt").read_bytes()
         assert served["connect"] == 1
+
+
+class TestNativeApiParity:
+    """Reference-parity C surface (fludownloader.h:94-185): lock/unlock,
+    task abort query, SSL status names, HTTP-date parsing, global
+    init/shutdown."""
+
+    def test_getdate_and_ssl_strings(self):
+        import ctypes
+        lib = native.get_lib()
+        if lib is None:
+            pytest.skip("native library unavailable")
+        lib.flu_dl_getdate.restype = ctypes.c_longlong
+        lib.flu_dl_ssl_status_string.restype = ctypes.c_char_p
+        assert lib.flu_dl_getdate(b"Sun, 06 Nov 1994 08:49:37") == 784111777
+        assert lib.flu_dl_getdate(b"Sunday, 06-Nov-94 08:49:37") == 784111777
+        assert lib.flu_dl_getdate(b"garbage") == -1
+        assert lib.flu_dl_ssl_status_string(0) == b"OK"
+        assert lib.flu_dl_ssl_status_string(6) == b"CACERT"
+        assert lib.flu_dl_ssl_status_string(99) == b"UNKNOWN"
+        lib.flu_dl_global_init()
+        lib.flu_dl_global_shutdown()
+
+    def test_lock_unlock_and_abort_query(self):
+        import ctypes
+        lib = native.get_lib()
+        if lib is None:
+            pytest.skip("native library unavailable")
+        dl = Downloader()
+        try:
+            lib.flu_dl_lock(dl._ctx)
+            lib.flu_dl_unlock(dl._ctx)
+            t = dl.new_task("http://127.0.0.1:1/never")
+            handle = t._native_handle
+            t.abort()
+            assert lib.flu_dl_task_get_abort(handle) in (0, 1)
+        finally:
+            dl.destroy()
