@@ -768,12 +768,9 @@ class TestNativeApiParity:
     init/shutdown."""
 
     def test_getdate_and_ssl_strings(self):
-        import ctypes
         lib = native.get_lib()
         if lib is None:
             pytest.skip("native library unavailable")
-        lib.flu_dl_getdate.restype = ctypes.c_longlong
-        lib.flu_dl_ssl_status_string.restype = ctypes.c_char_p
         assert lib.flu_dl_getdate(b"Sun, 06 Nov 1994 08:49:37") == 784111777
         assert lib.flu_dl_getdate(b"Sunday, 06-Nov-94 08:49:37") == 784111777
         assert lib.flu_dl_getdate(b"garbage") == -1
@@ -784,17 +781,26 @@ class TestNativeApiParity:
         lib.flu_dl_global_shutdown()
 
     def test_lock_unlock_and_abort_query(self):
-        import ctypes
+        """Task handles are valid only until the task completes (the
+        reference contract — the worker frees them after done_cb), so the
+        abort flag is queried while the transfer is provably in progress
+        against a server that accepts but never responds."""
+        import socket
         lib = native.get_lib()
         if lib is None:
             pytest.skip("native library unavailable")
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
         dl = Downloader()
         try:
             lib.flu_dl_lock(dl._ctx)
             lib.flu_dl_unlock(dl._ctx)
-            t = dl.new_task("http://127.0.0.1:1/never")
-            handle = t._native_handle
-            t.abort()
-            assert lib.flu_dl_task_get_abort(handle) in (0, 1)
+            t = dl.new_task(f"http://127.0.0.1:{port}/hang")
+            time.sleep(0.3)          # worker sits in the receive poll
+            assert lib.flu_dl_task_get_abort(t._native_handle) == 0
+            t.abort()                # flag flips; the loop exits cleanly
         finally:
             dl.destroy()
+            srv.close()
