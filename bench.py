@@ -74,8 +74,8 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
                                           mcu_layout, stuff_and_finalize)
     from flutpu.codec.ops.testsrc import gradient_ball_frames
 
-    segmented = bool(os.environ.get("FLUTPU_SEGMENTED"))
     enc = JpegEncoder(quality=QUALITY, engine="auto")
+    segmented = enc.segmented   # backend default; FLUTPU_SEGMENTED overrides
     layout = mcu_layout(PW // 8, PH // 8, PW // 16, PH // 16, True)
     full_prefix = enc.PREFIX_WORDS
     n_segs = (layout.n_blocks + enc.SEG_G - 1) // enc.SEG_G
@@ -201,8 +201,8 @@ def measure_device_ms_per_gop(reps: int = 8):
                                           mcu_layout)
     from flutpu.codec.ops.testsrc import gradient_ball_frames
 
-    segmented = bool(os.environ.get("FLUTPU_SEGMENTED"))
     enc = JpegEncoder(quality=QUALITY, engine="auto")
+    segmented = enc.segmented   # backend default; FLUTPU_SEGMENTED overrides
     layout = mcu_layout(PW // 8, PH // 8, PW // 16, PH // 16, True)
     prefix = 24576  # fixed window: comparable across rounds/content drift
 

@@ -19,7 +19,7 @@ import numpy as np
 from ..core import (Buffer, BufferFlags, Caps, FlowReturn, PropertySpec,
                     register)
 from .base import VideoEncoder
-from .jpeg import JpegEncoder
+from .jpeg import JpegEncoder, segmented_property
 
 _BUCKETS = (1, 2, 4, 8, 16, 32)
 
@@ -44,9 +44,11 @@ class TpuJpegEnc(VideoEncoder):
         PropertySpec("batch-frames", 8, "max frames batched per device dispatch"),
         PropertySpec("subsample", True, "4:2:0 chroma subsampling"),
         PropertySpec("engine", "auto", "auto | device | host entropy coding"),
-        PropertySpec("segmented", False, "round-4 segment bitstream layout: "
-                     "device word-aligned segments + host compaction "
-                     "(byte-identical output; A/B knob)"),
+        PropertySpec("segmented", "auto", "segment bitstream layout: device "
+                     "word-aligned segments + host compaction (byte-identical "
+                     "output). auto = on for the TPU Pallas engine (round-4 "
+                     "hardware A/B: 223 vs 192 fps), off on CPU; true/false "
+                     "force either layout"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -62,7 +64,7 @@ class TpuJpegEnc(VideoEncoder):
                 quality=int(self.get_property("quality")),
                 subsample=bool(self.get_property("subsample")),
                 engine=str(self.get_property("engine")),
-                segmented=bool(self.get_property("segmented")) or None)
+                segmented=segmented_property(self.get_property("segmented")))
         return self._encoder
 
     def do_set_property(self, name, value):

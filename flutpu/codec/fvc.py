@@ -57,7 +57,7 @@ import numpy as np
 from ..core import Buffer, BufferFlags, Caps, PropertySpec, register
 from .base import VideoEncoder
 from .decode import coefs_to_rgb, decode_scan_to_coefs
-from .jpeg import _pad_to, encode_gop_to_coefs
+from .jpeg import _pad_to, encode_gop_to_coefs, segmented_property
 from .ops.quant import CHROMA_QTABLE, LUMA_QTABLE, scale_qtable
 
 MAGIC = b"FVC1"
@@ -365,7 +365,7 @@ class FvcEncoder:
     def __init__(self, quality: int = 85, subsample: bool = True,
                  motion: bool = False, search_range: int = 7,
                  engine: str = "auto", hier: bool = False,
-                 subpel: bool = False):
+                 subpel: bool = False, segmented: Optional[bool] = None):
         from .jpeg import JpegEncoder
         self.quality = quality
         self.subsample = subsample
@@ -392,7 +392,7 @@ class FvcEncoder:
         # shared scan coder: device entropy packing (only compressed bits
         # cross the host link) with host C++ fallback
         self._scan_coder = JpegEncoder(quality, subsample=subsample,
-                                       engine=engine)
+                                       engine=engine, segmented=segmented)
 
     def _layout_prefix(self, ph: int, pw: int):
         from .ops.entropy import mcu_layout
@@ -974,8 +974,10 @@ class FvcEnc(VideoEncoder):
                                    "Per-chunk log-proportional quality "
                                    "controller (the rate-control role the "
                                    "reference delegates to x264)"),
-        PropertySpec("segmented", False, "round-4 segment bitstream layout "
-                     "for the entropy stage (byte-identical output)"),
+        PropertySpec("segmented", "auto", "segment bitstream layout for the "
+                     "entropy stage (byte-identical output). auto = on for "
+                     "the TPU Pallas engine (round-4 hardware A/B), off on "
+                     "CPU; true/false force either layout"),
     ]
 
     _RC_MIN_Q, _RC_MAX_Q = 10, 97
@@ -997,9 +999,9 @@ class FvcEnc(VideoEncoder):
                 search_range=int(self.get_property("search-range")),
                 engine=str(self.get_property("engine")),
                 hier=str(self.get_property("search")) == "hier",
-                subpel=bool(self.get_property("subpel")))
-            if self.get_property("segmented"):
-                enc._scan_coder.segmented = True
+                subpel=bool(self.get_property("subpel")),
+                segmented=segmented_property(
+                    self.get_property("segmented")))
         return enc
 
     def set_format(self, caps: Caps):

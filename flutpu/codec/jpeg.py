@@ -322,6 +322,32 @@ def _slice_words(n: int):
     return jax.jit(lambda p: p[:, :n])
 
 
+def resolve_segmented(explicit, use_pallas: bool) -> bool:
+    """Resolve the segment-bitstream-layout default.
+
+    Precedence: explicit arg > FLUTPU_SEGMENTED env (``0``/``false``/``no``
+    force off, anything else forces on) > backend default (on where the
+    Pallas engine runs on a real accelerator — the round-4 hardware A/B,
+    PERF.md; never on CPU, where the grouped pack kernel cannot lower and
+    interpret mode would be slower than the scan packer)."""
+    import os
+    if explicit is not None:
+        return bool(explicit)
+    env = os.environ.get("FLUTPU_SEGMENTED")
+    if env is not None:
+        return env.strip().lower() not in ("", "0", "false", "no")
+    return bool(use_pallas) and jax.default_backend() != "cpu"
+
+
+def segmented_property(value) -> Optional[bool]:
+    """Map an element ``segmented`` property (auto/true/false, any case,
+    or a bool) to the encoder constructor arg (None = backend default)."""
+    s = str(value).strip().lower()
+    if s in ("auto", "", "none"):
+        return None
+    return s not in ("0", "false", "no")
+
+
 class JpegEncoder:
     """Stateless-per-GOP JPEG encoder.
 
@@ -358,11 +384,13 @@ class JpegEncoder:
         self.use_pallas = (jax.default_backend() not in ("cpu",)
                            if use_pallas is None else use_pallas)
         # segment bitstream layout: device concat replaced by word-aligned
-        # segment placement + host compaction (entropy.py round-4 design);
-        # hardware A/B pending, so opt-in via flag/env until measured
-        import os
-        self.segmented = (bool(os.environ.get("FLUTPU_SEGMENTED"))
-                          if segmented is None else bool(segmented))
+        # segment placement + host compaction (entropy.py round-4 design).
+        # Default ON wherever the Pallas engine runs (real TPU) — the
+        # round-4 hardware A/B measured 223.0 vs 192.0 fps and 28.6 vs
+        # 40.4 device ms/GOP on the same v5e session (PERF.md). Off on
+        # CPU, where the grouped kernel would run in interpret mode.
+        # FLUTPU_SEGMENTED=0/1 force-overrides either way.
+        self.segmented = resolve_segmented(segmented, self.use_pallas)
         self._seg_words = self.SEG_WORDS0
         self.qy = scale_qtable(LUMA_QTABLE, quality)
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
