@@ -95,6 +95,19 @@ def main():
         return sums.sum()
 
     @jax.jit
+    def p_search_dygrid(start):
+        from flutpu.codec.ops.motion_pallas import \
+            motion_search_mc_dygrid_pallas
+        y, cb, cr = rgb_to_i420(synth(start))
+
+        def step(prev_y, cy):
+            mv, pred = motion_search_mc_dygrid_pallas(cy, prev_y)
+            return cy, mv.sum() + pred.sum()
+
+        _, sums = jax.lax.scan(step, y[0], y)
+        return sums.sum()
+
+    @jax.jit
     def p_chroma_mc(start):
         y, cb, cr = rgb_to_i420(synth(start))
 
@@ -150,6 +163,8 @@ def main():
     stages = [("src", lambda s: p_src(s)),
               ("i420", lambda s: p_i420(s)),
               ("search+pred", lambda s: p_search(s)),
+              *([("search+pred_dygrid", lambda s: p_search_dygrid(s))]
+                if on_tpu else []),
               ("chroma_mc", lambda s: p_chroma_mc(s)),
               ("mc_chunk", lambda s: p_mc_chunk(s, enc._qy_dev,
                                                 enc._qc_dev)),

@@ -177,10 +177,15 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         if use_kernel:
             from .ops.motion_pallas import (chroma_mc_fits,
                                             chroma_mc_pallas,
+                                            motion_search_mc_dygrid_pallas,
                                             motion_search_mc_hier_pallas,
                                             motion_search_mc_pallas)
+            # FLUTPU_SEARCH_DYGRID=0/1 A/Bs the dy-grid restructure of the
+            # full-search kernel (one lane roll per candidate; bit-identical)
+            dygrid = os.environ.get("FLUTPU_SEARCH_DYGRID")
             ksearch = motion_search_mc_hier_pallas if hier \
-                else motion_search_mc_pallas
+                else (motion_search_mc_dygrid_pallas if dygrid
+                      else motion_search_mc_pallas)
             mv, pred_p_y = ksearch(cy, rec_y, search_range=search_range)
             # both chroma planes in ONE VMEM kernel (64 in-VMEM rolls
             # instead of 2x64 HBM whole-plane rolls; bit-identical).

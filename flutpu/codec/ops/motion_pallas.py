@@ -395,6 +395,167 @@ def motion_search_mc_hier_pallas(cur_y: jax.Array, prev_y: jax.Array,
     return mv, pred.reshape(h, w)[:, :w_real]
 
 
+def _search_mc_dygrid_kernel(cur_ref, plane_ref, ones_ref, onest_ref,
+                             mvy_ref, mvx_ref, pred_ref, best_ref,
+                             *, rows, w, rng, mb):
+    """dy-grid body (round 4): the sublane (dy) shift is resolved OUTSIDE
+    the kernel — grid dim 1 walks the 2r+1 dy values and `plane_ref` is
+    the already-dy-sliced reference band, so each candidate pays ONE lane
+    roll instead of the fused kernel's sublane+lane pair (the kernel is
+    roll-bound: PERF.md round-3 stage table). Argmin state persists across
+    dy steps in the revisited mv/pred output blocks plus a cost scratch;
+    candidate order stays dy-major = the XLA loop's (dy, dx) row-major
+    order, so tie-breaking (first win) and the integer-scaled center bias
+    keep the bit-identical contract of motion_search + motion_compensate."""
+    n = 2 * rng + 1
+    j = pl.program_id(1)
+    dy = j - rng
+    mbr = rows // mb
+    mbr_p = mvy_ref.shape[0]
+    mbw = ones_ref.shape[1]
+
+    fresh = j == 0
+    best0 = jnp.where(fresh, jnp.inf, best_ref[:][:mbr])
+    # by/bx init values never survive: at j==0 the first candidate beats
+    # inf for every macroblock, so reading the revisited output blocks
+    # before their first write would be safe — but zero-fill anyway so no
+    # uninitialized VMEM is ever an input to a select.
+    by0 = jnp.where(fresh, 0, mvy_ref[:][:mbr])
+    bx0 = jnp.where(fresh, 0, mvx_ref[:][:mbr])
+
+    def body(k, state):
+        best, by, bx = state
+        dx = k - rng
+        p1 = plane_ref.shape[1]
+        sh = pltpu.roll(plane_ref[:], (p1 - (rng - dx)) % p1,
+                        axis=1)[:, :w]
+        d = jnp.abs(cur_ref[:] - sh)
+        s1 = d.reshape(mbr, mb, w).sum(axis=1)
+        sadv = jnp.dot(s1, ones_ref[:],
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        cost = sadv * 64 + (jnp.abs(dy) + jnp.abs(dx))
+        better = cost < best
+        best = jnp.where(better, cost, best)
+        by = jnp.where(better, dy, by)
+        bx = jnp.where(better, dx, bx)
+        bet_rows = jnp.dot(better.astype(jnp.float32), onest_ref[:],
+                           preferred_element_type=jnp.float32)
+        bet_map = jnp.broadcast_to(bet_rows[:, None, :],
+                                   (mbr, mb, w)).reshape(rows, w)
+        pred_ref[:] = jnp.where(bet_map > 0, sh, pred_ref[:])
+        return best, by, bx
+
+    best, by, bx = jax.lax.fori_loop(0, n, body, (best0, by0, bx0))
+    if mbr_p > mbr:
+        padf = jnp.zeros((mbr_p - mbr, mbw), jnp.float32)
+        padi = jnp.zeros((mbr_p - mbr, mbw), jnp.int32)
+        best = jnp.concatenate([best, padf], axis=0)
+        by = jnp.concatenate([by, padi], axis=0)
+        bx = jnp.concatenate([bx, padi], axis=0)
+    best_ref[:] = best
+    mvy_ref[:] = by
+    mvx_ref[:] = bx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("search_range", "mb", "interpret"))
+def motion_search_mc_dygrid_pallas(cur_y: jax.Array, prev_y: jax.Array,
+                                   search_range: int = 7, mb: int = 16,
+                                   interpret: bool = False):
+    """Same contract as motion_search_mc_pallas (bit-identical mv + pred),
+    restructured so the per-candidate SUBLANE roll disappears: the 2r+1
+    dy-shifted views of the wrap-padded reference are materialized in HBM
+    by one affine row gather (XLA-side; ~(2r+1)x the frame bytes, ~0.4 ms
+    of HBM traffic per 1080p frame pair against ~100 VMEM band rolls
+    saved) and walked by a second sequential grid dimension. Each grid
+    step Mosaic-pipelines one dy plane into VMEM while the kernel runs the
+    2r+1 dx candidates with single lane rolls."""
+    h, w_real = cur_y.shape
+    rng = search_range
+    n = 2 * rng + 1
+    w = -(-w_real // 128) * 128
+    cur_pad = cur_y.astype(jnp.float32)
+    if w != w_real:
+        cur_pad = jnp.pad(cur_pad, ((0, 0), (0, w - w_real)))
+    mbh, mbw = h // mb, w // mb
+    mbw_real = w_real // mb
+
+    prevp = jnp.pad(prev_y.astype(jnp.float32),
+                    ((rng, rng), (rng, rng)), mode="wrap")
+    if w != w_real:
+        prevp = jnp.pad(prevp, ((0, 0), (0, w - w_real)))
+
+    # same band rule as the fused kernel (same g → clean roll-structure
+    # A/B); the dy-grid working set is strictly smaller (no 2r halo rows)
+    g = mbh
+    for cand in range(1, mbh + 1):
+        if mbh % cand == 0 and \
+                (h // cand) * (w + 2 * rng) * 4 * 3 < 10 * 2 ** 20:
+            g = cand
+            break
+    rows = h // g
+
+    pc = -(w + 2 * rng) % 128
+    if pc:
+        prevp = jnp.pad(prevp, ((0, 0), (0, pc)))
+    pcols = w + 2 * rng + pc
+    # dy plane (b, j): rows [b*rows + 2r - j, ...+rows) of prevp — the
+    # same window the fused kernel's axis-0 roll-by-(r-dy) + [:rows]
+    # slice reads from its banded copy
+    ridx = ((jnp.arange(g) * rows)[:, None, None]
+            + (2 * rng - jnp.arange(n))[None, :, None]
+            + jnp.arange(rows)[None, None, :])
+    planes = prevp[ridx]                       # (g, n, rows, pcols)
+
+    mbw_p = -(-mbw // 128) * 128
+    mbr = rows // mb
+    mbr_p = -(-mbr // 8) * 8
+    ones_np = _ones_blockdiag(w, mb)
+    ones = jnp.asarray(np.pad(ones_np, ((0, 0), (0, mbw_p - mbw))))
+    onest = jnp.asarray(np.pad(ones_np.T, ((0, mbw_p - mbw), (0, 0))))
+
+    cur_b = cur_pad.reshape(g, rows, w)
+    kernel = functools.partial(_search_mc_dygrid_kernel, rows=rows, w=w,
+                               rng=rng, mb=mb)
+    grid_spec = pl.GridSpec(
+        grid=(g, n),
+        in_specs=[
+            pl.BlockSpec((1, rows, w), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, rows, pcols), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((w, mbw_p), lambda i, j: (0, 0)),
+            pl.BlockSpec((mbw_p, w), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, rows, w), lambda i, j: (i, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((mbr_p, mbw_p), jnp.float32)],
+    )
+
+    def kernel4d(cur_ref, plane_ref, ones_ref, onest_ref,
+                 mvy_ref, mvx_ref, pred_ref, best_ref):
+        kernel(cur_ref.at[0], plane_ref.at[0, 0], ones_ref, onest_ref,
+               mvy_ref.at[0], mvx_ref.at[0], pred_ref.at[0], best_ref)
+
+    mvy, mvx, pred = pl.pallas_call(
+        kernel4d,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((g, mbr_p, mbw_p), jnp.int32),
+            jax.ShapeDtypeStruct((g, mbr_p, mbw_p), jnp.int32),
+            jax.ShapeDtypeStruct((g, rows, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cur_b, planes, ones, onest)
+
+    mv = jnp.stack([mvy[:, :mbr, :mbw_real].reshape(mbh, mbw_real),
+                    mvx[:, :mbr, :mbw_real].reshape(mbh, mbw_real)],
+                   axis=-1)
+    return mv, pred.reshape(h, w)[:, :w_real]
+
+
 @functools.lru_cache()
 def _onest_chroma(wc: int, mbw_p: int) -> np.ndarray:
     """(mbw_p, wc_p128) f32 transposed block-selector: row j is one over

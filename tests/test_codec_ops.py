@@ -252,6 +252,34 @@ def test_motion_pallas_kernel_matches_xla(monkeypatch):
         np.testing.assert_array_equal(np.asarray(pred), pred_ref)
 
 
+def test_motion_dygrid_pallas_matches_xla():
+    """Round-4 dy-grid restructure of the search+predict kernel (the
+    sublane shift resolved by an affine row gather + a sequential grid
+    dim; one lane roll per candidate) is bit-identical to
+    motion_search + motion_compensate, including non-128-multiple
+    widths."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops.motion import motion_compensate, motion_search
+    from flutpu.codec.ops.motion_pallas import motion_search_mc_dygrid_pallas
+    rng = np.random.default_rng(7)
+    for (h, w) in ((64, 128), (48, 256), (64, 96)):
+        prev = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        cur = np.roll(prev, (rng.integers(-7, 8), rng.integers(-7, 8)),
+                      axis=(0, 1)) + \
+            rng.normal(0, 2, (h, w)).astype(np.float32)
+        mv_ref = np.asarray(motion_search(jnp.asarray(cur),
+                                          jnp.asarray(prev),
+                                          search_range=7))
+        pred_ref = np.asarray(motion_compensate(jnp.asarray(prev),
+                                                jnp.asarray(mv_ref),
+                                                search_range=7))
+        mv, pred = motion_search_mc_dygrid_pallas(
+            jnp.asarray(cur), jnp.asarray(prev), search_range=7,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(mv), mv_ref)
+        np.testing.assert_array_equal(np.asarray(pred), pred_ref)
+
+
 def test_chroma_mc_pallas_matches_xla():
     """Interpret-mode fused two-plane chroma MC kernel is bit-identical
     to motion_compensate(..., mb=8) across shapes and search ranges."""
