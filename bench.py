@@ -68,7 +68,7 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     import jax.numpy as jnp
     from flutpu.codec.jpeg import JpegEncoder, jpeg_headers, _pad_to
     from flutpu.codec.jpeg import encode_gop_to_coefs
-    from flutpu.codec.ops.entropy import (compact_aligned_segments,
+    from flutpu.codec.ops.entropy import (compact_segments_finalize,
                                           encode_gop_scans_combined,
                                           encode_gop_scans_segmented,
                                           mcu_layout, stuff_and_finalize)
@@ -105,13 +105,9 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
             assert (used <= prefix).all(), "prefix overflow in bench"
             segbits = arr[:, 1:1 + n_segs].astype(np.int64)
             assert (segbits <= seg_words * 32).all(), "segment overflow"
-            out = []
-            for i in range(arr.shape[0]):
-                stream, total = compact_aligned_segments(
-                    segbits[i], arr[i, 1 + n_segs:])
-                out.append(hdr + stuff_and_finalize(stream, total)
-                           + b"\xff\xd9")
-            return out
+            return [hdr + compact_segments_finalize(segbits[i],
+                                                    arr[i, 1 + n_segs:])
+                    + b"\xff\xd9" for i in range(arr.shape[0])]
         bits = arr[:, 0].astype(np.int64)
         assert (bits <= prefix * 32).all(), "prefix overflow in bench"
         return [hdr + stuff_and_finalize(arr[i, 1:], int(bits[i])) + b"\xff\xd9"

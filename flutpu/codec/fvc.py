@@ -487,7 +487,7 @@ class FvcEncoder:
         """Blocking half: ONE fetch, overflow handling, extraction.
         ``sw`` = the segment capacity the dispatch compiled with (None =
         block-concat layout)."""
-        from .ops.entropy import (compact_aligned_segments,
+        from .ops.entropy import (compact_segments_finalize,
                                   stuff_and_finalize)
         from .jpeg import _pad_to as _p8
         sc = self._scan_coder
@@ -520,11 +520,10 @@ class FvcEncoder:
             return None, None, None
         if sw is not None:
             sc._note_prefix_usage(int(used.max()))
-            payloads = []
-            for i in range(arr.shape[0]):
-                stream, total = compact_aligned_segments(
-                    segbits[i], arr[i, 1 + n_segs:scan_end])
-                payloads.append(stuff_and_finalize(stream, total))
+            sc._note_seg_usage(int(segbits.max()))
+            payloads = [compact_segments_finalize(
+                segbits[i], arr[i, 1 + n_segs:scan_end])
+                for i in range(arr.shape[0])]
         else:
             sc._note_prefix_usage((bits.max() + 31) // 32)
             payloads = [stuff_and_finalize(arr[i, 1:1 + prefix],

@@ -465,6 +465,25 @@ class JpegEncoder:
         prev = getattr(self, "_prefix_used_words", None) or 0
         self._prefix_used_words = max(prev, int(used_words))
 
+    def _note_seg_usage(self, max_seg_bits: int) -> None:
+        """Segment-capacity hysteresis (the same lesson as the prefix
+        window, learned again on hardware: an fvcenc 1080p run overflowed
+        ``seg_words`` 64 → 128 on its SECOND GOP — one content-driven
+        growth costs a redo-finalize plus two recompiles, ~28 s through
+        the remote compiler, measured 1.6 fps on a 6-GOP bench). Grow-only
+        and PROACTIVE: when a successful GOP's densest segment uses more
+        than 75% of the staging capacity, double the capacity for the
+        NEXT dispatch — the recompile then happens at a GOP boundary with
+        the current GOP already delivered, and typically at warmup where
+        the first GOP's content predicts the stream."""
+        used_words = (int(max_seg_bits) + 31) // 32
+        while used_words * 4 > self._seg_words * 3:
+            grown = min(_pad_to(self._seg_words * 2, 8),
+                        _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8))
+            if grown == self._seg_words:
+                break
+            self._seg_words = grown
+
     def _prefix_cap(self, layout) -> int:
         """Geometry-scaled compressed-prefix cap: ~1 word (32 bits) per
         block covers ~2.7x typical q85 usage, so 4K scans (~74K words vs
@@ -503,7 +522,8 @@ class JpegEncoder:
             prefix_words=prefix, use_pallas=self.use_pallas,
             seg_words=self._seg_words if self.segmented else None)
         return (combined, frames_dev, overlay, prefix, h, w,
-                self._n_segs(layout) if self.segmented else 0)
+                self._n_segs(layout) if self.segmented else 0,
+                self._seg_words)
 
     def encode_gop_dispatch_src(self, src_fn, start, h: int, w: int,
                                 ph: int, pw: int,
@@ -528,7 +548,8 @@ class JpegEncoder:
             seg_words=self._seg_words if self.segmented else None)
         # frames synthesize lazily for the rare overflow fallback
         return (combined, lambda: src_fn(ph, pw, start), overlay, prefix,
-                h, w, self._n_segs(layout) if self.segmented else 0)
+                h, w, self._n_segs(layout) if self.segmented else 0,
+                self._seg_words)
 
     def _n_segs(self, layout) -> int:
         """Segments per frame in the segment layout (frame blocks padded
@@ -537,35 +558,35 @@ class JpegEncoder:
 
     def encode_gop_finalize(self, handle) -> List[bytes]:
         """Blocking half: one fetch, stuff, wrap headers."""
-        from .ops.entropy import (compact_aligned_segments,
+        from .ops.entropy import (compact_segments_finalize,
                                   stuff_and_finalize)
-        combined, frames_dev, overlay, prefix, h, w, n_segs = handle
+        combined, frames_dev, overlay, prefix, h, w, n_segs, sw = handle
         arr = np.asarray(combined)  # single transfer: bits + prefixes
         hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
         if n_segs:
             # segment layout: [0]=aligned words, [1..S]=segment bits,
-            # [S+1..]=word-aligned stream (host compacts)
+            # [S+1..]=word-aligned stream (host compacts). Overflow is
+            # judged against the capacity the DISPATCH compiled with
+            # (``sw`` from the handle) — pipelined finalize can observe a
+            # proactively grown ``self._seg_words``.
             used = arr[:, 0].astype(np.int64)
             segbits = arr[:, 1:1 + n_segs].astype(np.int64)
             if (used > prefix).any() \
-                    or (segbits > self._seg_words * 32).any():
+                    or (segbits > sw * 32).any():
                 # prefix overflow or segment-capacity overflow: grow the
                 # adaptive capacity, reset the window, recompute via the
                 # ladder
-                self._seg_words = min(
-                    _pad_to(self._seg_words * 2, 8),
-                    _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8))
+                self._seg_words = max(self._seg_words, min(
+                    _pad_to(sw * 2, 8),
+                    _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8)))
                 self._prefix_used_words = None
                 self._prefix_window = None
                 return self._finalize_overflow(handle, hdr)
             self._note_prefix_usage(int(used.max()))
-            out = []
-            for i in range(arr.shape[0]):
-                stream, total = compact_aligned_segments(
-                    segbits[i], arr[i, 1 + n_segs:])
-                out.append(hdr + stuff_and_finalize(stream, total)
-                           + b"\xff\xd9")
-            return out
+            self._note_seg_usage(int(segbits.max()))
+            return [hdr + compact_segments_finalize(segbits[i],
+                                                    arr[i, 1 + n_segs:])
+                    + b"\xff\xd9" for i in range(arr.shape[0])]
         bits_host = arr[:, 0].astype(np.int64)
         if (bits_host > prefix * 32).any():
             # adaptive window too small (content spike) or genuinely dense
@@ -580,7 +601,7 @@ class JpegEncoder:
     def _finalize_overflow(self, handle, hdr: bytes) -> List[bytes]:
         """Rare spike path shared by both combined layouts: re-encode the
         GOP through the cap ladder from (re-synthesized) frames."""
-        _, frames_dev, overlay, _, _, _, _ = handle
+        _, frames_dev, overlay, _, _, _, _, _ = handle
         if callable(frames_dev):   # src-fused dispatch: re-synthesize
             frames_dev = frames_dev()
         ph, pw = frames_dev.shape[1], frames_dev.shape[2]
@@ -599,7 +620,7 @@ class JpegEncoder:
         the JPEG and FVC encoders: device engine with a single combined
         fetch per GOP, cap-ladder escalation, host fallback."""
         if self.engine in ("device", "auto"):
-            from .ops.entropy import (compact_aligned_segments,
+            from .ops.entropy import (compact_segments_finalize,
                                       encode_gop_scans_combined,
                                       encode_gop_scans_segmented,
                                       mcu_layout, stuff_and_finalize)
@@ -623,12 +644,10 @@ class JpegEncoder:
                 if not ((used > prefix).any()
                         or (segbits > self._seg_words * 32).any()):
                     self._note_prefix_usage(int(used.max()))
-                    out = []
-                    for i in range(arr.shape[0]):
-                        stream, total = compact_aligned_segments(
-                            segbits[i], arr[i, 1 + n_segs:])
-                        out.append(stuff_and_finalize(stream, total))
-                    return out
+                    self._note_seg_usage(int(segbits.max()))
+                    return [compact_segments_finalize(
+                        segbits[i], arr[i, 1 + n_segs:])
+                        for i in range(arr.shape[0])]
                 self._seg_words = min(
                     _pad_to(self._seg_words * 2, 8),
                     _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8))

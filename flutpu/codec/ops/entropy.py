@@ -999,6 +999,33 @@ def encode_gop_scans_combined(yq, cbq, crq, layout: McuLayout,
         [bits.astype(jnp.uint32)[:, None], packed], axis=1)
 
 
+def compact_segments_finalize(seg_bits: np.ndarray,
+                              words: np.ndarray) -> bytes:
+    """compact_aligned_segments + stuff_and_finalize in ONE native pass
+    (C++ BitWriter, GIL-free — the numpy pair measured 0.96 ms/frame on
+    the threaded finalize pool and was the largest un-overlapped host
+    cost of the segment layout). Byte-identical to the numpy pair, which
+    remains as the fallback when the toolchain is absent."""
+    from ...native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "flu_compact_segments_finalize"):
+        import ctypes
+        sb = np.ascontiguousarray(seg_bits, dtype=np.uint32)
+        w = np.ascontiguousarray(words, dtype=np.uint32)
+        total_bits = int(sb.astype(np.int64).sum())
+        cap = 2 * ((total_bits + 7) // 8) + 2
+        out = np.empty(cap, np.uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = lib.flu_compact_segments_finalize(
+            sb.ctypes.data_as(u32p), len(sb), w.ctypes.data_as(u32p),
+            len(w), 1, out.ctypes.data_as(u8p), cap)
+        if n >= 0:
+            return out[:n].tobytes()
+    stream, total = compact_aligned_segments(seg_bits, words)
+    return stuff_and_finalize(stream, total)
+
+
 def stuff_and_finalize(words: np.ndarray, total_bits: int) -> bytes:
     """Host finalization: trim, pad final byte with 1-bits, 0xFF byte
     stuffing. Vectorized numpy; input ~100 KB."""

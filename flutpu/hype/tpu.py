@@ -258,7 +258,7 @@ class TpuHype(VideoEncoder):
         c, f = yq.shape[0], yq.shape[1]
         if jenc.use_pallas:
             from ..codec.jpeg import _pad_to
-            from ..codec.ops.entropy import (compact_aligned_segments,
+            from ..codec.ops.entropy import (compact_segments_finalize,
                                              encode_gop_scans_combined,
                                              encode_gop_scans_segmented,
                                              mcu_layout, stuff_and_finalize)
@@ -280,13 +280,10 @@ class TpuHype(VideoEncoder):
                 segbits = arr[:, 1:1 + n_segs].astype(np.int64)
                 if (used <= prefix).all() \
                         and (segbits <= jenc._seg_words * 32).all():
-                    out = []
-                    for i in range(c * f):
-                        stream, total = compact_aligned_segments(
-                            segbits[i], arr[i, 1 + n_segs:])
-                        out.append(hdr + stuff_and_finalize(stream, total)
-                                   + b"\xff\xd9")
-                    return out
+                    jenc._note_seg_usage(int(segbits.max()))
+                    return [hdr + compact_segments_finalize(
+                        segbits[i], arr[i, 1 + n_segs:])
+                        + b"\xff\xd9" for i in range(c * f)]
                 jenc._seg_words = min(
                     _pad_to(jenc._seg_words * 2, 8),
                     _pad_to(jenc.SEG_G * jenc.CAP_LADDER[-1] // 32, 8))

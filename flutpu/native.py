@@ -83,6 +83,13 @@ def _configure(lib: ctypes.CDLL) -> None:
         u32p, u8p, u32p, u8p,
         u8p, c.c_long,
     ]
+    # segment-layout host compaction (hasattr-gated: a stale .so degrades
+    # to the numpy pair in ops/entropy.py)
+    if hasattr(lib, "flu_compact_segments_finalize"):
+        lib.flu_compact_segments_finalize.restype = c.c_long
+        lib.flu_compact_segments_finalize.argtypes = [
+            u32p, c.c_long, u32p, c.c_long, c.c_int, u8p, c.c_long,
+        ]
     lib.flu_jpeg_decode_scan.restype = c.c_long
     lib.flu_jpeg_decode_scan.argtypes = [
         u8p, c.c_long, c.c_int,

@@ -168,6 +168,48 @@ long flu_jpeg_encode_scan(
     return bw.overflow ? -1 : bw.pos;
 }
 
+// Segment-layout host half (round 4): merge word-aligned bit segments into
+// the final contiguous stream, pad the last partial byte with 1-bits, and
+// (optionally) JPEG-byte-stuff — compact_aligned_segments +
+// stuff_and_finalize in one pass. The vectorized-numpy pair measured
+// 0.96 ms/frame on the threaded finalize pool; this loop is GIL-free and
+// an order of magnitude cheaper, so the host half stops eating into the
+// finalize overlap budget.
+//   seg_bits: per-segment bit counts (zeros = padding segments, skipped)
+//   words:    uint32 segments back to back, ceil(bits/32) words each,
+//             bits packed MSB-first within each word
+// Returns bytes written, -1 on output overflow, -2 on words underrun.
+long flu_compact_segments_finalize(
+    const uint32_t* seg_bits, long n_segs,
+    const uint32_t* words, long n_words,
+    int stuff, uint8_t* out, long out_cap) {
+    BitWriter bw(out, out_cap, stuff != 0);
+    long src = 0;
+    for (long s = 0; s < n_segs; s++) {
+        uint32_t bits = seg_bits[s];
+        if (!bits) continue;
+        long wcnt = ((long)bits + 31) >> 5;
+        if (src + wcnt > n_words) return -2;
+        for (long k = 0; k < wcnt; k++) {
+            uint32_t w = words[src + k];
+            long left = (long)bits - k * 32;
+            if (left >= 32) {
+                bw.put_bits(w >> 16, 16);
+                bw.put_bits(w & 0xFFFFu, 16);
+            } else if (left > 16) {
+                uint32_t v = w >> (32 - left);
+                bw.put_bits(v >> 16, (int)left - 16);
+                bw.put_bits(v & 0xFFFFu, 16);
+            } else {
+                bw.put_bits(w >> (32 - left), (int)left);
+            }
+        }
+        src += wcnt;
+    }
+    bw.flush_ones();
+    return bw.overflow ? -1 : bw.pos;
+}
+
 // FVC plane payload: same Huffman machinery without byte stuffing, plane
 // encoded block-row-major with DC prediction within the plane.
 long flu_fvc_encode_plane(

@@ -176,6 +176,41 @@ class TestSegmentLayout:
         got = seg.encode_gop_finalize(seg.encode_gop_dispatch(fdev, 32, 32))
         assert got == want
 
+    def test_native_compaction_byte_identical(self):
+        """The one-pass C++ compact+finalize (flu_compact_segments_finalize)
+        is byte-identical to the numpy pair across ragged segment sizes,
+        zero (padding) segments, 0xFF-stuffing boundaries, and non-byte
+        totals."""
+        import pytest
+
+        from flutpu import native
+        from flutpu.codec.ops import entropy as E
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(11)
+        for trial in range(20):
+            n = int(rng.integers(1, 40))
+            seg_bits = rng.integers(0, 513, size=n).astype(np.int64)
+            if trial % 5 == 0:
+                seg_bits[:] = 0       # all-padding → empty stream
+            wcnt = (seg_bits + 31) >> 5
+            words = rng.integers(0, 2 ** 32, size=int(wcnt.sum()),
+                                 dtype=np.uint64).astype(np.uint32)
+            # force plenty of 0xFF bytes through the stuffing path
+            words[rng.random(len(words)) < 0.3] = 0xFFFFFFFF
+            # zero the unused low bits of each segment's last word (the
+            # device kernel guarantees this; keeps OR-merge semantics)
+            pos = np.cumsum(wcnt)
+            for i in range(n):
+                rem = int(seg_bits[i]) & 31
+                if seg_bits[i] and rem:
+                    words[pos[i] - 1] &= np.uint32(
+                        (0xFFFFFFFF << (32 - rem)) & 0xFFFFFFFF)
+            stream, total = E.compact_aligned_segments(seg_bits, words)
+            want = E.stuff_and_finalize(stream, total)
+            got = E.compact_segments_finalize(seg_bits, words)
+            assert got == want, f"trial {trial}"
+
     def test_capacity_overflow_grows_and_stays_correct(self):
         """A GOP whose densest segment exceeds the staging capacity must
         fall back (same bytes) and grow the capacity for the next GOP."""
