@@ -67,12 +67,12 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     import jax
     import jax.numpy as jnp
     from flutpu.codec.jpeg import JpegEncoder, jpeg_headers, _pad_to
-    from flutpu.codec.jpeg import encode_gop_to_coefs
+    from flutpu.codec.jpeg import encode_gop_planes_to_coefs
     from flutpu.codec.ops.entropy import (compact_segments_finalize,
                                           encode_gop_scans_combined,
                                           encode_gop_scans_segmented,
                                           mcu_layout, stuff_and_finalize)
-    from flutpu.codec.ops.testsrc import gradient_ball_frames
+    from flutpu.codec.ops.testsrc import gradient_ball_planes
 
     enc = JpegEncoder(quality=QUALITY, engine="auto")
     segmented = enc.segmented   # backend default; FLUTPU_SEGMENTED overrides
@@ -87,9 +87,12 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
     # (the axon host link charges ~25 ms per round trip)
     @functools.partial(jax.jit, static_argnames=("prefix", "sw"))
     def gop_program(start, qy, qc, prefix=full_prefix, sw=None):
-        frames = gradient_ball_frames(PH, PW, GOP, start)
-        yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=PH,
-                                           pad_w=PW, subsample=True)
+        # channel-planar source: the interleaved (F, H, W, 3) layout's
+        # (w, 3) tile padding cost the convert stage 8.9 vs 0.2 ms/GOP on
+        # the v5e (round 4); byte-identical by construction and by test
+        r, g, b = gradient_ball_planes(PH, PW, GOP, start)
+        yq, cbq, crq = encode_gop_planes_to_coefs(r, g, b, qy, qc, pad_h=PH,
+                                                  pad_w=PW, subsample=True)
         if sw is not None:
             return encode_gop_scans_segmented(
                 yq, cbq, crq, layout=layout, prefix_words=prefix,
@@ -191,11 +194,11 @@ def measure_device_ms_per_gop(reps: int = 8):
     import jax
     import jax.numpy as jnp
     from flutpu.codec.jpeg import JpegEncoder
-    from flutpu.codec.jpeg import encode_gop_to_coefs
+    from flutpu.codec.jpeg import encode_gop_planes_to_coefs
     from flutpu.codec.ops.entropy import (encode_gop_scans_combined,
                                           encode_gop_scans_segmented,
                                           mcu_layout)
-    from flutpu.codec.ops.testsrc import gradient_ball_frames
+    from flutpu.codec.ops.testsrc import gradient_ball_planes
 
     enc = JpegEncoder(quality=QUALITY, engine="auto")
     segmented = enc.segmented   # backend default; FLUTPU_SEGMENTED overrides
@@ -205,10 +208,10 @@ def measure_device_ms_per_gop(reps: int = 8):
     @functools.partial(jax.jit, static_argnames=("reps",))
     def device_loop(start, qy, qc, reps=reps):
         def body(i, acc):
-            frames = gradient_ball_frames(
+            r, g, b = gradient_ball_planes(
                 PH, PW, GOP, start + i.astype(jnp.float32) * GOP)
-            yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=PH,
-                                               pad_w=PW, subsample=True)
+            yq, cbq, crq = encode_gop_planes_to_coefs(
+                r, g, b, qy, qc, pad_h=PH, pad_w=PW, subsample=True)
             if segmented:
                 c = encode_gop_scans_segmented(
                     yq, cbq, crq, layout=layout, prefix_words=prefix,

@@ -187,17 +187,17 @@ def bench_4k_convert(frames=4, reps=5):
     ms/frame through this formulation)."""
     import jax
     import jax.numpy as jnp
-    from flutpu.codec.jpeg import JpegEncoder, encode_gop_to_coefs
-    from flutpu.codec.ops.testsrc import gradient_ball_frames
+    from flutpu.codec.jpeg import JpegEncoder, encode_gop_planes_to_coefs
+    from flutpu.codec.ops.testsrc import gradient_ball_planes
     enc = JpegEncoder(quality=85)
     w, h = 3840, 2160
 
     @jax.jit
     def prog(start, qy, qc):
         def body(i, acc):
-            f = gradient_ball_frames(h, w, frames, start + i * frames)
-            y, cb, cr = encode_gop_to_coefs(f, qy, qc, pad_h=h, pad_w=w,
-                                            subsample=True)
+            r, g, b = gradient_ball_planes(h, w, frames, start + i * frames)
+            y, cb, cr = encode_gop_planes_to_coefs(
+                r, g, b, qy, qc, pad_h=h, pad_w=w, subsample=True)
             return (acc + y.astype(jnp.int32).sum()
                     + cb.astype(jnp.int32).sum()
                     + cr.astype(jnp.int32).sum())
@@ -211,8 +211,10 @@ def bench_4k_convert(frames=4, reps=5):
 
 
 def _ball_src8(ph, pw, start):
-    from flutpu.codec.ops.testsrc import gradient_ball_frames
-    return gradient_ball_frames(ph, pw, 8, start)
+    # channel-planar source (round 4): byte-identical to the interleaved
+    # form, skips the (w, 3) tile-padding tax (8.9 vs 0.2 ms/GOP convert)
+    from flutpu.codec.ops.testsrc import gradient_ball_planes
+    return gradient_ball_planes(ph, pw, 8, start)
 
 
 def bench_full_pipeline(gops=6, w=1920, h=1088, out_h=1080):
@@ -270,11 +272,18 @@ def bench_fvc(gops=6, motion=False):
     from flutpu.codec.ops.testsrc import gradient_ball_frames
 
     enc = FvcEncoder(quality=85, motion=motion)
+
+    def planar_src(ph, pw, n, start):
+        # channel-planar source (round 4): i420 stage measured +7.3 ms/GOP
+        # reading interleaved frames; planes are byte-identical
+        from flutpu.codec.ops.testsrc import gradient_ball_planes
+        return gradient_ball_planes(ph, pw, n, start)
+
     def dispatch(g):
         # the on-device testsrc traces INTO the chunk program: one dispatch
         # + one compressed fetch per GOP, nothing else crosses the link
         return enc.encode_chunk_dispatch_src(
-            gradient_ball_frames, jnp.float32(g * 8), 8, 1080, 1920)
+            planar_src, jnp.float32(g * 8), 8, 1080, 1920)
     enc.encode_chunk_finalize(dispatch(0))   # compile + learn the estimate
     enc.encode_chunk_finalize(dispatch(0))   # compile the adaptive window
     from concurrent.futures import ThreadPoolExecutor

@@ -67,9 +67,11 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from flutpu.codec.jpeg import JpegEncoder, encode_gop_to_coefs
+    from flutpu.codec.jpeg import (JpegEncoder, encode_gop_planes_to_coefs,
+                                   encode_gop_to_coefs)
     from flutpu.codec.ops import entropy as E
-    from flutpu.codec.ops.testsrc import gradient_ball_frames
+    from flutpu.codec.ops.testsrc import (gradient_ball_frames,
+                                          gradient_ball_planes)
 
     t0 = time.time()
     float(jnp.sum(jnp.ones((8, 8))))
@@ -94,6 +96,14 @@ def main():
     results = {}
 
     def coefs(start):
+        # channel-planar product shape (round 4): byte-identical to the
+        # interleaved form; convert measured 8.9 -> 0.2 ms/GOP
+        r, g, b = gradient_ball_planes(PH, PW, GOP, start)
+        return encode_gop_planes_to_coefs(
+            r, g, b, enc._qy_dev, enc._qc_dev, pad_h=PH, pad_w=PW,
+            subsample=True)
+
+    def coefs_interleaved(start):
         return encode_gop_to_coefs(
             gradient_ball_frames(PH, PW, GOP, start), enc._qy_dev,
             enc._qc_dev, pad_h=PH, pad_w=PW, subsample=True)
@@ -137,11 +147,12 @@ def main():
 
         @jax.jit
         def p_burnin(start):
-            from flutpu.ttml.render import overlay_on_frames
-            frames = overlay_on_frames(
-                gradient_ball_frames(PH, PW, GOP, start), ov)
-            out = encode_gop_to_coefs(frames, enc._qy_dev, enc._qc_dev,
-                                      pad_h=PH, pad_w=PW, subsample=True)
+            from flutpu.ttml.render import overlay_on_planes
+            r, g, b = overlay_on_planes(
+                *gradient_ball_planes(PH, PW, GOP, start), ov)
+            out = encode_gop_planes_to_coefs(
+                r, g, b, enc._qy_dev, enc._qc_dev, pad_h=PH, pad_w=PW,
+                subsample=True)
             return sum(o.astype(jnp.int32).sum() for o in out)
 
         @jax.jit
@@ -158,6 +169,8 @@ def main():
         from flutpu.codec.ops.dct import blockize, plane_dct_planar
         from flutpu.codec.ops.quant import quantize_planar, zigzag_flatten
 
+        from flutpu.codec.ops.colorspace import planes_to_i420
+
         @jax.jit
         def p_convert(start):
             y, cb, cr = rgb_to_i420(
@@ -165,15 +178,28 @@ def main():
             return y.sum() + cb.sum() + cr.sum()
 
         @jax.jit
+        def p_convert_planar(start):
+            y, cb, cr = planes_to_i420(
+                *gradient_ball_planes(PH, PW, GOP, start))
+            return y.sum() + cb.sum() + cr.sum()
+
+        @jax.jit
         def p_dct(start):
-            y, cb, cr = rgb_to_i420(
-                gradient_ball_frames(PH, PW, GOP, start).astype(jnp.float32))
+            y, cb, cr = planes_to_i420(
+                *gradient_ball_planes(PH, PW, GOP, start))
             return sum(plane_dct_planar(p - 128.0).sum() for p in (y, cb, cr))
 
+        @jax.jit
+        def p_coefs_interleaved(start):
+            return sum(o.astype(jnp.int32).sum()
+                       for o in coefs_interleaved(start))
+
         timed(p_src, "src")
-        timed(p_convert, "convert")
+        timed(p_convert, "convert_interleaved")
+        timed(p_convert_planar, "convert_planar")
         timed(p_dct, "convert+dct")
         timed(p_coefs, "coefs")
+        timed(p_coefs_interleaved, "coefs_interleaved")
         timed(p_burnin, "burnin")
         timed(p_pack_fused, "pack_fused_tiny_concat")
 

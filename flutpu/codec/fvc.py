@@ -106,7 +106,7 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     Returns (ry, rcb, rcr) int16 zigzagged residual coefficients and
     mvs (F, mbh, mbw, 2) int8 (frame 0's vectors are zero/ignored: I frame
     predicts a flat 128)."""
-    from .ops.colorspace import rgb_to_i420
+    from .ops.colorspace import planes_to_i420, rgb_to_i420
     from .ops.dct import blockize, plane_dct_planar, plane_idct_planar
     from .ops.quant import (dequantize_planar, quantize_planar,
                             zigzag_flatten)
@@ -114,12 +114,29 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                              motion_search, motion_search_hier,
                              subpel_refine)
 
-    f, h, w, _ = frames.shape
-    x = frames.astype(jnp.float32)
-    if pad_h != h or pad_w != w:
-        x = jnp.pad(x, ((0, 0), (0, pad_h - h), (0, pad_w - w), (0, 0)),
-                    mode="edge")
-    y, cb, cr = rgb_to_i420(x)
+    if isinstance(frames, (tuple, list)):
+        # channel-planar input (r, g, b): skips the interleaved
+        # (F, H, W, 3) layout's (w, 3) tile-padding tax — the i420 stage
+        # measured +7.3 ms/GOP of the motion budget reading interleaved
+        # frames (see jpeg.encode_gop_planes_to_coefs); bit-identical.
+        rp, gp, bp = frames
+        f, h, w = rp.shape
+
+        def padp(p):
+            p = p.astype(jnp.float32)
+            if pad_h != h or pad_w != w:
+                p = jnp.pad(p, ((0, 0), (0, pad_h - h), (0, pad_w - w)),
+                            mode="edge")
+            return p
+
+        y, cb, cr = planes_to_i420(padp(rp), padp(gp), padp(bp))
+    else:
+        f, h, w, _ = frames.shape
+        x = frames.astype(jnp.float32)
+        if pad_h != h or pad_w != w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h - h), (0, pad_w - w), (0, 0)),
+                        mode="edge")
+        y, cb, cr = rgb_to_i420(x)
 
     # the DCT/IDCT formulation is part of the CODEC STATE, not a local
     # optimization: P frames chain off reconstructed pixels, so a decoder
@@ -283,8 +300,13 @@ def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
     selects the round-4 segment layout (see jpeg._gop_dispatch_program)."""
     from .ops.entropy import (encode_gop_scans_combined,
                               encode_gop_scans_segmented)
-    coefs = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
-                                subsample=subsample)
+    if isinstance(frames, (tuple, list)):
+        from .jpeg import encode_gop_planes_to_coefs
+        coefs = encode_gop_planes_to_coefs(
+            *frames, qy, qc, pad_h=pad_h, pad_w=pad_w, subsample=subsample)
+    else:
+        coefs = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
+                                    pad_w=pad_w, subsample=subsample)
     ry, rcb, rcr = fvc_residuals(*coefs)
     if seg_words is not None:
         return encode_gop_scans_segmented(
@@ -441,7 +463,9 @@ class FvcEncoder:
     def encode_chunk_dispatch_src(self, src_fn, start, n: int, h: int,
                                   w: int):
         """encode_chunk_dispatch with the frame source fused into the GOP
-        program: ``src_fn(ph, pw, n, start) -> (n, ph, pw, 3) uint8``.
+        program: ``src_fn(ph, pw, n, start) -> (n, ph, pw, 3) uint8`` OR
+        a channel-planar ``(r, g, b)`` tuple of (n, ph, pw) planes
+        (preferred on TPU — see jpeg.encode_gop_planes_to_coefs).
         Frames never exist as a separate dispatch (or host array); the
         overflow fallback re-synthesizes them lazily."""
         mult = 16 if self.subsample else 8
@@ -463,8 +487,13 @@ class FvcEncoder:
                 layout=layout, prefix_words=prefix,
                 use_pallas=sc.use_pallas, seg_words=sw)
         # full padded geometry (not cropped to h, w): the fallback re-encode
-        # then pads to the identical content and stays bit-exact
-        lazy = lambda: np.asarray(src_fn(ph, pw, n, start))
+        # then pads to the identical content and stays bit-exact (planar
+        # sources stack back to the interleaved form — identical values)
+        def lazy():
+            out = src_fn(ph, pw, n, start)
+            if isinstance(out, (tuple, list)):
+                out = jnp.stack(out, axis=-1)
+            return np.asarray(out)
         return ("dev", combined, prefix, sw, lazy, n, h, w, ph, pw)
 
     def _encode_device(self, frames: np.ndarray, ph: int, pw: int,

@@ -37,6 +37,24 @@ def _pad_to(x: int, m: int) -> int:
 # device program
 # ----------------------------------------------------------------------------
 
+def _plane_to_zz(plane: jax.Array, qtab: jax.Array) -> jax.Array:
+    """One channel plane → (F, BH, BW, 64) int16 zigzagged quantized
+    coefficients (level shift, 8x8 DCT, quantize, zigzag)."""
+    if jax.default_backend() == "cpu":
+        # the block-diagonal planar form burns 17x the FLOPs — free on
+        # the MXU, ruinous on CPU; keep the 8x8 einsums there (this is
+        # also what keeps the measured CPU baseline honest)
+        coefs = plane_dct(plane - 128.0)
+        return zigzag_flatten(quantize(coefs, qtab)).astype(jnp.int16)
+    # plane-layout DCT + quantize (full-tile MXU matmuls, no f32
+    # blocking transposes); only the final int16 is blockized for the
+    # zigzag gather
+    from .ops.dct import plane_dct_planar
+    from .ops.quant import quantize_planar
+    qq = quantize_planar(plane_dct_planar(plane - 128.0), qtab)
+    return zigzag_flatten(blockize(qq)).astype(jnp.int16)
+
+
 @functools.partial(jax.jit, static_argnames=("pad_h", "pad_w", "subsample"))
 def encode_gop_to_coefs(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                         pad_h: int, pad_w: int, subsample: bool = True):
@@ -45,6 +63,12 @@ def encode_gop_to_coefs(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     Returns (y, cb, cr) int16 arrays of shape (F, BH, BW, 64). The whole GOP
     is one device program: colorspace convert, (optional) 4:2:0 subsample,
     level shift, 8x8 DCT as batched matmuls, quantize, zigzag gather.
+
+    NOTE (measured, v5e): reading the interleaved (F, H, W, 3) layout pays
+    a ~42x lane-padding tax on the (w, 3) tile — the convert stage alone
+    measured 8.9 ms/GOP here vs 0.2 ms/GOP for the channel-planar variant
+    (encode_gop_planes_to_coefs). Device-resident sources should use the
+    planar entry point; this one remains for host-fed interleaved frames.
     """
     f, h, w, _ = frames.shape
     x = frames.astype(jnp.float32)
@@ -57,23 +81,35 @@ def encode_gop_to_coefs(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         from .ops.colorspace import rgb_to_ycbcr
         ycc = rgb_to_ycbcr(x)
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    return _plane_to_zz(y, qy), _plane_to_zz(cb, qc), _plane_to_zz(cr, qc)
 
-    def q(plane, qtab):
-        if jax.default_backend() == "cpu":
-            # the block-diagonal planar form burns 17x the FLOPs — free on
-            # the MXU, ruinous on CPU; keep the 8x8 einsums there (this is
-            # also what keeps the measured CPU baseline honest)
-            coefs = plane_dct(plane - 128.0)
-            return zigzag_flatten(quantize(coefs, qtab)).astype(jnp.int16)
-        # plane-layout DCT + quantize (full-tile MXU matmuls, no f32
-        # blocking transposes); only the final int16 is blockized for the
-        # zigzag gather
-        from .ops.dct import plane_dct_planar
-        from .ops.quant import quantize_planar
-        qq = quantize_planar(plane_dct_planar(plane - 128.0), qtab)
-        return zigzag_flatten(blockize(qq)).astype(jnp.int16)
 
-    return q(y, qy), q(cb, qc), q(cr, qc)
+@functools.partial(jax.jit, static_argnames=("pad_h", "pad_w", "subsample"))
+def encode_gop_planes_to_coefs(r: jax.Array, g: jax.Array, b: jax.Array,
+                               qy: jax.Array, qc: jax.Array,
+                               pad_h: int, pad_w: int,
+                               subsample: bool = True):
+    """Channel-planar encode_gop_to_coefs: (r, g, b) uint8/f32 planes,
+    each (F, H, W) → the same (y, cb, cr) int16 zigzag coefficients,
+    byte-identical (same per-channel math and expression order; edge pad
+    commutes with the f32 cast). The interleaved layout never exists, so
+    the convert stage runs at full lane occupancy (~0.2 vs 8.9 ms/GOP —
+    see encode_gop_to_coefs)."""
+    from .ops.colorspace import planes_to_i420, ycbcr_from_channels
+    f, h, w = r.shape
+
+    def pad(p):
+        p = p.astype(jnp.float32)
+        if pad_h != h or pad_w != w:
+            p = jnp.pad(p, ((0, 0), (0, pad_h - h), (0, pad_w - w)),
+                        mode="edge")
+        return p
+
+    if subsample:
+        y, cb, cr = planes_to_i420(pad(r), pad(g), pad(b))
+    else:
+        y, cb, cr = ycbcr_from_channels(pad(r), pad(g), pad(b))
+    return _plane_to_zz(y, qy), _plane_to_zz(cb, qc), _plane_to_zz(cr, qc)
 
 
 # ----------------------------------------------------------------------------
@@ -122,11 +158,23 @@ def _gop_dispatch_program_src(start, qy, qc, overlay, src_fn, pad_h, pad_w,
     from .ops.entropy import (encode_gop_scans_combined,
                               encode_gop_scans_segmented)
     frames = src_fn(pad_h, pad_w, start)
-    if overlay is not None:
-        from ..ttml.render import overlay_on_frames
-        frames = overlay_on_frames(frames, overlay)
-    yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
-                                       pad_w=pad_w, subsample=subsample)
+    if isinstance(frames, (tuple, list)):
+        # channel-planar source (e.g. testsrc.gradient_ball_planes): the
+        # interleaved (F, H, W, 3) layout never exists in the program —
+        # measured 8.7 ms/GOP cheaper at 1080p (the (w, 3) tile padding
+        # tax; see encode_gop_to_coefs)
+        r, g, b = frames
+        if overlay is not None:
+            from ..ttml.render import overlay_on_planes
+            r, g, b = overlay_on_planes(r, g, b, overlay)
+        yq, cbq, crq = encode_gop_planes_to_coefs(
+            r, g, b, qy, qc, pad_h=pad_h, pad_w=pad_w, subsample=subsample)
+    else:
+        if overlay is not None:
+            from ..ttml.render import overlay_on_frames
+            frames = overlay_on_frames(frames, overlay)
+        yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
+                                           pad_w=pad_w, subsample=subsample)
     if seg_words is not None:
         return encode_gop_scans_segmented(
             yq, cbq, crq, layout=layout, prefix_words=prefix_words,
@@ -530,9 +578,11 @@ class JpegEncoder:
                                 overlay: Optional[jax.Array] = None):
         """encode_gop_dispatch with the frame SOURCE fused into the same
         device program: ``src_fn(ph, pw, start) -> (F, ph, pw, 3) uint8``
-        (a jit-traceable on-device source, e.g. ops.testsrc). One dispatch
-        instead of two per GOP — on the axon link a separate source
-        dispatch costs an extra ~25 ms round trip (the round-2
+        OR a channel-planar ``(r, g, b)`` tuple of (F, ph, pw) planes
+        (preferred on TPU: the interleaved layout's (w, 3) tile padding
+        costs ~8.7 ms/GOP at 1080p — see encode_gop_to_coefs). One
+        dispatch instead of two per GOP — on the axon link a separate
+        source dispatch costs an extra ~25 ms round trip (the round-2
         encode+burn-in collapse). Finalize with ``encode_gop_finalize``."""
         from .ops.entropy import mcu_layout
         if self.subsample:
@@ -546,8 +596,16 @@ class JpegEncoder:
             pad_h=ph, pad_w=pw, subsample=self.subsample, layout=layout,
             prefix_words=prefix, use_pallas=self.use_pallas,
             seg_words=self._seg_words if self.segmented else None)
-        # frames synthesize lazily for the rare overflow fallback
-        return (combined, lambda: src_fn(ph, pw, start), overlay, prefix,
+        # frames synthesize lazily for the rare overflow fallback (a
+        # planar src is stacked to the interleaved form the fallback
+        # re-encode expects — identical values, rare path)
+        def lazy_frames():
+            out = src_fn(ph, pw, start)
+            if isinstance(out, (tuple, list)):
+                out = jnp.stack(out, axis=-1)
+            return out
+
+        return (combined, lazy_frames, overlay, prefix,
                 h, w, self._n_segs(layout) if self.segmented else 0,
                 self._seg_words)
 

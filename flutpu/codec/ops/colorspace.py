@@ -24,20 +24,33 @@ _YCBCR2RGB = np.linalg.inv(_RGB2YCBCR).astype(np.float32)
 _CHROMA_OFFSET = np.array([0.0, 128.0, 128.0], dtype=np.float32)
 
 
+def ycbcr_from_channels(r: jax.Array, g: jax.Array, b: jax.Array):
+    """Three same-shaped RGB channel planes → (y, cb, cr) float32 planes.
+    The planar core of rgb_to_ycbcr_planes; identical expression order, so
+    the two entry points are bit-identical in f32."""
+    r = r.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    m = _RGB2YCBCR
+    y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
+    cb = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b + 128.0
+    cr = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b + 128.0
+    return y, cb, cr
+
+
 def rgb_to_ycbcr_planes(rgb: jax.Array):
     """[..., H, W, 3] uint8/float RGB → (y, cb, cr) float32 planes.
 
     Channel-PLANAR linear combinations: a `(..., 3) @ (3, 3)` dot puts the
     size-3 channel axis in the 128-wide lane dimension (measured ~11 ms of
     a 15 ms coefs stage on the chip); three scalar-weighted plane sums fuse
-    into one elementwise pass instead."""
+    into one elementwise pass instead. NOTE: merely READING an interleaved
+    [..., 3]-minor array already pays the (w, 3) tile padding (~42x lane
+    waste; convert measured 8.93 vs 0.21 ms/GOP on the v5e) — device-side
+    pipelines should carry channel planes end to end and use
+    ycbcr_from_channels / planes_to_i420 instead."""
     x = rgb.astype(jnp.float32)
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    m = _RGB2YCBCR
-    y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
-    cb = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b + 128.0
-    cr = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b + 128.0
-    return y, cb, cr
+    return ycbcr_from_channels(x[..., 0], x[..., 1], x[..., 2])
 
 
 def rgb_to_ycbcr(rgb: jax.Array) -> jax.Array:
@@ -71,6 +84,14 @@ def upsample_420(plane: jax.Array) -> jax.Array:
 def rgb_to_i420(rgb: jax.Array):
     """[..., H, W, 3] RGB → (Y [...,H,W], Cb [...,H/2,W/2], Cr) planes."""
     y, cb, cr = rgb_to_ycbcr_planes(rgb)
+    return y, subsample_420(cb), subsample_420(cr)
+
+
+def planes_to_i420(r: jax.Array, g: jax.Array, b: jax.Array):
+    """Channel-planar variant of rgb_to_i420: (r, g, b) planes →
+    (Y, Cb/2, Cr/2). Bit-identical to rgb_to_i420 on the stacked input,
+    without ever touching the interleaved layout."""
+    y, cb, cr = ycbcr_from_channels(r, g, b)
     return y, subsample_420(cb), subsample_420(cr)
 
 

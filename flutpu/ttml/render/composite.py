@@ -62,6 +62,27 @@ def overlay_on_frames(frames: jax.Array, overlay_bgra: jax.Array) -> jax.Array:
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
 
+@jax.jit
+def overlay_on_planes(r: jax.Array, g: jax.Array, b: jax.Array,
+                      overlay_bgra: jax.Array):
+    """Channel-planar overlay_on_frames: (r, g, b) uint8 planes (F, H, W)
+    + (H, W, 4) uint8 BGRA overlay → blended (r, g, b) uint8 planes.
+
+    Per-channel math identical to overlay_on_frames (same blend
+    expression, clip, cast), so the two formulations are byte-identical —
+    but the frames never enter the interleaved [..., 3]-minor layout whose
+    (w, 3) tile padding costs ~42x lane waste on TPU (see
+    colorspace.rgb_to_ycbcr_planes). The fused encode+burn-in GOP program
+    uses this form."""
+    a = overlay_bgra[..., 3].astype(jnp.float32) / 255.0
+    out = []
+    for plane, c in ((r, 2), (g, 1), (b, 0)):   # BGRA channel order
+        ov_c = overlay_bgra[..., c].astype(jnp.float32)
+        o = plane.astype(jnp.float32) * (1 - a) + ov_c * a
+        out.append(jnp.clip(o + 0.5, 0, 255).astype(jnp.uint8))
+    return tuple(out)
+
+
 def place_layers(region_layers, window_h: int, window_w: int):
     """Host helper: position each RegionLayout's layer into a window-sized
     canvas and stack for compose_window."""

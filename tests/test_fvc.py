@@ -504,3 +504,144 @@ class TestSegmentedLayout:
         seg._scan_coder._seg_words = 8
         assert std.encode_chunk(frames) == seg.encode_chunk(frames)
         assert seg._scan_coder._seg_words > 8
+
+
+class TestPlanarSourcePath:
+    """Round-4 channel-planar device path: sources/pipelines that carry
+    (r, g, b) planes instead of interleaved (F, H, W, 3) frames (the
+    interleaved minor-dim-3 layout pays ~42x lane padding on TPU; convert
+    measured 8.93 vs 0.21 ms/GOP on the v5e). All planar formulations
+    must be BYTE-identical to the interleaved ones."""
+
+    def test_planes_src_matches_interleaved_src(self):
+        import jax.numpy as jnp
+        from flutpu.codec.ops.testsrc import (gradient_ball_frames,
+                                              gradient_ball_planes)
+        frames = np.asarray(gradient_ball_frames(48, 128, 4,
+                                                 jnp.float32(3.0)))
+        r, g, b = (np.asarray(p) for p in
+                   gradient_ball_planes(48, 128, 4, jnp.float32(3.0)))
+        assert np.array_equal(frames[..., 0], r)
+        assert np.array_equal(frames[..., 1], g)
+        assert np.array_equal(frames[..., 2], b)
+
+    def test_planes_to_i420_bit_identical(self):
+        import jax.numpy as jnp
+        from flutpu.codec.ops.colorspace import planes_to_i420, rgb_to_i420
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, size=(2, 32, 64, 3)).astype(np.uint8)
+        y0, cb0, cr0 = rgb_to_i420(jnp.asarray(rgb).astype(jnp.float32))
+        y1, cb1, cr1 = planes_to_i420(jnp.asarray(rgb[..., 0]),
+                                      jnp.asarray(rgb[..., 1]),
+                                      jnp.asarray(rgb[..., 2]))
+        assert np.array_equal(np.asarray(y0), np.asarray(y1))
+        assert np.array_equal(np.asarray(cb0), np.asarray(cb1))
+        assert np.array_equal(np.asarray(cr0), np.asarray(cr1))
+
+    def test_encode_gop_planes_to_coefs_bit_identical(self):
+        import jax.numpy as jnp
+        from flutpu.codec.jpeg import (encode_gop_planes_to_coefs,
+                                       encode_gop_to_coefs)
+        from flutpu.codec.ops.quant import (CHROMA_QTABLE, LUMA_QTABLE,
+                                            scale_qtable)
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, size=(2, 30, 60, 3)).astype(np.uint8)
+        qy = jnp.asarray(scale_qtable(LUMA_QTABLE, 85))
+        qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, 85))
+        for subsample in (True, False):
+            a = encode_gop_to_coefs(jnp.asarray(rgb), qy, qc, pad_h=32,
+                                    pad_w=64, subsample=subsample)
+            p = encode_gop_planes_to_coefs(
+                jnp.asarray(rgb[..., 0]), jnp.asarray(rgb[..., 1]),
+                jnp.asarray(rgb[..., 2]), qy, qc, pad_h=32, pad_w=64,
+                subsample=subsample)
+            for x, y in zip(a, p):
+                assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    def test_overlay_on_planes_bit_identical(self):
+        from flutpu.ttml.render import overlay_on_frames, overlay_on_planes
+        import jax.numpy as jnp
+        rng = np.random.default_rng(9)
+        frames = rng.integers(0, 256, size=(3, 24, 40, 3)).astype(np.uint8)
+        ov = rng.integers(0, 256, size=(24, 40, 4)).astype(np.uint8)
+        want = np.asarray(overlay_on_frames(jnp.asarray(frames),
+                                            jnp.asarray(ov)))
+        r, g, b = overlay_on_planes(jnp.asarray(frames[..., 0]),
+                                    jnp.asarray(frames[..., 1]),
+                                    jnp.asarray(frames[..., 2]),
+                                    jnp.asarray(ov))
+        got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)],
+                       axis=-1)
+        assert np.array_equal(want, got)
+
+    def test_jpeg_planar_src_dispatch_byte_identical(self):
+        import jax.numpy as jnp
+        from flutpu.codec.jpeg import JpegEncoder
+        from flutpu.codec.ops.testsrc import (gradient_ball_frames,
+                                              gradient_ball_planes)
+
+        ph, pw = 48, 128
+        ov = np.zeros((ph, pw, 4), np.uint8)
+        ov[30:40, :, :] = (40, 40, 40, 200)
+        ov = jnp.asarray(ov)
+
+        def src_i(ph_, pw_, start):
+            return gradient_ball_frames(ph_, pw_, 4, start)
+
+        def src_p(ph_, pw_, start):
+            return gradient_ball_planes(ph_, pw_, 4, start)
+
+        for overlay in (None, ov):
+            ref = JpegEncoder(quality=85)
+            expect = ref.encode_gop_finalize(ref.encode_gop_dispatch_src(
+                src_i, jnp.float32(2.0), ph, pw, ph, pw, overlay=overlay))
+            enc = JpegEncoder(quality=85)
+            got = enc.encode_gop_finalize(enc.encode_gop_dispatch_src(
+                src_p, jnp.float32(2.0), ph, pw, ph, pw, overlay=overlay))
+            assert got == expect, f"overlay={overlay is not None}"
+
+    def test_fvc_planar_src_dispatch_byte_identical(self):
+        import jax.numpy as jnp
+        from flutpu.codec.ops.testsrc import (gradient_ball_frames,
+                                              gradient_ball_planes)
+
+        def src_p(ph, pw, n, start):
+            return gradient_ball_planes(ph, pw, n, start)
+
+        for motion in (False, True):
+            ref = FvcEncoder(quality=85, motion=motion)
+            expect = ref.encode_chunk_finalize(ref.encode_chunk_dispatch_src(
+                gradient_ball_frames, jnp.float32(3.0), 4, 48, 128))
+            enc = FvcEncoder(quality=85, motion=motion)
+            got = enc.encode_chunk_finalize(enc.encode_chunk_dispatch_src(
+                src_p, jnp.float32(3.0), 4, 48, 128))
+            assert got == expect, f"motion={motion}"
+
+    def test_planar_src_overflow_fallback(self):
+        """The rare cap-ladder fallback re-synthesizes frames from a
+        PLANAR src (stacks the planes) and still matches the interleaved
+        encoder byte for byte."""
+        import jax.numpy as jnp
+        from flutpu.codec.jpeg import JpegEncoder
+        from flutpu.codec.ops.testsrc import (gradient_ball_frames,
+                                              gradient_ball_planes)
+
+        ph, pw = 32, 64
+
+        def src_p(ph_, pw_, start):
+            return gradient_ball_planes(ph_, pw_, 2, start)
+
+        def src_i(ph_, pw_, start):
+            return gradient_ball_frames(ph_, pw_, 2, start)
+
+        ref = JpegEncoder(quality=85)
+        expect = ref.encode_gop_finalize(ref.encode_gop_dispatch_src(
+            src_i, jnp.float32(0.0), ph, pw, ph, pw))
+        enc = JpegEncoder(quality=85)
+        # force the overflow path: a 1-word window cannot hold any scan
+        enc._prefix_used_words = 1
+        enc._prefix_window = 1
+        handle = enc.encode_gop_dispatch_src(src_p, jnp.float32(0.0),
+                                             ph, pw, ph, pw)
+        got = enc.encode_gop_finalize(handle)
+        assert got == expect
