@@ -421,44 +421,42 @@ class FvcEncoder:
         self._scan_coder = JpegEncoder(quality, subsample=subsample,
                                        engine=engine, segmented=segmented)
 
-    def _layout_prefix(self, ph: int, pw: int):
+    def _layout_cap(self, ph: int, pw: int):
         from .ops.entropy import mcu_layout
         if self.subsample:
             layout = mcu_layout(pw // 8, ph // 8, pw // 16, ph // 16, True)
         else:
             layout = mcu_layout(pw // 8, ph // 8, pw // 8, ph // 8, False)
-        sc = self._scan_coder
-        prefix = sc._prefix_cap(layout)
-        # adaptive window tracked from the previous chunk's actual usage
-        # (residual streams are small — the fetch is the cost; see
-        # JpegEncoder._prefix_estimate)
-        est = sc._prefix_estimate()
-        if est is not None:
-            prefix = min(prefix, est)
-        return layout, prefix
+        return layout, self._scan_coder._prefix_cap(layout)
 
     def _device_dispatch(self, frames, ph: int, pw: int):
         """Non-blocking half: launch the fused GOP program; returns the
-        un-materialized combined array, the prefix window used and the
-        segment capacity (None = block-concat layout)."""
+        un-materialized combined array, the prefix window used, the
+        segment capacity (None = block-concat layout) and the build
+        closure for the rare overflow redispatch."""
         sc = self._scan_coder
-        layout, prefix = self._layout_prefix(ph, pw)
-        sw = sc._seg_words if sc.segmented else None
+        layout, cap = self._layout_cap(ph, pw)
         dev = jnp.asarray(frames)
-        if self.motion:
-            combined = _fvc_gop_program_v2(
-                dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
-                search_range=self.search_range, layout=layout,
-                prefix_words=prefix, use_pallas=sc.use_pallas,
-                hier=self.hier, subpel=self.subpel, planar=self.planar,
-                seg_words=sw)
-        else:
-            combined = _fvc_gop_program_v1(
+
+        def build(prefix_w, sw_w):
+            p = min(cap, prefix_w or cap)
+            s = sw_w if sc.segmented else None
+            if self.motion:
+                return _fvc_gop_program_v2(
+                    dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
+                    search_range=self.search_range, layout=layout,
+                    prefix_words=p, use_pallas=sc.use_pallas,
+                    hier=self.hier, subpel=self.subpel, planar=self.planar,
+                    seg_words=s), p, s
+            return _fvc_gop_program_v1(
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
                 subsample=self.subsample, layout=layout,
-                prefix_words=prefix, use_pallas=sc.use_pallas,
-                seg_words=sw)
-        return combined, prefix, sw
+                prefix_words=p, use_pallas=sc.use_pallas,
+                seg_words=s), p, s
+
+        win, sw = sc._maybe_adopt_or_warm(build)
+        combined, prefix, sw = build(win, sw)
+        return combined, prefix, sw, build
 
     def encode_chunk_dispatch_src(self, src_fn, start, n: int, h: int,
                                   w: int):
@@ -471,21 +469,28 @@ class FvcEncoder:
         mult = 16 if self.subsample else 8
         ph, pw = _pad_to(h, mult), _pad_to(w, mult)
         sc = self._scan_coder
-        layout, prefix = self._layout_prefix(ph, pw)
-        sw = sc._seg_words if sc.segmented else None
-        if self.motion:
-            combined = _fvc_gop_program_v2_src(
-                start, self._qy_dev, self._qc_dev, src_fn, n,
-                pad_h=ph, pad_w=pw, search_range=self.search_range,
-                layout=layout, prefix_words=prefix,
-                use_pallas=sc.use_pallas, hier=self.hier,
-                subpel=self.subpel, planar=self.planar, seg_words=sw)
-        else:
-            combined = _fvc_gop_program_v1_src(
+        layout, cap = self._layout_cap(ph, pw)
+
+        def build(prefix_w, sw_w):
+            p = min(cap, prefix_w or cap)
+            s = sw_w if sc.segmented else None
+            if self.motion:
+                return _fvc_gop_program_v2_src(
+                    start, self._qy_dev, self._qc_dev, src_fn, n,
+                    pad_h=ph, pad_w=pw, search_range=self.search_range,
+                    layout=layout, prefix_words=p,
+                    use_pallas=sc.use_pallas, hier=self.hier,
+                    subpel=self.subpel, planar=self.planar,
+                    seg_words=s), p, s
+            return _fvc_gop_program_v1_src(
                 start, self._qy_dev, self._qc_dev, src_fn, n,
                 pad_h=ph, pad_w=pw, subsample=self.subsample,
-                layout=layout, prefix_words=prefix,
-                use_pallas=sc.use_pallas, seg_words=sw)
+                layout=layout, prefix_words=p,
+                use_pallas=sc.use_pallas, seg_words=s), p, s
+
+        win, sw = sc._maybe_adopt_or_warm(build)
+        combined, prefix, sw = build(win, sw)
+
         # full padded geometry (not cropped to h, w): the fallback re-encode
         # then pads to the identical content and stays bit-exact (planar
         # sources stack back to the interleaved form — identical values)
@@ -494,59 +499,61 @@ class FvcEncoder:
             if isinstance(out, (tuple, list)):
                 out = jnp.stack(out, axis=-1)
             return np.asarray(out)
-        return ("dev", combined, prefix, sw, lazy, n, h, w, ph, pw)
+        return ("dev", combined, prefix, sw, lazy, n, h, w, ph, pw, build)
 
-    def _encode_device(self, frames: np.ndarray, ph: int, pw: int,
-                       force_full: bool = False):
+    def _encode_device(self, frames: np.ndarray, ph: int, pw: int):
         """Fused single-dispatch + single-fetch GOP encode. Returns
-        (payloads, mvs, itypes) or (None, None, None) when the compressed
-        prefix overflowed (dense content → caller falls back). A spike
-        past an ADAPTIVE window retries once at the full window before
-        giving up."""
-        sc = self._scan_coder
-        if force_full:
-            sc._prefix_used_words = None
-            sc._prefix_window = None
-        combined, prefix, sw = self._device_dispatch(frames, ph, pw)
+        (payloads, mvs, itypes) or (None, None, None) when even the
+        grown-size redispatch overflowed (dense content → caller falls
+        back to the host coder)."""
+        combined, prefix, sw, build = self._device_dispatch(frames, ph, pw)
         return self._device_finalize(combined, prefix, sw, frames, ph, pw,
-                                     force_full=force_full)
+                                     build=build)
 
     def _device_finalize(self, combined, prefix: int, sw, frames, ph: int,
-                         pw: int, force_full: bool = False):
+                         pw: int, build=None):
         """Blocking half: ONE fetch, overflow handling, extraction.
         ``sw`` = the segment capacity the dispatch compiled with (None =
-        block-concat layout)."""
+        block-concat layout). On overflow the device has reported the
+        TRUE usage, so the SAME program family is redispatched once at
+        sizes that cover it (``build``) — the grown program is exactly
+        what subsequent chunks dispatch, so its compile was needed
+        anyway; the old path re-encoded through the interleaved program
+        at the full window with the estimate reset (three fresh ~20 s
+        remote compiles, measured 1.5 fps on a 6-GOP motion bench)."""
         from .ops.entropy import (compact_segments_finalize,
                                   stuff_and_finalize)
-        from .jpeg import _pad_to as _p8
         sc = self._scan_coder
         arr = np.asarray(combined)
-        layout, _ = self._layout_prefix(ph, pw)
+        layout, _ = self._layout_cap(ph, pw)
         n_segs = sc._n_segs(layout) if sw is not None else 0
         scan_end = 1 + n_segs + prefix
+        segbits = None
         if sw is not None:
             used = arr[:, 0].astype(np.int64)
             segbits = arr[:, 1:1 + n_segs].astype(np.int64)
             overflow = (used > prefix).any() or (segbits > sw * 32).any()
         else:
             bits = arr[:, 0].astype(np.int64)
+            used = (bits + 31) // 32
             overflow = (bits > prefix * 32).any()
         if overflow:
-            sc._prefix_used_words = None   # spike: reset the estimate
-            sc._prefix_window = None
-            if sw is not None and (segbits > sw * 32).any():
-                sc._seg_words = min(_p8(sw * 2, 8),
-                                    _p8(sc.SEG_G * sc.CAP_LADDER[-1] // 32,
-                                        8))
-            if callable(frames):   # src-fused dispatch: re-synthesize
-                frames = frames()
-            if not force_full:
-                _, full = self._layout_prefix(ph, pw)
-                if full > prefix or                         (sw is not None and sc._seg_words > sw):
-                    # adaptive window/capacity — retry at the grown sizes
-                    return self._encode_device(frames, ph, pw,
-                                               force_full=True)
-            return None, None, None
+            if build is None:   # the grown redispatch itself overflowed
+                sc._prefix_used_words = None   # pathological: reset
+                sc._prefix_window = None
+                return None, None, None
+            sc._note_prefix_usage(int(used.max()))
+            new_prefix = sc._prefix_estimate() or prefix
+            new_sw = sw
+            if segbits is not None and (segbits > sw * 32).any():
+                sc._seg_used_words = max(
+                    getattr(sc, "_seg_used_words", 0),
+                    (int(segbits.max()) + 31) // 32)
+                sc._seg_words = max(sc._seg_words, sc._seg_target())
+                new_sw = sc._seg_words
+            combined2, p2, s2 = build(new_prefix, new_sw)
+            return self._device_finalize(combined2, p2, s2, frames, ph, pw,
+                                         build=None)
         if sw is not None:
             sc._note_prefix_usage(int(used.max()))
             sc._note_seg_usage(int(segbits.max()))
@@ -600,15 +607,17 @@ class FvcEncoder:
         if self.motion and not self.subsample:
             raise ValueError("motion mode requires 4:2:0")
         if self.engine in ("device", "auto"):
-            combined, prefix, sw = self._device_dispatch(frames, ph, pw)
-            return ("dev", combined, prefix, sw, frames, f, h, w, ph, pw)
+            combined, prefix, sw, build = self._device_dispatch(
+                frames, ph, pw)
+            return ("dev", combined, prefix, sw, frames, f, h, w, ph, pw,
+                    build)
         return ("host", frames, f, h, w, ph, pw)
 
     def encode_chunk_finalize(self, handle) -> bytes:
         if handle[0] == "dev":
-            _, combined, prefix, sw, frames, f, h, w, ph, pw = handle
+            _, combined, prefix, sw, frames, f, h, w, ph, pw, build = handle
             payloads, mvs, itypes = self._device_finalize(
-                combined, prefix, sw, frames, ph, pw)
+                combined, prefix, sw, frames, ph, pw, build=build)
             if payloads is None:
                 if self.engine == "device":
                     raise OverflowError("device entropy cap exceeded")

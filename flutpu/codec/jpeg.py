@@ -33,6 +33,39 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+from ..core.log import category
+
+CAT = category("tpucodec", "adaptive device-program sizing")
+
+# single worker serializing background compiles of GROWN program variants
+# (adaptive prefix window / segment capacity): a grown static size is a
+# fresh XLA program — ~20 s through the tunneled remote compiler — so the
+# streaming thread keeps dispatching the still-correct current program
+# while this pool compiles the next one (the injectbin prewarm contract
+# applied to the encoder's own adaptive shapes). Round-4 hardware data:
+# the proactive capacity growth recompiling ON the streaming thread
+# stalled one GOP 26.9 s and collapsed the 6-GOP motion bench to 1.5 fps.
+_GROW_POOL = None
+
+
+def _grow_pool():
+    global _GROW_POOL
+    if _GROW_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _GROW_POOL = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="flutpu-grow")
+    return _GROW_POOL
+
+
+def _warm_grown(build, prefix, sw):
+    """Compile + execute one GOP of the grown program variant on the warm
+    worker. The scalar fetch is the only reliable materialization on the
+    axon link (block_until_ready returns early for large un-fetched
+    outputs — CLAUDE.md measurement rule)."""
+    out = build(prefix, sw)[0]
+    return int(np.asarray(out.reshape(-1)[0]))
+
+
 # ----------------------------------------------------------------------------
 # device program
 # ----------------------------------------------------------------------------
@@ -440,6 +473,11 @@ class JpegEncoder:
         # FLUTPU_SEGMENTED=0/1 force-overrides either way.
         self.segmented = resolve_segmented(segmented, self.use_pallas)
         self._seg_words = self.SEG_WORDS0
+        self._seg_used_words = 0
+        self._prefix_used_words: Optional[int] = None
+        self._prefix_window: Optional[int] = None
+        self._grow_pending = None   # (target sizes, Future) — see
+        # _maybe_adopt_or_warm: grown programs compile off-thread
         self.qy = scale_qtable(LUMA_QTABLE, quality)
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
@@ -482,17 +520,20 @@ class JpegEncoder:
     # cap-ladder re-dispatch + estimate reset, not corruption.
     _PREFIX_BUCKET = 2048
 
-    def _prefix_estimate(self) -> Optional[int]:
-        """Adaptive compressed-prefix window with HYSTERESIS. Every
-        distinct window value is a distinct static ``prefix_words`` → a
-        full program recompile (~20 s through the tunneled remote
-        compiler), so the window must not track usage closely: FVC
-        residual streams drift ~1%/GOP, and a freshly computed bucket
-        boundary sitting 68 words above the estimate recompiled
-        mid-pipeline (measured 111 → 4 fps on the v5e). Policy: keep the
-        current window while usage stays ≥2% below it; when growing, jump
-        to usage*1.15 + 512 rounded up a bucket, so another grow needs
-        >10% further drift. Shrink only via the overflow/spike reset."""
+    def _prefix_target(self) -> Optional[int]:
+        """Pure policy half of the adaptive compressed-prefix window,
+        with HYSTERESIS. Every distinct window value is a distinct static
+        ``prefix_words`` → a full program recompile (~20 s through the
+        tunneled remote compiler), so the window must not track usage
+        closely: FVC residual streams drift ~1%/GOP, and a freshly
+        computed bucket boundary sitting 68 words above the estimate
+        recompiled mid-pipeline (measured 111 → 4 fps on the v5e).
+        Policy: keep the current window while usage stays ≥2% below it;
+        when growing, jump to usage*1.15 + 512 rounded up a bucket, so
+        another grow needs >10% further drift. Shrink only via the
+        overflow/spike reset. Returns the window the NEXT program should
+        use WITHOUT adopting it (adoption = _prefix_estimate for the
+        synchronous paths, _maybe_adopt_or_warm for streaming ones)."""
         used = getattr(self, "_prefix_used_words", None)
         if used is None:
             return None
@@ -502,8 +543,16 @@ class JpegEncoder:
         est = int(used * 1.15) + 512
         est = ((est + self._PREFIX_BUCKET - 1)
                // self._PREFIX_BUCKET) * self._PREFIX_BUCKET
-        est = max(8192, est, w or 0)
-        self._prefix_window = est
+        return max(8192, est, w or 0)
+
+    def _prefix_estimate(self) -> Optional[int]:
+        """Adopt the target window immediately. Synchronous paths only
+        (warmup, host-frame scan_planes, CPU backends): adopting a grown
+        window makes the very next dispatch compile it on the calling
+        thread."""
+        est = self._prefix_target()
+        if est is not None:
+            self._prefix_window = est
         return est
 
     def _note_prefix_usage(self, used_words: int) -> None:
@@ -514,23 +563,87 @@ class JpegEncoder:
         self._prefix_used_words = max(prev, int(used_words))
 
     def _note_seg_usage(self, max_seg_bits: int) -> None:
-        """Segment-capacity hysteresis (the same lesson as the prefix
-        window, learned again on hardware: an fvcenc 1080p run overflowed
-        ``seg_words`` 64 → 128 on its SECOND GOP — one content-driven
-        growth costs a redo-finalize plus two recompiles, ~28 s through
-        the remote compiler, measured 1.6 fps on a 6-GOP bench). Grow-only
-        and PROACTIVE: when a successful GOP's densest segment uses more
-        than 75% of the staging capacity, double the capacity for the
-        NEXT dispatch — the recompile then happens at a GOP boundary with
-        the current GOP already delivered, and typically at warmup where
-        the first GOP's content predicts the stream."""
+        """Record the densest segment's usage (running max, mirroring the
+        prefix usage). Capacity growth is decided by ``_seg_target`` and
+        adopted synchronously here only on CPU backends — on real
+        accelerators adoption happens in ``_maybe_adopt_or_warm`` once
+        the grown program has compiled OFF the streaming thread (a grown
+        ``seg_words`` is a new static shape: round-4 hardware measured a
+        26.9 s GOP-boundary stall when the proactive growth recompiled
+        mid-stream, collapsing the 6-GOP motion bench to 1.5 fps)."""
         used_words = (int(max_seg_bits) + 31) // 32
-        while used_words * 4 > self._seg_words * 3:
-            grown = min(_pad_to(self._seg_words * 2, 8),
-                        _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8))
-            if grown == self._seg_words:
-                break
-            self._seg_words = grown
+        self._seg_used_words = max(
+            getattr(self, "_seg_used_words", 0), used_words)
+        if not self._grow_async():
+            self._seg_words = self._seg_target()
+
+    def _seg_target(self) -> int:
+        """Pure policy: staging capacity for the NEXT program — grow-only,
+        doubling while the recorded densest segment exceeds 75% of
+        capacity. Capacity costs device time (staging zero/flush traffic:
+        47.6 / 49.8 / 68.0 / 82.4 ms/GOP measured at sw=64/128/256/832 on
+        the v5e), so it stays as small as the content allows rather than
+        pinned at the 832-word ladder bound."""
+        used = getattr(self, "_seg_used_words", 0)
+        cap = _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8)
+        target = self._seg_words
+        while used * 4 > target * 3 and target < cap:
+            target = min(_pad_to(target * 2, 8), cap)
+        return target
+
+    def _grow_async(self) -> bool:
+        """Grow window/capacity off the streaming thread? On real
+        accelerators a grown static size means a fresh compile (minutes
+        through a remote compiler), so the stream keeps dispatching the
+        still-correct current program while the grow pool compiles the
+        bigger one. On CPU compiles are cheap and synchronous adoption
+        keeps tests deterministic."""
+        return self.use_pallas
+
+    def _maybe_adopt_or_warm(self, build) -> Tuple[Optional[int], int]:
+        """Streaming-path sizing: called by every dispatch entry with
+        ``build(prefix_words, seg_words) -> (combined, prefix, sw)`` (the
+        entry's own fused program at explicit sizes; it normalizes/caps
+        its arguments and reports what it actually used). Returns the
+        (prefix_window, seg_words) THIS dispatch should ride, and manages
+        the background grow: adopt a finished warm, or submit one when
+        the recorded usage outgrows the current sizes."""
+        tgt_w = self._prefix_target()
+        if getattr(self, "_prefix_window", None) is None and tgt_w:
+            # first derivation = warmup: there is no compiled adaptive
+            # program to keep riding yet; adopt synchronously
+            self._prefix_window = tgt_w
+        if not self._grow_async():
+            if tgt_w is not None:
+                self._prefix_window = tgt_w
+            self._seg_words = self._seg_target()
+            return getattr(self, "_prefix_window", None), self._seg_words
+        pending = getattr(self, "_grow_pending", None)
+        if pending is not None:
+            (pw_, sw_), fut = pending
+            if fut.done():
+                self._grow_pending = None
+                if fut.exception() is None:
+                    if pw_ is not None:
+                        self._prefix_window = max(
+                            pw_, getattr(self, "_prefix_window", None) or 0)
+                    self._seg_words = max(sw_, self._seg_words)
+                    CAT.info("adopted grown program: window=%s seg_words=%s",
+                             self._prefix_window, self._seg_words)
+                else:
+                    CAT.warning("background grow failed: %s",
+                                pending[1].exception())
+        else:
+            cur_w = getattr(self, "_prefix_window", None)
+            tgt_s = self._seg_target()
+            if (tgt_w or 0) > (cur_w or 0) or tgt_s > self._seg_words:
+                tgt = (max(tgt_w or 0, cur_w or 0) or None,
+                       max(tgt_s, self._seg_words))
+                CAT.info("warming grown program: window=%s seg_words=%s",
+                         *tgt)
+                self._grow_pending = (tgt, _grow_pool().submit(
+                    _warm_grown, build, tgt[0], tgt[1]))
+        return getattr(self, "_prefix_window", None), self._seg_words
 
     def _prefix_cap(self, layout) -> int:
         """Geometry-scaled compressed-prefix cap: ~1 word (32 bits) per
@@ -562,16 +675,21 @@ class JpegEncoder:
             layout = mcu_layout(pw // 8, ph // 8, pw // 16, ph // 16, True)
         else:
             layout = mcu_layout(pw // 8, ph // 8, pw // 8, ph // 8, False)
-        prefix = self._prefix_cap(layout)
-        prefix = min(prefix, self._prefix_estimate() or prefix)
-        combined = _gop_dispatch_program(
-            frames_dev, self._qy_dev, self._qc_dev, overlay,
-            pad_h=ph, pad_w=pw, subsample=self.subsample, layout=layout,
-            prefix_words=prefix, use_pallas=self.use_pallas,
-            seg_words=self._seg_words if self.segmented else None)
+        cap = self._prefix_cap(layout)
+
+        def build(prefix_w, sw_w):
+            p = min(cap, prefix_w or cap)
+            s = sw_w if self.segmented else None
+            return _gop_dispatch_program(
+                frames_dev, self._qy_dev, self._qc_dev, overlay,
+                pad_h=ph, pad_w=pw, subsample=self.subsample, layout=layout,
+                prefix_words=p, use_pallas=self.use_pallas,
+                seg_words=s), p, s
+
+        win, sw = self._maybe_adopt_or_warm(build)
+        combined, prefix, sw = build(win, sw)
         return (combined, frames_dev, overlay, prefix, h, w,
-                self._n_segs(layout) if self.segmented else 0,
-                self._seg_words)
+                self._n_segs(layout) if self.segmented else 0, sw, build)
 
     def encode_gop_dispatch_src(self, src_fn, start, h: int, w: int,
                                 ph: int, pw: int,
@@ -589,14 +707,21 @@ class JpegEncoder:
             layout = mcu_layout(pw // 8, ph // 8, pw // 16, ph // 16, True)
         else:
             layout = mcu_layout(pw // 8, ph // 8, pw // 8, ph // 8, False)
-        prefix = self._prefix_cap(layout)
-        prefix = min(prefix, self._prefix_estimate() or prefix)
-        combined = _gop_dispatch_program_src(
-            start, self._qy_dev, self._qc_dev, overlay, src_fn,
-            pad_h=ph, pad_w=pw, subsample=self.subsample, layout=layout,
-            prefix_words=prefix, use_pallas=self.use_pallas,
-            seg_words=self._seg_words if self.segmented else None)
-        # frames synthesize lazily for the rare overflow fallback (a
+        cap = self._prefix_cap(layout)
+
+        def build(prefix_w, sw_w):
+            p = min(cap, prefix_w or cap)
+            s = sw_w if self.segmented else None
+            return _gop_dispatch_program_src(
+                start, self._qy_dev, self._qc_dev, overlay, src_fn,
+                pad_h=ph, pad_w=pw, subsample=self.subsample, layout=layout,
+                prefix_words=p, use_pallas=self.use_pallas,
+                seg_words=s), p, s
+
+        win, sw = self._maybe_adopt_or_warm(build)
+        combined, prefix, sw = build(win, sw)
+
+        # frames synthesize lazily for the rare host/ladder fallback (a
         # planar src is stacked to the interleaved form the fallback
         # re-encode expects — identical values, rare path)
         def lazy_frames():
@@ -605,9 +730,8 @@ class JpegEncoder:
                 out = jnp.stack(out, axis=-1)
             return out
 
-        return (combined, lazy_frames, overlay, prefix,
-                h, w, self._n_segs(layout) if self.segmented else 0,
-                self._seg_words)
+        return (combined, lazy_frames, overlay, prefix, h, w,
+                self._n_segs(layout) if self.segmented else 0, sw, build)
 
     def _n_segs(self, layout) -> int:
         """Segments per frame in the segment layout (frame blocks padded
@@ -618,7 +742,8 @@ class JpegEncoder:
         """Blocking half: one fetch, stuff, wrap headers."""
         from .ops.entropy import (compact_segments_finalize,
                                   stuff_and_finalize)
-        combined, frames_dev, overlay, prefix, h, w, n_segs, sw = handle
+        combined, frames_dev, overlay, prefix, h, w, n_segs, sw, build = \
+            handle
         arr = np.asarray(combined)  # single transfer: bits + prefixes
         hdr = jpeg_headers(h, w, self.qy, self.qc, self.subsample)
         if n_segs:
@@ -626,20 +751,11 @@ class JpegEncoder:
             # [S+1..]=word-aligned stream (host compacts). Overflow is
             # judged against the capacity the DISPATCH compiled with
             # (``sw`` from the handle) — pipelined finalize can observe a
-            # proactively grown ``self._seg_words``.
+            # grown ``self._seg_words``.
             used = arr[:, 0].astype(np.int64)
             segbits = arr[:, 1:1 + n_segs].astype(np.int64)
-            if (used > prefix).any() \
-                    or (segbits > sw * 32).any():
-                # prefix overflow or segment-capacity overflow: grow the
-                # adaptive capacity, reset the window, recompute via the
-                # ladder
-                self._seg_words = max(self._seg_words, min(
-                    _pad_to(sw * 2, 8),
-                    _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8)))
-                self._prefix_used_words = None
-                self._prefix_window = None
-                return self._finalize_overflow(handle, hdr)
+            if (used > prefix).any() or (segbits > sw * 32).any():
+                return self._refinalize_grown(handle, hdr, used, segbits)
             self._note_prefix_usage(int(used.max()))
             self._note_seg_usage(int(segbits.max()))
             return [hdr + compact_segments_finalize(segbits[i],
@@ -647,19 +763,46 @@ class JpegEncoder:
                     + b"\xff\xd9" for i in range(arr.shape[0])]
         bits_host = arr[:, 0].astype(np.int64)
         if (bits_host > prefix * 32).any():
-            # adaptive window too small (content spike) or genuinely dense
-            # content: recompute through the cap ladder, reset the estimate
-            self._prefix_used_words = None
-            self._prefix_window = None
-            return self._finalize_overflow(handle, hdr)
+            return self._refinalize_grown(handle, hdr,
+                                          (bits_host + 31) // 32, None)
         self._note_prefix_usage((bits_host.max() + 31) // 32)
         return [hdr + stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
                 + b"\xff\xd9" for i in range(arr.shape[0])]
 
+    def _refinalize_grown(self, handle, hdr: bytes, used_words,
+                          segbits) -> List[bytes]:
+        """Mid-stream overflow (rare — the background grow usually runs
+        ahead of content drift): the device reported the TRUE usage, so
+        grow window/capacity to cover it and redispatch the SAME program
+        family ONCE — the grown program is exactly the one subsequent
+        GOPs dispatch, so its compile was needed anyway. (The previous
+        behavior reset the estimate and re-encoded through the
+        interleaved cap ladder at the full window: up to three fresh
+        ~20 s remote compiles of programs the steady state never uses.)"""
+        combined, frames, overlay, prefix, h, w, n_segs, sw, build = handle
+        if build is None:  # safety: a redispatch still overflowed
+            self._prefix_used_words = None
+            self._prefix_window = None
+            return self._finalize_overflow(handle, hdr)
+        self._note_prefix_usage(int(np.max(used_words)))
+        new_prefix = self._prefix_estimate() or prefix
+        new_sw = sw
+        if n_segs and segbits is not None and (segbits > sw * 32).any():
+            need = (int(segbits.max()) + 31) // 32
+            self._seg_used_words = max(
+                getattr(self, "_seg_used_words", 0), need)
+            self._seg_words = max(self._seg_words, self._seg_target())
+            new_sw = self._seg_words
+        CAT.info("overflow redispatch: window %s->%s seg_words %s->%s",
+                 prefix, new_prefix, sw, new_sw)
+        combined2, p2, s2 = build(new_prefix, new_sw)
+        return self.encode_gop_finalize(
+            (combined2, frames, overlay, p2, h, w, n_segs, s2, None))
+
     def _finalize_overflow(self, handle, hdr: bytes) -> List[bytes]:
         """Rare spike path shared by both combined layouts: re-encode the
         GOP through the cap ladder from (re-synthesized) frames."""
-        _, frames_dev, overlay, _, _, _, _, _ = handle
+        _, frames_dev, overlay, _, _, _, _, _, _ = handle
         if callable(frames_dev):   # src-fused dispatch: re-synthesize
             frames_dev = frames_dev()
         ph, pw = frames_dev.shape[1], frames_dev.shape[2]
@@ -691,26 +834,35 @@ class JpegEncoder:
                 prefix = min(prefix, est)
             if self.segmented:
                 n_segs = self._n_segs(layout)
-                combined = encode_gop_scans_segmented(
-                    jnp.asarray(yq), jnp.asarray(cbq), jnp.asarray(crq),
-                    layout=layout, prefix_words=prefix,
-                    seg_words=self._seg_words,
-                    interpret=not self.use_pallas)
-                arr = np.asarray(combined)
-                used = arr[:, 0].astype(np.int64)
-                segbits = arr[:, 1:1 + n_segs].astype(np.int64)
-                if not ((used > prefix).any()
-                        or (segbits > self._seg_words * 32).any()):
+                cap = self._prefix_cap(layout)
+                for attempt in range(2):
+                    combined = encode_gop_scans_segmented(
+                        jnp.asarray(yq), jnp.asarray(cbq), jnp.asarray(crq),
+                        layout=layout, prefix_words=prefix,
+                        seg_words=self._seg_words,
+                        interpret=not self.use_pallas)
+                    arr = np.asarray(combined)
+                    used = arr[:, 0].astype(np.int64)
+                    segbits = arr[:, 1:1 + n_segs].astype(np.int64)
+                    if not ((used > prefix).any()
+                            or (segbits > self._seg_words * 32).any()):
+                        self._note_prefix_usage(int(used.max()))
+                        self._note_seg_usage(int(segbits.max()))
+                        return [compact_segments_finalize(
+                            segbits[i], arr[i, 1 + n_segs:])
+                            for i in range(arr.shape[0])]
+                    if attempt:
+                        break
+                    # the device reported the TRUE usage: grow to cover it
+                    # and retry the SAME segmented program once (the grown
+                    # sizes are what later GOPs use) before the ladder
                     self._note_prefix_usage(int(used.max()))
-                    self._note_seg_usage(int(segbits.max()))
-                    return [compact_segments_finalize(
-                        segbits[i], arr[i, 1 + n_segs:])
-                        for i in range(arr.shape[0])]
-                self._seg_words = min(
-                    _pad_to(self._seg_words * 2, 8),
-                    _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8))
-                self._prefix_used_words = None
-                self._prefix_window = None
+                    prefix = min(cap, self._prefix_estimate() or prefix)
+                    self._seg_used_words = max(
+                        getattr(self, "_seg_used_words", 0),
+                        (int(segbits.max()) + 31) // 32)
+                    self._seg_words = max(self._seg_words,
+                                          self._seg_target())
                 scans = self._scans_device(coefs)
                 if scans is not None:
                     return scans

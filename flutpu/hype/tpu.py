@@ -269,26 +269,35 @@ class TpuHype(VideoEncoder):
                                  jenc._WORD_BUCKET))
             if jenc.segmented:
                 n_segs = jenc._n_segs(layout)
-                combined = encode_gop_scans_segmented(
-                    yq.reshape(c * f, *yq.shape[2:]),
-                    cbq.reshape(c * f, *cbq.shape[2:]),
-                    crq.reshape(c * f, *crq.shape[2:]),
-                    layout=layout, prefix_words=prefix,
-                    seg_words=jenc._seg_words)
+
+                def build(prefix_w, sw_w):
+                    p = min(prefix, prefix_w or prefix)
+                    return encode_gop_scans_segmented(
+                        yq.reshape(c * f, *yq.shape[2:]),
+                        cbq.reshape(c * f, *cbq.shape[2:]),
+                        crq.reshape(c * f, *crq.shape[2:]),
+                        layout=layout, prefix_words=p,
+                        seg_words=sw_w), p, sw_w
+
+                # capacity growth compiles off the streaming thread and is
+                # adopted once ready (JpegEncoder._maybe_adopt_or_warm)
+                _, sw = jenc._maybe_adopt_or_warm(build)
+                combined, _, _ = build(prefix, sw)
                 arr = np.asarray(combined)
                 used = arr[:, 0].astype(np.int64)
                 segbits = arr[:, 1:1 + n_segs].astype(np.int64)
                 if (used <= prefix).all() \
-                        and (segbits <= jenc._seg_words * 32).all():
+                        and (segbits <= sw * 32).all():
                     jenc._note_seg_usage(int(segbits.max()))
                     return [hdr + compact_segments_finalize(
                         segbits[i], arr[i, 1 + n_segs:])
                         + b"\xff\xd9" for i in range(c * f)]
-                jenc._seg_words = min(
-                    _pad_to(jenc._seg_words * 2, 8),
-                    _pad_to(jenc.SEG_G * jenc.CAP_LADDER[-1] // 32, 8))
-                # overflow → block-concat path below, capacity grown for
-                # the next batch
+                jenc._seg_used_words = max(
+                    getattr(jenc, "_seg_used_words", 0),
+                    (int(segbits.max()) + 31) // 32)
+                jenc._seg_words = max(jenc._seg_words, jenc._seg_target())
+                # overflow → block-concat path below for THIS batch,
+                # capacity grown for the next
             combined = encode_gop_scans_combined(
                 yq.reshape(c * f, *yq.shape[2:]),
                 cbq.reshape(c * f, *cbq.shape[2:]),
