@@ -542,15 +542,12 @@ class FvcEncoder:
                 sc._prefix_used_words = None   # pathological: reset
                 sc._prefix_window = None
                 return None, None, None
-            sc._note_prefix_usage(int(used.max()))
-            new_prefix = sc._prefix_estimate() or prefix
-            new_sw = sw
+            seg_need = None
             if segbits is not None and (segbits > sw * 32).any():
-                sc._seg_used_words = max(
-                    getattr(sc, "_seg_used_words", 0),
-                    (int(segbits.max()) + 31) // 32)
-                sc._seg_words = max(sc._seg_words, sc._seg_target())
-                new_sw = sc._seg_words
+                seg_need = (int(segbits.max()) + 31) // 32
+            new_prefix, new_sw = sc._overflow_sizes(int(used.max()),
+                                                    seg_need)
+            new_prefix = new_prefix or prefix
             combined2, p2, s2 = build(new_prefix, new_sw)
             return self._device_finalize(combined2, p2, s2, frames, ph, pw,
                                          build=None)

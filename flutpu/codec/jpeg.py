@@ -574,6 +574,7 @@ class JpegEncoder:
         used_words = (int(max_seg_bits) + 31) // 32
         self._seg_used_words = max(
             getattr(self, "_seg_used_words", 0), used_words)
+        self._seg_gops = getattr(self, "_seg_gops", 0) + 1
         if not self._grow_async():
             self._seg_words = self._seg_target()
 
@@ -583,12 +584,20 @@ class JpegEncoder:
         capacity. Capacity costs device time (staging zero/flush traffic:
         47.6 / 49.8 / 68.0 / 82.4 ms/GOP measured at sw=64/128/256/832 on
         the v5e), so it stays as small as the content allows rather than
-        pinned at the 832-word ladder bound."""
+        pinned at the 832-word ladder bound. During WARMUP (first GOPs)
+        the capacity covers 2x the observed usage: content classes whose
+        densest segment jumps GOP-to-GOP (motion residuals, burn-in
+        edges) measured a 1.6x jump from warmup to GOP 1 on the v5e —
+        the 2x margin costs ~2 ms/GOP only when the content already runs
+        hot, and light streams (headline v1: usage < capacity/2) are
+        unaffected."""
         used = getattr(self, "_seg_used_words", 0)
         cap = _pad_to(self.SEG_G * self.CAP_LADDER[-1] // 32, 8)
         target = self._seg_words
         while used * 4 > target * 3 and target < cap:
             target = min(_pad_to(target * 2, 8), cap)
+        if getattr(self, "_seg_gops", 0) <= 2 and used:
+            target = min(cap, max(target, _pad_to(2 * used, 8)))
         return target
 
     def _grow_async(self) -> bool:
@@ -618,6 +627,12 @@ class JpegEncoder:
                 self._prefix_window = tgt_w
             self._seg_words = self._seg_target()
             return getattr(self, "_prefix_window", None), self._seg_words
+        if getattr(self, "_seg_gops", 0) <= 2:
+            # warmup: adopt the capacity synchronously — no program is
+            # warm yet, and compiling the right size once beats compiling
+            # a doomed small one first (motion GOP 1 overflowed the
+            # warmup-learned 64 words and stalled 13.9 s on the v5e)
+            self._seg_words = self._seg_target()
         pending = getattr(self, "_grow_pending", None)
         if pending is not None:
             (pw_, sw_), fut = pending
@@ -644,6 +659,42 @@ class JpegEncoder:
                 self._grow_pending = (tgt, _grow_pool().submit(
                     _warm_grown, build, tgt[0], tgt[1]))
         return getattr(self, "_prefix_window", None), self._seg_words
+
+    def _overflow_sizes(self, used_words: int,
+                        seg_need_words: Optional[int]):
+        """Sizes for a true-overflow redispatch, PREFERRING a pending
+        background warm that already covers the need — its compile is
+        underway, and waiting for it beats compiling yet another size
+        (motion GOP 1 on the v5e compiled a fresh 256-word program while
+        a sufficient 128-word one was mid-compile on the warm worker)."""
+        self._note_prefix_usage(int(used_words))
+        if seg_need_words:
+            self._seg_used_words = max(
+                getattr(self, "_seg_used_words", 0), int(seg_need_words))
+        pending = getattr(self, "_grow_pending", None)
+        if pending is not None:
+            (pw_, sw_), fut = pending
+            w_ok = (pw_ or 0) >= used_words or (
+                pw_ is None
+                and (getattr(self, "_prefix_window", None) or 0)
+                >= used_words)
+            s_ok = not seg_need_words or sw_ >= seg_need_words
+            if w_ok and s_ok:
+                try:
+                    fut.result()
+                    self._grow_pending = None
+                    if pw_ is not None:
+                        self._prefix_window = max(
+                            pw_, getattr(self, "_prefix_window", None) or 0)
+                    self._seg_words = max(sw_, self._seg_words)
+                    return self._prefix_window, self._seg_words
+                except Exception as e:
+                    CAT.warning("pending warm failed during overflow: %s",
+                                e)
+                    self._grow_pending = None
+        new_prefix = self._prefix_estimate()
+        self._seg_words = max(self._seg_words, self._seg_target())
+        return new_prefix, self._seg_words
 
     def _prefix_cap(self, layout) -> int:
         """Geometry-scaled compressed-prefix cap: ~1 word (32 bits) per
@@ -784,15 +835,12 @@ class JpegEncoder:
             self._prefix_used_words = None
             self._prefix_window = None
             return self._finalize_overflow(handle, hdr)
-        self._note_prefix_usage(int(np.max(used_words)))
-        new_prefix = self._prefix_estimate() or prefix
-        new_sw = sw
+        seg_need = None
         if n_segs and segbits is not None and (segbits > sw * 32).any():
-            need = (int(segbits.max()) + 31) // 32
-            self._seg_used_words = max(
-                getattr(self, "_seg_used_words", 0), need)
-            self._seg_words = max(self._seg_words, self._seg_target())
-            new_sw = self._seg_words
+            seg_need = (int(segbits.max()) + 31) // 32
+        new_prefix, new_sw = self._overflow_sizes(int(np.max(used_words)),
+                                                  seg_need)
+        new_prefix = new_prefix or prefix
         CAT.info("overflow redispatch: window %s->%s seg_words %s->%s",
                  prefix, new_prefix, sw, new_sw)
         combined2, p2, s2 = build(new_prefix, new_sw)

@@ -48,6 +48,7 @@ class TestAsyncGrow:
         h1 = enc.encode_gop_dispatch(fdev, 32, 32)
         assert enc.encode_gop_finalize(h1) == want
         sw0 = enc._seg_words
+        enc._seg_gops = 3  # past warmup: growth must go async
 
         # usage report says the densest segment needs > 75% of capacity
         enc._seg_used_words = sw0  # 100% of current capacity
@@ -62,6 +63,51 @@ class TestAsyncGrow:
         assert enc._seg_words > sw0, "grown capacity not adopted"
         assert h3[7] == enc._seg_words
         assert enc.encode_gop_finalize(h3) == want
+
+    def test_warmup_adopts_synchronously_with_2x_headroom(self, monkeypatch):
+        """During the first GOPs the capacity adopts synchronously (no
+        program is warm yet) and covers 2x the observed usage — content
+        whose densest segment jumps after warmup (motion residuals
+        measured a 1.6x jump on the v5e) must not overflow mid-stream."""
+        enc = JpegEncoder(quality=85, use_pallas=False, segmented=True)
+        monkeypatch.setattr(enc, "_grow_async", lambda: True)
+        enc._note_seg_usage(60 * 32)   # GOP-0 densest segment: 60 words
+        win, sw = enc._maybe_adopt_or_warm(
+            lambda p, s: (_ for _ in ()).throw(
+                AssertionError("warmup must adopt, not warm")))
+        assert sw == enc._seg_words == 128  # 2x60 → 120 → padded 128
+        assert enc._grow_pending is None
+        # light content stays at the default capacity
+        enc2 = JpegEncoder(quality=85, use_pallas=False, segmented=True)
+        monkeypatch.setattr(enc2, "_grow_async", lambda: True)
+        enc2._note_seg_usage(20 * 32)
+        _, sw2 = enc2._maybe_adopt_or_warm(lambda p, s: None)
+        assert sw2 == enc2.SEG_WORDS0
+
+    def test_overflow_prefers_covering_pending_warm(self, monkeypatch):
+        """A true overflow whose need is covered by the pending
+        background warm must WAIT for that compile and reuse its sizes
+        instead of compiling yet another program."""
+        from concurrent.futures import Future
+        enc = JpegEncoder(quality=85, use_pallas=False, segmented=True)
+        monkeypatch.setattr(enc, "_grow_async", lambda: True)
+        enc._seg_gops = 3
+        enc._prefix_window = 8192
+        fut = Future()
+        fut.set_result(0)   # the warm finished
+        enc._grow_pending = ((None, 128), fut)
+        win, sw = enc._overflow_sizes(used_words=100, seg_need_words=96)
+        assert sw == 128 and enc._grow_pending is None
+        # need BEYOND the pending: falls back to target computation
+        enc2 = JpegEncoder(quality=85, use_pallas=False, segmented=True)
+        monkeypatch.setattr(enc2, "_grow_async", lambda: True)
+        enc2._seg_gops = 3
+        enc2._prefix_window = 8192
+        enc2._grow_pending = ((None, 128), fut)
+        _, sw2 = enc2._overflow_sizes(used_words=100, seg_need_words=200)
+        assert sw2 >= 200
+        assert enc2._grow_pending is not None, \
+            "an insufficient pending warm should stay for later adoption"
 
     def test_sync_backends_adopt_immediately(self):
         """CPU backends (tests, host fallback) keep the deterministic
