@@ -157,12 +157,21 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
            f"adaptive prefix {prefix}/{full_prefix} words")
 
     # round-3 measured shape (benches A/B on the v5e): the fetch + host
-    # byte-stuffing runs on TWO worker threads while the main thread keeps
-    # three GOPs in flight — the transfer overlaps remote execution when
+    # byte-stuffing runs on worker threads while the main thread keeps
+    # several GOPs in flight — the transfer overlaps remote execution when
     # issued concurrently (110 fps single-worker vs 180.7 threaded; the
     # scalar-fetch device ceiling measured 176.7), so finalize is no
-    # longer on the critical path.
-    pool = ThreadPoolExecutor(max_workers=2)
+    # longer on the critical path. Each in-flight fetch costs ~25 ms RTT
+    # + ~15 ms transfer vs ~20 ms device/GOP, so hiding it needs ≥2-3
+    # concurrent fetches AND enough queued GOPs to ride out link jitter:
+    # the round-4 hardware sweep measured (workers, depth) (2,3) at
+    # 210-284 fps, (3,6) 334-347, (3,8) 359-364 (stable across reps),
+    # (4,8) erratic (4 concurrent fetches contend on the ~50 MB/s
+    # tunnel), depth 10-12 no better. device_ms_per_gop stayed 19.7 —
+    # the gain is pure scheduling.
+    workers = int(os.environ.get("FLUTPU_BENCH_WORKERS", "3"))
+    depth = int(os.environ.get("FLUTPU_BENCH_DEPTH", "8"))
+    pool = ThreadPoolExecutor(max_workers=workers)
     t0 = time.time()
     done = 0
     futs = []
@@ -170,7 +179,7 @@ def run_pipeline(n_gops: int, report=lambda *a: None) -> float:
         combined = gop_program(jnp.float32(g * GOP), enc._qy_dev,
                                enc._qc_dev, prefix=prefix, sw=sw)
         futs.append(pool.submit(finalize, combined, prefix))
-        if len(futs) >= 3:
+        if len(futs) >= depth:
             payloads = futs.pop(0).result()
             assert len(payloads) == GOP
             done += GOP
