@@ -248,13 +248,17 @@ def bench_full_pipeline(gops=6, w=1920, h=1088, out_h=1080):
     enc.encode_gop_finalize(dispatch(0))  # compile + learn the estimate
     enc.encode_gop_finalize(dispatch(0))  # compile the adaptive program
     from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=2)   # threaded finalize: the
-    # fetch overlaps remote execution when issued concurrently (PERF.md)
+    # threaded finalize: the fetch overlaps remote execution when issued
+    # concurrently; the round-4 sweep measured 3 workers x 8 in flight
+    # stable-fastest (PERF.md)
+    workers = int(os.environ.get("FLUTPU_BENCH_WORKERS", "3"))
+    depth = int(os.environ.get("FLUTPU_BENCH_DEPTH", "8"))
+    pool = ThreadPoolExecutor(max_workers=workers)
     t0 = time.time()
     futs = []
     for g in range(gops):
         futs.append(pool.submit(enc.encode_gop_finalize, dispatch(g)))
-        if len(futs) >= 3:
+        if len(futs) >= depth:
             futs.pop(0).result()
     for fu in futs:
         fu.result()
@@ -287,15 +291,17 @@ def bench_fvc(gops=6, motion=False):
     enc.encode_chunk_finalize(dispatch(0))   # compile + learn the estimate
     enc.encode_chunk_finalize(dispatch(0))   # compile the adaptive window
     from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=2)
+    # chunks in flight + finalize on worker threads (fetch overlaps remote
+    # execution when issued concurrently); 3x8 per the round-4 sweep
+    workers = int(os.environ.get("FLUTPU_BENCH_WORKERS", "3"))
+    depth = int(os.environ.get("FLUTPU_BENCH_DEPTH", "8"))
+    pool = ThreadPoolExecutor(max_workers=workers)
     t0 = time.time()
     total = 0
     futs = []
-    # three chunks in flight, finalize on worker threads (fetch overlaps
-    # remote execution when issued concurrently — PERF.md round 3)
     for g in range(gops):
         futs.append(pool.submit(enc.encode_chunk_finalize, dispatch(g)))
-        if len(futs) >= 3:
+        if len(futs) >= depth:
             total += len(futs.pop(0).result())
     for fu in futs:
         total += len(fu.result())
@@ -315,11 +321,12 @@ def main():
         bench_injectbin_swap_device()
     if "4k" in which:
         bench_4k_convert()
+    gops = int(os.environ.get("FLUTPU_BENCH_GOPS", "6"))
     if "full" in which:
-        bench_full_pipeline()
+        bench_full_pipeline(gops=gops)
     if "fvc" in which:
-        bench_fvc()
-        bench_fvc(motion=True)
+        bench_fvc(gops=gops)
+        bench_fvc(gops=gops, motion=True)
     if "full4k" in which:
         # explicit-only: first-time 4K-shaped compiles through a tunneled
         # remote compiler can take extremely long (observed >1h on axon);
