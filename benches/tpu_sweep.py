@@ -310,7 +310,9 @@ def main():
 
         np.asarray(gop_program(jnp.float32(0), pfx=pfx))
         n_gops = 40 if not os.environ.get("FLUTPU_SWEEP_SMALL") else 4
-        pool = ThreadPoolExecutor(max_workers=2)
+        pool = ThreadPoolExecutor(
+            max_workers=int(os.environ.get("FLUTPU_BENCH_WORKERS", "3")))
+        depth = int(os.environ.get("FLUTPU_BENCH_DEPTH", "8"))
         t0 = time.time()
         futs = []
         done = 0
@@ -318,7 +320,7 @@ def main():
             combined = gop_program(jnp.float32(g * GOP), pfx=pfx)
             futs.append(pool.submit(
                 lambda c: finalize(np.asarray(c)), combined))
-            if len(futs) >= 3:
+            if len(futs) >= depth:
                 futs.pop(0).result()
                 done += GOP
         for fu in futs:
@@ -366,7 +368,9 @@ def main():
 
         np.asarray(gop_program(jnp.float32(0), pfx=pfx, sw=sw))
         n_gops = 40 if not os.environ.get("FLUTPU_SWEEP_SMALL") else 4
-        pool = ThreadPoolExecutor(max_workers=2)
+        pool = ThreadPoolExecutor(
+            max_workers=int(os.environ.get("FLUTPU_BENCH_WORKERS", "3")))
+        depth = int(os.environ.get("FLUTPU_BENCH_DEPTH", "8"))
         t0 = time.time()
         futs = []
         done = 0
@@ -374,7 +378,7 @@ def main():
             combined = gop_program(jnp.float32(g * GOP), pfx=pfx, sw=sw)
             futs.append(pool.submit(
                 lambda c: finalize(np.asarray(c)), combined))
-            if len(futs) >= 3:
+            if len(futs) >= depth:
                 futs.pop(0).result()
                 done += GOP
         for fu in futs:
