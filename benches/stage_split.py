@@ -1,20 +1,36 @@
-"""Stage-split microbench for the headline 1080p GOP program.
+"""Full-program A/B bench for the headline 1080p GOP encode.
 
-Times cumulative sub-programs of bench.py's gop_program on the current
-backend, each compiled as ONE dispatch returning a tiny reduction (so the
-link cost is identical across variants and differences isolate device
-compute):
+Round-4 methodology note: the earlier version of this file timed
+CUMULATIVE CUTS of the program (src / coefs / slots / pack / concat).
+Cut-point numbers mis-attribute cost — a cut forces a materialization
+the full program elides (the blockize+zigzag stage measured 5.8 ms/GOP
+as a cut, yet a bit-identical rebuild that removed it from the full
+program changed nothing; see PERF.md). This bench therefore A/Bs FULL
+programs only, each as a rep-loop reduced to a scalar checksum (the
+load-independent device-time shape of bench.measure_device_ms_per_gop):
 
-  src      — frame synthesis only
-  coefs    — + convert/DCT/quant/zigzag
-  slots    — + slot tables (per-block symbol/bit-length arrays)
-  pack     — + intra-block bit packing (Pallas)
-  concat   — + inter-block concatenation (the full program, minus fetch)
+  planar_segmented    — the product default (channel-planar source,
+                        segment bitstream layout)
+  planar_concat_v3    — same with the block-granular concat v3
+  interleaved_segmented — the (F, H, W, 3) source layout tax arm
+  planar_seg_burnin   — + BGRA overlay blend with the overlay as a
+                        program ARGUMENT (the product form: overlays
+                        change per subtitle interval) — includes the
+                        ~7 ms/GOP source-materialization boundary
+  planar_seg_burnin_const — same blend with the overlay embedded as a
+                        compile-time CONSTANT: XLA constant-folds the
+                        blend prep and keeps the source fused (+1.2-2.2
+                        ms/GOP measured) — the boundary is an
+                        argument-read cost, not a blend cost
+  src_only / coefs_cut — two CUT-POINT probes kept for continuity,
+                        labeled as such: deltas against full programs
+                        are NOT valid stage attributions.
 
-Run: python benches/stage_split.py  (FLUTPU_CPU=1 for CPU)
-Prints one JSON line per stage with warm ms/GOP.
+Run on the TPU host: python benches/stage_split.py
+Prints one JSON line per arm with device ms/GOP.
 """
 
+import functools
 import json
 import os
 import sys
@@ -43,109 +59,24 @@ _enable_compile_cache()
 W, H = 1920, 1080
 PH, PW = 1088, 1920
 GOP = 8
+PREFIX = 24576  # fixed window: comparable across runs/content drift
 
 
 def main():
+    import numpy as np
     import jax
     import jax.numpy as jnp
-    from flutpu.codec.jpeg import JpegEncoder, encode_gop_to_coefs
+    from flutpu.codec.jpeg import (JpegEncoder, encode_gop_to_coefs,
+                                   encode_gop_planes_to_coefs)
     from flutpu.codec.ops import entropy as E
-    from flutpu.codec.ops.testsrc import gradient_ball_frames
+    from flutpu.codec.ops.testsrc import (gradient_ball_frames,
+                                          gradient_ball_planes)
+    from flutpu.ttml.render import overlay_on_planes
 
     enc = JpegEncoder(quality=85, engine="auto")
     layout = E.mcu_layout(PW // 8, PH // 8, PW // 16, PH // 16, True)
-    prefix = enc.PREFIX_WORDS
 
-    def mcu_reorder(yq, cbq, crq):
-        f = yq.shape[0]
-        allb = jnp.concatenate([
-            yq.reshape(f, -1, 64), cbq.reshape(f, -1, 64),
-            crq.reshape(f, -1, 64)], axis=1).astype(jnp.int32)
-        sel = jnp.asarray(layout.block_sel)
-        import numpy as np
-        prev_np = np.asarray(layout.prev_same_comp)
-        deltas_np = np.arange(len(prev_np)) - prev_np
-        uniq = np.unique(deltas_np[prev_np >= 0])
-
-        def reorder(blocks):
-            mcu = blocks[sel]
-            dc = mcu[:, 0]
-            prev_dc = jnp.zeros_like(dc)
-            for d in uniq:
-                mask = jnp.asarray((deltas_np == d) & (prev_np >= 0))
-                prev_dc = jnp.where(mask, jnp.roll(dc, int(d)), prev_dc)
-            return jnp.concatenate([(dc - prev_dc)[:, None], mcu[:, 1:]],
-                                   axis=1)
-        return jax.vmap(reorder)(allb)
-
-    @jax.jit
-    def p_src(start):
-        return gradient_ball_frames(PH, PW, GOP, start).sum()
-
-    @jax.jit
-    def p_coefs(start, qy, qc):
-        out = encode_gop_to_coefs(
-            gradient_ball_frames(PH, PW, GOP, start), qy, qc,
-            pad_h=PH, pad_w=PW, subsample=True)
-        return sum(o.astype(jnp.int32).sum() for o in out)
-
-    @jax.jit
-    def p_burnin(start, qy, qc, ov):
-        # coefs + overlay blend: the delta vs the coefs stage isolates the
-        # device cost of the subtitle burn-in (VERDICT r2: the config-5
-        # collapse needed attribution — blend vs program shape)
-        from flutpu.ttml.render import overlay_on_frames
-        frames = overlay_on_frames(
-            gradient_ball_frames(PH, PW, GOP, start), ov)
-        out = encode_gop_to_coefs(frames, qy, qc,
-                                  pad_h=PH, pad_w=PW, subsample=True)
-        return sum(o.astype(jnp.int32).sum() for o in out)
-
-    @jax.jit
-    def p_slots(start, qy, qc):
-        yq, cbq, crq = encode_gop_to_coefs(
-            gradient_ball_frames(PH, PW, GOP, start), qy, qc,
-            pad_h=PH, pad_w=PW, subsample=True)
-        mcu = mcu_reorder(yq, cbq, crq)
-        f, b = mcu.shape[:2]
-        flat = mcu.reshape(f * b, 64)
-        comp_flat = jnp.tile(jnp.asarray(layout.comp_is_chroma), f)
-        lens, his, los = E._slot_tables_merged(flat, comp_flat,
-                                               use_onehot=enc.use_pallas)
-        return lens.sum() + (his ^ los).astype(jnp.uint32).sum()
-
-    @jax.jit
-    def p_pack(start, qy, qc):
-        yq, cbq, crq = encode_gop_to_coefs(
-            gradient_ball_frames(PH, PW, GOP, start), qy, qc,
-            pad_h=PH, pad_w=PW, subsample=True)
-        mcu = mcu_reorder(yq, cbq, crq)
-        f, b = mcu.shape[:2]
-        flat = mcu.reshape(f * b, 64)
-        comp_flat = jnp.tile(jnp.asarray(layout.comp_is_chroma), f)
-        lens, his, los = E._slot_tables_merged(flat, comp_flat,
-                                               use_onehot=enc.use_pallas)
-        if enc.use_pallas:
-            from flutpu.codec.ops.entropy_pallas import \
-                pack_block_bits_pallas64
-            buf, nbits = pack_block_bits_pallas64(lens, his, los)
-        else:
-            buf, nbits = E._pack_block_bits64(lens, his, los)
-        return buf.astype(jnp.uint32).sum() + nbits.sum()
-
-    @jax.jit
-    def p_full(start, qy, qc):
-        yq, cbq, crq = encode_gop_to_coefs(
-            gradient_ball_frames(PH, PW, GOP, start), qy, qc,
-            pad_h=PH, pad_w=PW, subsample=True)
-        out = E.encode_gop_scans_combined(
-            yq, cbq, crq, layout=layout, prefix_words=prefix,
-            use_pallas=enc.use_pallas)
-        return out.astype(jnp.uint32).sum()
-
-    import numpy as np
-    # deterministic BGRA overlay (subtitle-like: a translucent lower-third
-    # band with opaque speckle) uploaded once
+    # deterministic BGRA overlay (subtitle-like lower-third band)
     rng = np.random.default_rng(7)
     ov_np = np.zeros((PH, PW, 4), np.uint8)
     ov_np[PH * 3 // 4:PH * 7 // 8] = (32, 32, 32, 160)
@@ -154,24 +85,74 @@ def main():
         (255, 255, 255, 255)
     ov = jnp.asarray(ov_np)
 
-    stages = [("src", lambda s: p_src(s)),
-              ("coefs", lambda s: p_coefs(s, enc._qy_dev, enc._qc_dev)),
-              ("burnin", lambda s: p_burnin(s, enc._qy_dev, enc._qc_dev,
-                                            ov)),
-              ("slots", lambda s: p_slots(s, enc._qy_dev, enc._qc_dev)),
-              ("pack", lambda s: p_pack(s, enc._qy_dev, enc._qc_dev)),
-              ("concat=full", lambda s: p_full(s, enc._qy_dev, enc._qc_dev))]
-    reps = int(os.environ.get("STAGE_REPS", "5"))
-    for name, fn in stages:
-        np.asarray(fn(jnp.float32(0)))  # compile + materialize
-        t0 = time.time()
-        for i in range(reps):
-            # scalar fetch per rep: the only reliable execution barrier on
-            # the axon backend (see CLAUDE.md measurement rule); the ~30 ms
-            # round trip is identical across stages so deltas cancel it
-            np.asarray(fn(jnp.float32(i * GOP)))
-        ms = (time.time() - t0) / reps * 1000.0
-        print(json.dumps({"stage": name, "ms_per_gop": round(ms, 1)}),
+    def coefs_planar(start, qy, qc, ov_in=None):
+        r, g, b = gradient_ball_planes(PH, PW, GOP, start)
+        if ov_in is not None:
+            r, g, b = overlay_on_planes(r, g, b, ov_in)
+        return encode_gop_planes_to_coefs(r, g, b, qy, qc,
+                                          pad_h=PH, pad_w=PW, subsample=True)
+
+    def entropy(yq, cbq, crq, segmented=True):
+        if segmented:
+            return E.encode_gop_scans_segmented(
+                yq, cbq, crq, layout=layout, prefix_words=PREFIX,
+                seg_words=enc.SEG_WORDS0, interpret=not enc.use_pallas)
+        return E.encode_gop_scans_combined(
+            yq, cbq, crq, layout=layout, prefix_words=PREFIX,
+            use_pallas=enc.use_pallas)
+
+    def arm(start, ov_arg, mode):
+        if mode == "src_only":
+            r, g, b = gradient_ball_planes(PH, PW, GOP, start)
+            return (r.astype(jnp.uint32).sum() + g.astype(jnp.uint32).sum()
+                    + b.astype(jnp.uint32).sum())
+        if mode == "interleaved_segmented":
+            yq, cbq, crq = encode_gop_to_coefs(
+                gradient_ball_frames(PH, PW, GOP, start),
+                enc._qy_dev, enc._qc_dev, pad_h=PH, pad_w=PW,
+                subsample=True)
+            return entropy(yq, cbq, crq).astype(jnp.uint32).sum()
+        ov_in = (ov_arg if mode == "planar_seg_burnin"
+                 else ov if mode == "planar_seg_burnin_const" else None)
+        yq, cbq, crq = coefs_planar(start, enc._qy_dev, enc._qc_dev,
+                                    ov_in=ov_in)
+        if mode == "coefs_cut":
+            return sum(o.astype(jnp.int32).sum() for o in (yq, cbq, crq))
+        return entropy(yq, cbq, crq,
+                       segmented=mode != "planar_concat_v3") \
+            .astype(jnp.uint32).sum()
+
+    reps = int(os.environ.get("STAGE_REPS", "8"))
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def loop(start, ov_arg, mode):
+        def body(i, acc):
+            return (acc
+                    + arm(start + i.astype(jnp.float32) * GOP, ov_arg, mode)
+                    .astype(jnp.uint32))
+        return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
+    @jax.jit
+    def tiny(x):
+        return (x @ x).sum()
+
+    x8 = jnp.ones((8, 8), jnp.float32)
+    float(tiny(x8))
+    arms = ("planar_segmented", "planar_concat_v3", "interleaved_segmented",
+            "planar_seg_burnin", "planar_seg_burnin_const", "src_only",
+            "coefs_cut")
+    for mode in arms:
+        int(loop(jnp.float32(0), ov, mode))   # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(tiny(x8))
+            rtt = time.time() - t0
+            t0 = time.time()
+            int(loop(jnp.float32(0), ov, mode))
+            best = min(best,
+                       max(0.0, time.time() - t0 - rtt) / reps * 1000.0)
+        print(json.dumps({"arm": mode, "device_ms_per_gop": round(best, 2)}),
               flush=True)
 
 
