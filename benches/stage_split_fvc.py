@@ -43,9 +43,16 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
-W, H = 1920, 1080
-PH, PW = 1088, 1920
-GOP = 8
+# STAGE_4K=1 switches to the 2160x3840 flagship shape (GOP=4 keeps the
+# scan carry modest); deltas remain comparable only WITHIN a resolution.
+if os.environ.get("STAGE_4K"):
+    W, H = 3840, 2160
+    PH, PW = 2160, 3840
+    GOP = 4
+else:
+    W, H = 1920, 1080
+    PH, PW = 1088, 1920
+    GOP = 8
 
 
 def main():
@@ -157,8 +164,8 @@ def main():
     sc._note_prefix_usage(int((first[:, 0].astype(np.int64).max() + 31)
                               // 32))
     pfx_adapt = min(prefix, sc._prefix_estimate() or prefix)
-    print(json.dumps({"adaptive_prefix": pfx_adapt, "full": prefix}),
-          flush=True)
+    print(json.dumps({"adaptive_prefix": pfx_adapt, "full": prefix,
+                      "shape": f"{PH}x{PW}", "gop": GOP}), flush=True)
 
     stages = [("src", lambda s: p_src(s)),
               ("i420", lambda s: p_i420(s)),
