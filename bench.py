@@ -321,6 +321,32 @@ def main():
                               "error": "accelerator unreachable"}))
             return
 
+        # mid-run wedge watchdog: the probe catches a dead link BEFORE the
+        # run, but a link that wedges DURING it (round-1 outage: a remote
+        # compile hung >1h) would hang the driver capture with no JSON.
+        # Bounded generously above any legitimate cold-cache compile run.
+        import threading
+
+        done = threading.Event()
+        wd_budget = float(os.environ.get("FLUTPU_BENCH_WATCHDOG_S", "3600"))
+
+        def _watchdog():
+            if done.is_set():
+                return
+            print(json.dumps({"metric": "1080p_encode_fps_per_chip",
+                              "value": 0.0, "unit": "frames/s",
+                              "vs_baseline": 0.0,
+                              "error": f"watchdog: no result within "
+                                       f"{wd_budget:.0f}s (link wedged?)"}),
+                  flush=True)
+            os._exit(3)
+
+        wd = threading.Timer(wd_budget, _watchdog)
+        wd.daemon = True
+        wd.start()
+    else:
+        done = None
+
     import jax
     backend = jax.devices()[0].platform
     n_gops = 40 if backend != "cpu" else 3
@@ -332,6 +358,8 @@ def main():
             # mirrors the CPU baseline's best-of-3 contract
             fps = max(fps, run_pipeline(n_gops, report))
     except Exception as e:  # keep the one-JSON-line contract on link death
+        if done is not None:
+            done.set()
         print(json.dumps({"metric": "1080p_encode_fps_per_chip",
                           "value": 0.0, "unit": "frames/s",
                           "vs_baseline": 0.0,
@@ -372,6 +400,8 @@ def main():
     }
     if device_ms is not None:
         out["device_ms_per_gop"] = device_ms
+    if done is not None:
+        done.set()
     print(json.dumps(out))
 
 
