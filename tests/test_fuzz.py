@@ -61,6 +61,55 @@ class TestFvcFuzz:
                 pass
             chunk[pos] = orig
 
+    @staticmethod
+    def _with_coded_ext(chunk: bytes, pw: int, ph: int) -> bytes:
+        """Rewrite a valid chunk to carry the flags-bit-4 coded-size
+        extension (the round-4 spatial-striping header extension)."""
+        import struct
+        version, flags = chunk[4], chunk[5]
+        off = 13 if version >= 2 else 12
+        return (chunk[:5] + bytes([flags | 16]) + chunk[6:off]
+                + struct.pack(">HH", pw, ph) + chunk[off:])
+
+    def test_coded_size_extension_roundtrip(self):
+        """bit4 with the natural macroblock padding decodes identically to
+        the same stream without the extension (v1 and v2 header offsets)."""
+        frames = np.random.default_rng(3).integers(
+            0, 256, (3, 24, 40, 3), np.uint8)
+        for motion in (False, True):
+            chunk = FvcEncoder(quality=80, motion=motion).encode_chunk(frames)
+            base, _ = FvcDecoder().decode_chunk(chunk)
+            ext, _ = FvcDecoder().decode_chunk(
+                self._with_coded_ext(chunk, 48, 32))  # _pad_to(40/24, 16)
+            np.testing.assert_array_equal(base, ext)
+
+    def test_coded_size_extension_truncated(self):
+        frames = np.random.default_rng(4).integers(
+            0, 256, (2, 24, 40, 3), np.uint8)
+        chunk = FvcEncoder(quality=80).encode_chunk(frames)
+        ext = self._with_coded_ext(chunk, 48, 32)
+        for cut in (12, 13, 14, 15):  # inside the 4-byte extension
+            with pytest.raises(ValueError):
+                FvcDecoder().decode_chunk(ext[:cut])
+
+    def test_coded_size_extension_invalid(self):
+        """Coded sizes below the frame, non-multiples of the macroblock,
+        or inconsistent with the payload are contained (ValueError or a
+        right-shaped decode) — never a crash."""
+        frames = np.random.default_rng(5).integers(
+            0, 256, (2, 24, 40, 3), np.uint8)
+        chunk = FvcEncoder(quality=80).encode_chunk(frames)
+        for pw, ph in ((16, 8), (48, 16), (50, 32), (48, 33), (0, 0)):
+            with pytest.raises(ValueError):
+                FvcDecoder().decode_chunk(self._with_coded_ext(chunk, pw, ph))
+        # a LARGER-than-coded geometry mismatches the payload's block count
+        try:
+            out, _ = FvcDecoder().decode_chunk(
+                self._with_coded_ext(chunk, 64, 48))
+            assert out.shape == frames.shape
+        except ValueError:
+            pass
+
 
 class TestJfifFuzz:
     def test_random_bytes_return_none(self):
