@@ -199,7 +199,8 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                                             motion_search_mc_pallas)
             # FLUTPU_SEARCH_DYGRID=0/1 A/Bs the dy-grid restructure of the
             # full-search kernel (one lane roll per candidate; bit-identical)
-            dygrid = os.environ.get("FLUTPU_SEARCH_DYGRID")
+            from ..core.env import env_flag
+            dygrid = env_flag("FLUTPU_SEARCH_DYGRID", False)
             ksearch = motion_search_mc_hier_pallas if hier \
                 else (motion_search_mc_dygrid_pallas if dygrid
                       else motion_search_mc_pallas)
@@ -209,7 +210,7 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
             # Band-split (round 4): 4K planes ride VMEM too; the gate is
             # now only grid alignment (wc%64, hc%8).
             # FLUTPU_NO_CHROMA_KERNEL=1 forces the XLA arm for A/Bs.
-            if os.environ.get("FLUTPU_NO_CHROMA_KERNEL") or \
+            if env_flag("FLUTPU_NO_CHROMA_KERNEL", False) or \
                     not chroma_mc_fits(pad_h // 2, pad_w // 2):
                 mc_c = lambda p, m: motion_compensate(
                     p, m, search_range=search_range, mb=8)

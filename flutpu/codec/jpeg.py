@@ -411,12 +411,12 @@ def resolve_segmented(explicit, use_pallas: bool) -> bool:
     Pallas engine runs on a real accelerator — the round-4 hardware A/B,
     PERF.md; never on CPU, where the grouped pack kernel cannot lower and
     interpret mode would be slower than the scan packer)."""
-    import os
     if explicit is not None:
         return bool(explicit)
-    env = os.environ.get("FLUTPU_SEGMENTED")
+    from ..core.env import env_flag
+    env = env_flag("FLUTPU_SEGMENTED")
     if env is not None:
-        return env.strip().lower() not in ("", "0", "false", "no")
+        return env
     return bool(use_pallas) and jax.default_backend() != "cpu"
 
 

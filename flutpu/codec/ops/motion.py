@@ -87,12 +87,10 @@ def motion_compensate(prev: jnp.ndarray, mv: jnp.ndarray,
     faster), so the switch keys on jax.default_backend().
     FLUTPU_MC_ROLLS=1/0 still forces either form.
     """
-    import os
-    forced = os.environ.get("FLUTPU_MC_ROLLS")
-    if forced is not None:
-        use_rolls = forced not in ("", "0")
-    else:
-        use_rolls = jax.default_backend() == "tpu"
+    from ...core.env import env_flag
+    forced = env_flag("FLUTPU_MC_ROLLS")
+    use_rolls = (jax.default_backend() == "tpu" if forced is None
+                 else forced)
     if use_rolls:
         return _motion_compensate_rolls(prev, mv, search_range, mb)
     h, w = prev.shape

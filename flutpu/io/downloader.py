@@ -328,12 +328,27 @@ class _PythonWorker:
                              else TaskOutcome.OK)
             except urllib.error.HTTPError as e:
                 task.http_status = e.code
-                # urllib surfaces an exhausted redirect chain as an
-                # HTTPError carrying the final 3xx status
-                self._finish(task,
-                             TaskOutcome.TOO_MANY_REDIRECTS
-                             if e.code in (301, 302, 303, 307, 308)
-                             else TaskOutcome.HTTP_ERROR)
+                if (e.code in (301, 302, 303, 307, 308)
+                        and e.headers.get("Location")):
+                    # urllib surfaces an exhausted redirect chain as an
+                    # HTTPError carrying the final 3xx status + Location
+                    self._finish(task, TaskOutcome.TOO_MANY_REDIRECTS)
+                elif e.code in (301, 302, 303, 307, 308):
+                    # a Location-less 3xx is not followable: deliver its
+                    # body as an ordinary (successful) response — matching
+                    # the native downloader and curl's FOLLOWLOCATION
+                    try:
+                        body = e.read()
+                    except Exception:
+                        body = b""
+                    if body:
+                        task.downloaded += len(body)
+                        bwmeter.data(len(body))
+                        if self.session.data_cb is not None:
+                            self.session.data_cb(body, task)
+                    self._finish(task, TaskOutcome.OK)
+                else:
+                    self._finish(task, TaskOutcome.HTTP_ERROR)
             except FileNotFoundError:
                 self._finish(task, TaskOutcome.FILE_NOT_FOUND)
             except urllib.error.URLError as e:

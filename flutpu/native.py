@@ -174,12 +174,16 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.flu_dl_task_get_ssl_status.argtypes = [c.c_void_p]
     lib.flu_dl_get_tasks_count.restype = c.c_int
     lib.flu_dl_get_tasks_count.argtypes = [c.c_void_p]
-    # reference-parity surface (fludownloader.h:94-185)
-    lib.flu_dl_lock.argtypes = [c.c_void_p]
-    lib.flu_dl_unlock.argtypes = [c.c_void_p]
-    lib.flu_dl_task_get_abort.restype = c.c_int
-    lib.flu_dl_task_get_abort.argtypes = [c.c_void_p]
-    lib.flu_dl_ssl_status_string.restype = c.c_char_p
-    lib.flu_dl_ssl_status_string.argtypes = [c.c_int]
-    lib.flu_dl_getdate.restype = c.c_longlong
-    lib.flu_dl_getdate.argtypes = [c.c_char_p]
+    # reference-parity surface (fludownloader.h:94-185); hasattr-gated:
+    # these landed in round 4, and a stale pre-round-4 .so (no make
+    # toolchain to rebuild) must degrade per the module contract, not
+    # AttributeError out of the first get_lib() caller
+    if hasattr(lib, "flu_dl_lock"):
+        lib.flu_dl_lock.argtypes = [c.c_void_p]
+        lib.flu_dl_unlock.argtypes = [c.c_void_p]
+        lib.flu_dl_task_get_abort.restype = c.c_int
+        lib.flu_dl_task_get_abort.argtypes = [c.c_void_p]
+        lib.flu_dl_ssl_status_string.restype = c.c_char_p
+        lib.flu_dl_ssl_status_string.argtypes = [c.c_int]
+        lib.flu_dl_getdate.restype = c.c_longlong
+        lib.flu_dl_getdate.argtypes = [c.c_char_p]

@@ -261,9 +261,42 @@ bool read_connect_reply(int fd, long timeout_ms, long idle_ms) {
   return status == 200;
 }
 
+// RFC 3986 5.2.4 remove_dot_segments, for absolute paths.
+std::string remove_dot_segments(std::string in) {
+  std::string out;
+  while (!in.empty()) {
+    if (in.rfind("../", 0) == 0) {
+      in.erase(0, 3);
+    } else if (in.rfind("./", 0) == 0) {
+      in.erase(0, 2);
+    } else if (in.rfind("/./", 0) == 0) {
+      in.replace(0, 3, "/");
+    } else if (in == "/.") {
+      in = "/";
+    } else if (in.rfind("/../", 0) == 0) {
+      in.replace(0, 4, "/");
+      size_t k = out.find_last_of('/');
+      out.erase(k == std::string::npos ? 0 : k);
+    } else if (in == "/..") {
+      in = "/";
+      size_t k = out.find_last_of('/');
+      out.erase(k == std::string::npos ? 0 : k);
+    } else if (in == "." || in == "..") {
+      in.clear();
+    } else {
+      size_t k = in.find('/', 1);
+      size_t n = (k == std::string::npos) ? in.size() : k;
+      out += in.substr(0, n);
+      in.erase(0, n);
+    }
+  }
+  return out;
+}
+
 // Resolve a Location header value against the URL that produced it
-// (RFC 3986 relative references: absolute, scheme-relative, absolute-path
-// and relative-path forms). Reference behavior: CURLOPT_FOLLOWLOCATION
+// (RFC 3986 relative references: absolute, scheme-relative, absolute-path,
+// relative-path and query-only forms, with dot-segment normalization).
+// Reference behavior: CURLOPT_FOLLOWLOCATION
 // (libs/flu/downloader/lib/fludownloader.c:733-734).
 std::string resolve_redirect(const std::string& base, std::string loc) {
   while (!loc.empty() && (loc.front() == ' ' || loc.front() == '\t'))
@@ -281,10 +314,20 @@ std::string resolve_redirect(const std::string& base, std::string loc) {
   bool default_port = (scheme == "http" && port == 80) ||
                       (scheme == "https" && (port == 443 || port == 80));
   if (!default_port) origin += ":" + std::to_string(port);
-  if (!loc.empty() && loc.front() == '/') return origin + loc;
-  std::string dir = path.substr(0, path.find_last_of('/') + 1);
+  // base path without its query; the suffix of loc past the first '?'/'#'
+  // is carried verbatim (dot-segment removal applies to paths only)
+  std::string bpath = path.substr(0, path.find('?'));
+  if (bpath.empty()) bpath = "/";
+  if (!loc.empty() && (loc.front() == '?' || loc.front() == '#'))
+    return origin + bpath + loc;  // query-only keeps the WHOLE base path
+  size_t q = loc.find_first_of("?#");
+  std::string lpath = loc.substr(0, q);
+  std::string suffix = (q == std::string::npos) ? "" : loc.substr(q);
+  if (!lpath.empty() && lpath.front() == '/')
+    return origin + remove_dot_segments(lpath) + suffix;
+  std::string dir = bpath.substr(0, bpath.find_last_of('/') + 1);
   if (dir.empty()) dir = "/";
-  return origin + dir + loc;
+  return origin + remove_dot_segments(dir + lpath) + suffix;
 }
 
 bool prepare_http(Session* s, Task* t, int* outcome) {

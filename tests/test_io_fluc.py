@@ -177,6 +177,32 @@ def http_server(tmp_path_factory):
             if self.path == "/rcookie":
                 self._redirect(302, "/cookiecheck")
                 return
+            if self.path == "/search/results":
+                # query-only Location keeps the WHOLE base path
+                # (RFC 3986: a "?page=2" reference resolves against
+                # /search/results, not /search/)
+                self._redirect(302, "?page=2")
+                return
+            if self.path == "/search/results?page=2":
+                body = b"page two"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if self.path == "/dots":
+                self._redirect(302, "/sub/../hello.txt")   # dot segments
+                return
+            if self.path == "/noloc":
+                # 3xx WITHOUT Location: not followable — the body is the
+                # response (matches curl FOLLOWLOCATION / the native
+                # downloader: delivered with outcome OK)
+                body = b"not really moved"
+                self.send_response(302)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path.startswith("/rto/"):
                 self._redirect(302, self.path[4:])
                 return
@@ -354,6 +380,35 @@ class TestRedirects:
         assert outcome == TaskOutcome.OK
         assert b"moved" not in data
         assert data == (root / "hello.txt").read_bytes()
+
+    def test_redirect_query_only_location(self, http_server, force_python):
+        """RFC 3986: a '?page=2' reference keeps the ENTIRE base path —
+        /search/results, not the parent directory /search/."""
+        base, _ = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, status = h.download(f"{base}/search/results")
+        assert outcome == TaskOutcome.OK
+        assert status == 200
+        assert data == b"page two"
+
+    def test_redirect_dot_segments_normalized(self, http_server,
+                                              force_python):
+        base, root = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, _ = h.download(f"{base}/dots")
+        assert outcome == TaskOutcome.OK
+        assert data == (root / "hello.txt").read_bytes()
+
+    def test_redirect_without_location_delivers_body(self, http_server,
+                                                     force_python):
+        """A Location-less 3xx is not followable: the response body IS the
+        download (curl FOLLOWLOCATION behavior), not TOO_MANY_REDIRECTS."""
+        base, _ = http_server
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, status = h.download(f"{base}/noloc")
+        assert outcome == TaskOutcome.OK
+        assert status == 302
+        assert data == b"not really moved"
 
     def test_redirect_reapplies_cookies(self, http_server, force_python):
         if force_python:
