@@ -62,6 +62,16 @@ def fence(name, fn):
             wall_s=round(time.time() - t0, 1))
 
 
+def product_prefix(enc, used_words: int, full_prefix: int) -> int:
+    """Adaptive window via the ENCODER'S OWN policy. A hand-copied
+    formula here (1.25x + 1024 @ 4096 buckets vs the encoder's 1.15x +
+    512 @ 2048) made the sweep measure programs the product path never
+    dispatches — the same drift bench.py fixed by routing through
+    _note_prefix_usage/_prefix_estimate."""
+    enc._note_prefix_usage(int(used_words))
+    return min(full_prefix, enc._prefix_estimate() or full_prefix)
+
+
 def main():
     import functools
     import jax
@@ -219,9 +229,7 @@ def main():
 
         first = np.asarray(gop_program(jnp.float32(0)))
         used = int((first[:, 0].astype(np.int64).max() + 31) // 32)
-        pfx = min(full_prefix,
-                  max(8192, ((int(used * 1.25) + 1024 + 4095) // 4096)
-                      * 4096))
+        pfx = product_prefix(enc, used, full_prefix)
         np.asarray(gop_program(jnp.float32(0), pfx=pfx))
         n_gops = 40 if not os.environ.get("FLUTPU_SWEEP_SMALL") else 4
         t0 = time.time()
@@ -298,9 +306,7 @@ def main():
 
         first = np.asarray(gop_program(jnp.float32(0)))
         used = int((first[:, 0].astype(np.int64).max() + 31) // 32)
-        pfx = min(full_prefix,
-                  max(8192, ((int(used * 1.25) + 1024 + 4095) // 4096)
-                      * 4096))
+        pfx = product_prefix(enc, used, full_prefix)
 
         def finalize(arr):
             bits = arr[:, 0].astype(np.int64)
@@ -354,9 +360,7 @@ def main():
             sw *= 2
             first = np.asarray(gop_program(jnp.float32(0), sw=sw))
         used = int(first[:, 0].astype(np.int64).max())
-        pfx = min(full_prefix,
-                  max(8192, ((int(used * 1.25) + 1024 + 4095) // 4096)
-                      * 4096))
+        pfx = product_prefix(enc, used, full_prefix)
 
         def finalize(arr):
             segbits = arr[:, 1:1 + n_segs].astype(np.int64)

@@ -546,10 +546,22 @@ class FvcEncoder:
             seg_need = None
             if segbits is not None and (segbits > sw * 32).any():
                 seg_need = (int(segbits.max()) + 31) // 32
-            new_prefix, new_sw = sc._overflow_sizes(int(used.max()),
-                                                    seg_need)
+            w_need = int(used.max())
+            new_prefix, new_sw = sc._overflow_sizes(w_need, seg_need)
             new_prefix = new_prefix or prefix
+            if (w_need > prefix and new_prefix <= prefix) or \
+                    (seg_need and (new_sw or 0) <= (sw or 0)):
+                # the policy could not grow the overflowed dimension
+                # (cap/hysteresis): a redispatch would rebuild the
+                # IDENTICAL program and overflow again — fall back now
+                sc._prefix_used_words = None
+                sc._prefix_window = None
+                return None, None, None
             combined2, p2, s2 = build(new_prefix, new_sw)
+            if p2 == prefix and (sw is None or s2 == sw):
+                sc._prefix_used_words = None   # cap clamp erased the
+                sc._prefix_window = None       # growth: don't fetch a
+                return None, None, None        # guaranteed overflow
             return self._device_finalize(combined2, p2, s2, frames, ph, pw,
                                          build=None)
         if sw is not None:

@@ -15,6 +15,7 @@ import ctypes
 import functools
 import io
 import struct
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -46,15 +47,17 @@ CAT = category("tpucodec", "adaptive device-program sizing")
 # the proactive capacity growth recompiling ON the streaming thread
 # stalled one GOP 26.9 s and collapsed the 6-GOP motion bench to 1.5 fps.
 _GROW_POOL = None
+_GROW_POOL_LOCK = threading.Lock()
 
 
 def _grow_pool():
     global _GROW_POOL
-    if _GROW_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-        _GROW_POOL = ThreadPoolExecutor(max_workers=1,
-                                        thread_name_prefix="flutpu-grow")
-    return _GROW_POOL
+    with _GROW_POOL_LOCK:
+        if _GROW_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+            _GROW_POOL = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="flutpu-grow")
+        return _GROW_POOL
 
 
 def _warm_grown(build, prefix, sw):
@@ -477,7 +480,13 @@ class JpegEncoder:
         self._prefix_used_words: Optional[int] = None
         self._prefix_window: Optional[int] = None
         self._grow_pending = None   # (target sizes, Future) — see
-        # _maybe_adopt_or_warm: grown programs compile off-thread
+        # _maybe_adopt_or_warm: grown programs compile off-thread.
+        # The adaptive state above is read-modify-written from BOTH the
+        # dispatch thread (_maybe_adopt_or_warm) and the pipelined
+        # finalize workers (_note_*_usage / _overflow_sizes) — RLock, so
+        # the overflow path can call the note/target helpers it shares
+        # with the callers
+        self._adapt_lock = threading.RLock()
         self.qy = scale_qtable(LUMA_QTABLE, quality)
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
@@ -559,8 +568,9 @@ class JpegEncoder:
         """Record actual usage as a RUNNING MAX (monotone → the derived
         window never bounces between values); cleared by the spike
         reset."""
-        prev = getattr(self, "_prefix_used_words", None) or 0
-        self._prefix_used_words = max(prev, int(used_words))
+        with self._adapt_lock:
+            prev = getattr(self, "_prefix_used_words", None) or 0
+            self._prefix_used_words = max(prev, int(used_words))
 
     def _note_seg_usage(self, max_seg_bits: int) -> None:
         """Record the densest segment's usage (running max, mirroring the
@@ -572,11 +582,12 @@ class JpegEncoder:
         26.9 s GOP-boundary stall when the proactive growth recompiled
         mid-stream, collapsing the 6-GOP motion bench to 1.5 fps)."""
         used_words = (int(max_seg_bits) + 31) // 32
-        self._seg_used_words = max(
-            getattr(self, "_seg_used_words", 0), used_words)
-        self._seg_gops = getattr(self, "_seg_gops", 0) + 1
-        if not self._grow_async():
-            self._seg_words = self._seg_target()
+        with self._adapt_lock:
+            self._seg_used_words = max(
+                getattr(self, "_seg_used_words", 0), used_words)
+            self._seg_gops = getattr(self, "_seg_gops", 0) + 1
+            if not self._grow_async():
+                self._seg_words = self._seg_target()
 
     def _seg_target(self) -> int:
         """Pure policy: staging capacity for the NEXT program — grow-only,
@@ -617,6 +628,10 @@ class JpegEncoder:
         (prefix_window, seg_words) THIS dispatch should ride, and manages
         the background grow: adopt a finished warm, or submit one when
         the recorded usage outgrows the current sizes."""
+        with self._adapt_lock:
+            return self._maybe_adopt_or_warm_locked(build)
+
+    def _maybe_adopt_or_warm_locked(self, build):
         tgt_w = self._prefix_target()
         if getattr(self, "_prefix_window", None) is None and tgt_w:
             # first derivation = warmup: there is no compiled adaptive
@@ -667,34 +682,45 @@ class JpegEncoder:
         underway, and waiting for it beats compiling yet another size
         (motion GOP 1 on the v5e compiled a fresh 256-word program while
         a sufficient 128-word one was mid-compile on the warm worker)."""
-        self._note_prefix_usage(int(used_words))
-        if seg_need_words:
-            self._seg_used_words = max(
-                getattr(self, "_seg_used_words", 0), int(seg_need_words))
-        pending = getattr(self, "_grow_pending", None)
-        if pending is not None:
-            (pw_, sw_), fut = pending
-            w_ok = (pw_ or 0) >= used_words or (
-                pw_ is None
-                and (getattr(self, "_prefix_window", None) or 0)
-                >= used_words)
-            s_ok = not seg_need_words or sw_ >= seg_need_words
-            if w_ok and s_ok:
-                try:
-                    fut.result()
-                    self._grow_pending = None
+        with self._adapt_lock:
+            self._note_prefix_usage(int(used_words))
+            if seg_need_words:
+                self._seg_used_words = max(
+                    getattr(self, "_seg_used_words", 0),
+                    int(seg_need_words))
+            pending = getattr(self, "_grow_pending", None)
+            covers = False
+            if pending is not None:
+                (pw_, sw_), fut = pending
+                w_ok = (pw_ or 0) >= used_words or (
+                    pw_ is None
+                    and (getattr(self, "_prefix_window", None) or 0)
+                    >= used_words)
+                covers = w_ok and (not seg_need_words
+                                   or sw_ >= seg_need_words)
+        if covers:
+            # wait for the covering compile WITHOUT the lock: a finalize
+            # worker must not block the dispatch thread's sizing calls
+            # for the duration of a ~20 s remote compile
+            try:
+                fut.result()
+                with self._adapt_lock:
+                    if getattr(self, "_grow_pending", None) is pending:
+                        self._grow_pending = None
                     if pw_ is not None:
                         self._prefix_window = max(
                             pw_, getattr(self, "_prefix_window", None) or 0)
                     self._seg_words = max(sw_, self._seg_words)
                     return self._prefix_window, self._seg_words
-                except Exception as e:
-                    CAT.warning("pending warm failed during overflow: %s",
-                                e)
-                    self._grow_pending = None
-        new_prefix = self._prefix_estimate()
-        self._seg_words = max(self._seg_words, self._seg_target())
-        return new_prefix, self._seg_words
+            except Exception as e:
+                CAT.warning("pending warm failed during overflow: %s", e)
+                with self._adapt_lock:
+                    if getattr(self, "_grow_pending", None) is pending:
+                        self._grow_pending = None
+        with self._adapt_lock:
+            new_prefix = self._prefix_estimate()
+            self._seg_words = max(self._seg_words, self._seg_target())
+            return new_prefix, self._seg_words
 
     def _prefix_cap(self, layout) -> int:
         """Geometry-scaled compressed-prefix cap: ~1 word (32 bits) per
@@ -838,12 +864,29 @@ class JpegEncoder:
         seg_need = None
         if n_segs and segbits is not None and (segbits > sw * 32).any():
             seg_need = (int(segbits.max()) + 31) // 32
-        new_prefix, new_sw = self._overflow_sizes(int(np.max(used_words)),
-                                                  seg_need)
+        w_need = int(np.max(used_words))
+        new_prefix, new_sw = self._overflow_sizes(w_need, seg_need)
         new_prefix = new_prefix or prefix
+        if (w_need > prefix and new_prefix <= prefix) or \
+                (seg_need and new_sw <= sw):
+            # the policy could not grow the overflowed dimension (window
+            # already at / above the geometry cap, hysteresis holding):
+            # a redispatch would rebuild the IDENTICAL program and
+            # deterministically overflow again — go straight to the
+            # ladder/host fallback
+            self._prefix_used_words = None
+            self._prefix_window = None
+            return self._finalize_overflow(handle, hdr)
         CAT.info("overflow redispatch: window %s->%s seg_words %s->%s",
                  prefix, new_prefix, sw, new_sw)
         combined2, p2, s2 = build(new_prefix, new_sw)
+        if p2 == prefix and (not n_segs or s2 == sw):
+            # build's cap clamp erased the growth: the program just
+            # dispatched is the one that already overflowed — skip its
+            # guaranteed-overflow fetch
+            self._prefix_used_words = None
+            self._prefix_window = None
+            return self._finalize_overflow(handle, hdr)
         return self.encode_gop_finalize(
             (combined2, frames, overlay, p2, h, w, n_segs, s2, None))
 

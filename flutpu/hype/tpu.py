@@ -151,6 +151,18 @@ class TpuHype(VideoEncoder):
         yq, cbq, crq = encode_chunks_sharded(
             jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
             mesh=mesh, spatial=spatial > 1)
+        mh = _pad_to(h, 16)
+        if ph != mh:
+            # spatial striping padded H to 16*spatial — beyond the
+            # standard MCU padding a JPEG's SOF height implies. FVC
+            # signals the coded size explicitly (flags bit 4); JPEG has
+            # no such channel, so crop the coefficient planes back to
+            # the standard MCU rows: the scan then carries exactly the
+            # blocks an unstriped encode would (byte-identical output,
+            # decodable by any baseline decoder)
+            yq = yq[:, :, :mh // 8]
+            cbq = cbq[:, :, :mh // 16]
+            crq = crq[:, :, :mh // 16]
         hdr = jpeg_headers(h, w, jenc.qy, jenc.qc, True)
         payloads = self._entropy(jenc, yq, cbq, crq, hdr)
         for src, data in zip(batch, payloads):

@@ -161,6 +161,39 @@ class TestTpuHypeSpatial:
         h.teardown()
 
 
+class TestTpuHypeSpatialOverPad:
+    """Heights where 16*spatial striping pads BEYOND the standard MCU
+    rows (h=80, spatial=2 → 96 padded vs 80 standard): the JPEG scan must
+    carry exactly the blocks an unstriped encode would — SOF height has
+    no coded-size extension, so extra entropy-coded MCU rows would read
+    as corrupt trailing data in standard decoders."""
+
+    def _encode(self, spatial):
+        from flutpu.core import Buffer, Harness, MSECOND
+        from flutpu.core.elements import make_test_frame
+        h = Harness(f"tpuhype gop-size=2 chunks=2 spatial={spatial} "
+                    "quality=90")
+        h.set_src_caps("video/x-raw, format=RGB, width=64, height=80, "
+                       "framerate=30/1")
+        frames = [make_test_frame("gradient", 64, 80, i) for i in range(4)]
+        for i, f in enumerate(frames):
+            h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        outs = [bytes(h.pull(timeout=30).data) for _ in range(4)]
+        h.teardown()
+        return frames, outs
+
+    def test_striped_jpeg_byte_identical_to_unstriped(self):
+        from flutpu.codec.jpeg import decode_jpeg, psnr
+        frames, striped = self._encode(2)
+        _, flat = self._encode(1)
+        assert striped == flat
+        for i in (0, 3):
+            img = decode_jpeg(striped[i])
+            assert img.shape == (80, 64, 3)
+            assert psnr(frames[i], img) > 30
+
+
 class TestTpuHypeFvc:
     CAPS = "video/x-raw, format=RGB, width=64, height=48, framerate=30/1"
 
