@@ -63,13 +63,23 @@ def fence(name, fn):
 
 
 def product_prefix(enc, used_words: int, full_prefix: int) -> int:
-    """Adaptive window via the ENCODER'S OWN policy. A hand-copied
-    formula here (1.25x + 1024 @ 4096 buckets vs the encoder's 1.15x +
-    512 @ 2048) made the sweep measure programs the product path never
-    dispatches — the same drift bench.py fixed by routing through
-    _note_prefix_usage/_prefix_estimate."""
-    enc._note_prefix_usage(int(used_words))
-    return min(full_prefix, enc._prefix_estimate() or full_prefix)
+    """Adaptive window via the ENCODER'S OWN policy, computed as a FRESH
+    encoder's first derivation. A hand-copied formula here (1.25x + 1024
+    @ 4096 buckets vs the encoder's 1.15x + 512 @ 2048) made the sweep
+    measure programs the product path never dispatches; and mutating the
+    one shared sweep encoder would leak earlier phases' running max /
+    adopted window into later phases (different layouts report different
+    usage magnitudes), so the shared state is saved and restored."""
+    with enc._adapt_lock:
+        saved = (getattr(enc, "_prefix_used_words", None),
+                 getattr(enc, "_prefix_window", None))
+        enc._prefix_used_words = None
+        enc._prefix_window = None
+        try:
+            enc._note_prefix_usage(int(used_words))
+            return min(full_prefix, enc._prefix_estimate() or full_prefix)
+        finally:
+            enc._prefix_used_words, enc._prefix_window = saved
 
 
 def main():

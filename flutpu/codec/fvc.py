@@ -455,6 +455,7 @@ class FvcEncoder:
                 prefix_words=p, use_pallas=sc.use_pallas,
                 seg_words=s), p, s
 
+        build.prefix_cap = cap  # _device_finalize coverage check
         win, sw = sc._maybe_adopt_or_warm(build)
         combined, prefix, sw = build(win, sw)
         return combined, prefix, sw, build
@@ -489,6 +490,7 @@ class FvcEncoder:
                 layout=layout, prefix_words=p,
                 use_pallas=sc.use_pallas, seg_words=s), p, s
 
+        build.prefix_cap = cap  # _device_finalize coverage check
         win, sw = sc._maybe_adopt_or_warm(build)
         combined, prefix, sw = build(win, sw)
 
@@ -540,8 +542,7 @@ class FvcEncoder:
             overflow = (bits > prefix * 32).any()
         if overflow:
             if build is None:   # the grown redispatch itself overflowed
-                sc._prefix_used_words = None   # pathological: reset
-                sc._prefix_window = None
+                sc._reset_prefix_spike()   # pathological: reset
                 return None, None, None
             seg_need = None
             if segbits is not None and (segbits > sw * 32).any():
@@ -549,19 +550,20 @@ class FvcEncoder:
             w_need = int(used.max())
             new_prefix, new_sw = sc._overflow_sizes(w_need, seg_need)
             new_prefix = new_prefix or prefix
-            if (w_need > prefix and new_prefix <= prefix) or \
-                    (seg_need and (new_sw or 0) <= (sw or 0)):
-                # the policy could not grow the overflowed dimension
-                # (cap/hysteresis): a redispatch would rebuild the
-                # IDENTICAL program and overflow again — fall back now
-                sc._prefix_used_words = None
-                sc._prefix_window = None
+            # redispatch only at sizes that COVER the device-reported
+            # need ("grew" is not enough — a need above the geometry cap
+            # / capacity ladder bound would overflow again); eff_p
+            # mirrors build's own cap clamp (see jpeg._refinalize_grown)
+            cap = getattr(build, "prefix_cap", None)
+            eff_p = min(cap, new_prefix) if cap else new_prefix
+            if w_need > eff_p or (seg_need and seg_need > (new_sw or 0)):
+                sc._reset_prefix_spike()
                 return None, None, None
             combined2, p2, s2 = build(new_prefix, new_sw)
-            if p2 == prefix and (sw is None or s2 == sw):
-                sc._prefix_used_words = None   # cap clamp erased the
-                sc._prefix_window = None       # growth: don't fetch a
-                return None, None, None        # guaranteed overflow
+            if p2 < w_need or (seg_need and (s2 or 0) < seg_need):
+                sc._reset_prefix_spike()   # normalization erased the
+                return None, None, None    # growth: don't fetch a
+                                           # guaranteed overflow
             return self._device_finalize(combined2, p2, s2, frames, ph, pw,
                                          build=None)
         if sw is not None:

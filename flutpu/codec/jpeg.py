@@ -722,6 +722,18 @@ class JpegEncoder:
             self._seg_words = max(self._seg_words, self._seg_target())
             return new_prefix, self._seg_words
 
+    def _reset_prefix_spike(self) -> None:
+        """Spike reset (content burst beyond the adaptive sizes): clear
+        the usage record and window so the next derivation starts fresh.
+        Takes the adapt lock — finalize workers reset concurrently with
+        other workers' locked read-modify-writes, and a lock-free reset
+        could be half-undone by a racing _note_prefix_usage (leaving
+        window None with a huge recorded usage → a spike-sized program
+        compiled synchronously on the streaming thread)."""
+        with self._adapt_lock:
+            self._prefix_used_words = None
+            self._prefix_window = None
+
     def _prefix_cap(self, layout) -> int:
         """Geometry-scaled compressed-prefix cap: ~1 word (32 bits) per
         block covers ~2.7x typical q85 usage, so 4K scans (~74K words vs
@@ -763,6 +775,7 @@ class JpegEncoder:
                 prefix_words=p, use_pallas=self.use_pallas,
                 seg_words=s), p, s
 
+        build.prefix_cap = cap  # _refinalize_grown coverage check
         win, sw = self._maybe_adopt_or_warm(build)
         combined, prefix, sw = build(win, sw)
         return (combined, frames_dev, overlay, prefix, h, w,
@@ -795,6 +808,7 @@ class JpegEncoder:
                 prefix_words=p, use_pallas=self.use_pallas,
                 seg_words=s), p, s
 
+        build.prefix_cap = cap  # _refinalize_grown coverage check
         win, sw = self._maybe_adopt_or_warm(build)
         combined, prefix, sw = build(win, sw)
 
@@ -858,8 +872,7 @@ class JpegEncoder:
         ~20 s remote compiles of programs the steady state never uses.)"""
         combined, frames, overlay, prefix, h, w, n_segs, sw, build = handle
         if build is None:  # safety: a redispatch still overflowed
-            self._prefix_used_words = None
-            self._prefix_window = None
+            self._reset_prefix_spike()
             return self._finalize_overflow(handle, hdr)
         seg_need = None
         if n_segs and segbits is not None and (segbits > sw * 32).any():
@@ -867,25 +880,25 @@ class JpegEncoder:
         w_need = int(np.max(used_words))
         new_prefix, new_sw = self._overflow_sizes(w_need, seg_need)
         new_prefix = new_prefix or prefix
-        if (w_need > prefix and new_prefix <= prefix) or \
-                (seg_need and new_sw <= sw):
-            # the policy could not grow the overflowed dimension (window
-            # already at / above the geometry cap, hysteresis holding):
-            # a redispatch would rebuild the IDENTICAL program and
-            # deterministically overflow again — go straight to the
-            # ladder/host fallback
-            self._prefix_used_words = None
-            self._prefix_window = None
+        # the redispatch is only worth its (possible ~20 s) compile if the
+        # grown sizes COVER the device-reported need — "grew a bit" is not
+        # enough: a need above the geometry cap / capacity ladder bound
+        # would deterministically overflow again, so go straight to the
+        # ladder/host fallback without compiling or fetching a doomed
+        # program. eff_p mirrors build's own cap clamp.
+        cap = getattr(build, "prefix_cap", None)
+        eff_p = min(cap, new_prefix) if cap else new_prefix
+        if w_need > eff_p or (seg_need and seg_need > new_sw):
+            self._reset_prefix_spike()
             return self._finalize_overflow(handle, hdr)
         CAT.info("overflow redispatch: window %s->%s seg_words %s->%s",
                  prefix, new_prefix, sw, new_sw)
         combined2, p2, s2 = build(new_prefix, new_sw)
-        if p2 == prefix and (not n_segs or s2 == sw):
-            # build's cap clamp erased the growth: the program just
-            # dispatched is the one that already overflowed — skip its
-            # guaranteed-overflow fetch
-            self._prefix_used_words = None
-            self._prefix_window = None
+        if p2 < w_need or (seg_need and (s2 or 0) < seg_need):
+            # safety for builds without a prefix_cap attribute: the
+            # normalized sizes still don't cover the need — don't fetch
+            # a guaranteed second overflow
+            self._reset_prefix_spike()
             return self._finalize_overflow(handle, hdr)
         return self.encode_gop_finalize(
             (combined2, frames, overlay, p2, h, w, n_segs, s2, None))
@@ -973,8 +986,7 @@ class JpegEncoder:
                 self._note_prefix_usage((bits_host.max() + 31) // 32)
                 return [stuff_and_finalize(arr[i, 1:], int(bits_host[i]))
                         for i in range(arr.shape[0])]
-            self._prefix_used_words = None  # spike: reset the estimate
-            self._prefix_window = None
+            self._reset_prefix_spike()
             scans = self._scans_device(coefs)  # rare: dense content
             if scans is not None:
                 return scans

@@ -44,8 +44,12 @@ class Bus:
         self._queue.put(msg)
 
     def pop(self, timeout: Optional[float] = 0) -> Optional[Message]:
+        """timeout=0 → non-blocking, timeout=None → wait forever (the
+        timed_pop_filtered convention), else wait up to ``timeout``."""
         try:
-            return self._queue.get(timeout=timeout) if timeout else self._queue.get_nowait()
+            if timeout == 0:
+                return self._queue.get_nowait()
+            return self._queue.get(timeout=timeout)
         except queue.Empty:
             return None
 

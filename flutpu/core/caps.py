@@ -73,6 +73,23 @@ def _shrink_list(vals: Tuple[Any, ...]) -> Optional[Any]:
     return ValueList(vals)
 
 
+def _split_top_level(s: str) -> list:
+    """Split on commas outside {}/[]/() nesting."""
+    parts, cur, depth = [], [], 0
+    for ch in s:
+        if ch in "{[(":
+            depth += 1
+        elif ch in "}])":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def _is_fixed_value(v: Any) -> bool:
     return not isinstance(v, (IntRange, ValueList))
 
@@ -110,11 +127,14 @@ class Caps:
 
     @classmethod
     def from_string(cls, s: str) -> "Caps":
-        """Parse ``video/x-raw, format=RGB, width=1, framerate=30/1``."""
+        """Parse ``video/x-raw, format=RGB, width=1, framerate=30/1``.
+        Commas inside ``{a,b}`` lists and ``[lo,hi]`` ranges stay within
+        their field (a bare ``s.split(",")`` tore those values apart and
+        produced silently wrong caps)."""
         s = s.strip()
         if s in ("ANY", ""):
             return cls.any()
-        parts = [p.strip() for p in s.split(",")]
+        parts = [p.strip() for p in _split_top_level(s)]
         media_type = parts[0]
         fields: Dict[str, Any] = {}
         for p in parts[1:]:

@@ -272,6 +272,12 @@ class Pad:
             elif event.type == EventType.FLUSH_STOP:
                 self.flushing = False
                 self.eos = False
+            elif event.type == EventType.STREAM_START:
+                # a new stream clears EOS state (GStreamer sticky
+                # semantics) — a non-flushing upstream restart pushes
+                # STREAM_START, never FLUSH_STOP
+                self.eos = False
+                self.sticky.pop(EventType.EOS, None)
             elif self.flushing and event.is_serialized:
                 return False
             mask = ProbeType.EVENT_DOWNSTREAM | ProbeType.BLOCK
@@ -301,6 +307,9 @@ class Pad:
             elif event.type == EventType.FLUSH_STOP:
                 self.flushing = False
                 self.eos = False
+            elif event.type == EventType.STREAM_START:
+                self.eos = False  # new stream clears EOS (see push_event)
+                self.sticky.pop(EventType.EOS, None)
             elif event.is_serialized and self.flushing:
                 return False
             if event.is_sticky:
@@ -389,6 +398,16 @@ class GhostPad(Pad):
         old = self._target
         if self.direction == PadDirection.SINK:
             self._proxy_target = target
+            if target is not None and old is not target:
+                # replay the stickies THIS ghost has seen into the new
+                # target so it negotiates (STREAM_START/CAPS/SEGMENT)
+                # before the first proxied buffer — mirroring the SRC
+                # ghost's replay below
+                for ev in sorted(self.sticky.values(), key=_sticky_order):
+                    if target.direction == PadDirection.SINK:
+                        target.send_event(ev)
+                    else:
+                        target.push_event(ev)
         else:
             if old is not None:
                 old._ghost_forward = None

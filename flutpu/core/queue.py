@@ -66,6 +66,10 @@ class Queue(Element):
         with self._lock:
             if not self._running or self._queue is None:
                 return FlowReturn.FLUSHING
+            if self._srcresult != FlowReturn.OK:
+                # propagate downstream flow errors to buffer-list pushers
+                # exactly as _chain does for per-buffer pushers
+                return self._srcresult
             q = self._queue
         q.put(buffers)
         return FlowReturn.OK

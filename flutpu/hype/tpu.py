@@ -159,7 +159,12 @@ class TpuHype(VideoEncoder):
             # no such channel, so crop the coefficient planes back to
             # the standard MCU rows: the scan then carries exactly the
             # blocks an unstriped encode would (byte-identical output,
-            # decodable by any baseline decoder)
+            # decodable by any baseline decoder). The slice is an eager
+            # op on the sharded arrays (the pad rows live in the LAST
+            # stripe, so an in-shard_map crop would need uneven shard
+            # shapes — not expressible in SPMD); it shares the eager
+            # boundary the reshape before _entropy already pays, and
+            # only over-padded heights (h % (16*spatial) != 0) take it
             yq = yq[:, :, :mh // 8]
             cbq = cbq[:, :, :mh // 16]
             crq = crq[:, :, :mh // 16]

@@ -351,6 +351,8 @@ def get_normalized_length(state, style_override, attr: Attribute,
 # XML local name → AttrType (namespace is validated separately)
 ATTR_BY_NAME: Dict[str, AttrType] = {
     "id": AttrType.ID,
+    # "space" (xml:space) is special-cased in parse_attribute BEFORE the
+    # table lookup; this entry exists for the segmented.py reverse map
     "space": AttrType.WHITESPACE_PRESERVE,
     "begin": AttrType.BEGIN,
     "end": AttrType.END,
@@ -368,7 +370,6 @@ ATTR_BY_NAME: Dict[str, AttrType] = {
     "style": AttrType.STYLE,
     "region": AttrType.REGION,
     "timeContainer": AttrType.TIME_CONTAINER,
-    "space": AttrType.NODE_TYPE,  # handled specially below
     "color": AttrType.COLOR,
     "backgroundColor": AttrType.BACKGROUND_COLOR,
     "direction": AttrType.DIRECTION,

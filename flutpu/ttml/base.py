@@ -16,6 +16,7 @@ Subclass contract (GstTTMLBaseClass vfuncs, gstttmlbase.h:71-98):
 from __future__ import annotations
 
 import base64 as _b64
+import re
 from typing import Dict, List, Optional
 from xml.parsers import expat
 
@@ -195,13 +196,20 @@ class TTMLBase(Element):
                     data.startswith(b"<tt") or data.startswith(b"<?xml")):
                 self._finish_document()
 
-            # split concatenated documents on the first "/tt>" or ":tt>"
-            # terminator (gstttmlbase.c:1059-1144 contract)
+            # split concatenated documents on the first CLOSING tt tag —
+            # </tt>, </ns:tt>, with optional whitespace before '>'
+            # (gstttmlbase.c:1059-1144 contract). A substring search for
+            # "tt>" is wrong for a bare <tt> root: its OPENING tag
+            # contains "tt>" at an index whose predecessor fails the
+            # '/'/':' check, and the first-match-only logic then never
+            # split the buffer at the real </tt> (the second concatenated
+            # document was fed to the same expat parser and silently
+            # dropped as junk-after-document-element)
             doc_ended = False
             rest = b""
-            idx = data.find(b"tt>")
-            if idx > 0 and data[idx - 1] in b"/:":
-                end = idx + 3
+            m = re.search(rb"</(?:[\w.-]+:)?tt\s*>", data)
+            if m:
+                end = m.end()
                 rest = data[end:]
                 data = data[:end]
                 doc_ended = True
@@ -235,6 +243,7 @@ class TTMLBase(Element):
         self._in_styling = False
         self._in_layout = False
         self._in_metadata = False
+        self._anon_region_seq = 0
         self.parse_state.reset()
         frame_w, frame_h = self.frame_dimensions()
         self.parse_state.frame_width = frame_w
@@ -387,7 +396,16 @@ class TTMLBase(Element):
         # style references first so node-local attrs override them
         def push(k: str, v: str) -> bool:
             kuri, klocal = self._split_name(k)
-            attr = parse_attribute(state, kuri, klocal, v)
+            try:
+                attr = parse_attribute(state, kuri, klocal, v)
+            except (ValueError, ZeroDivisionError, IndexError):
+                # a malformed numeric value ("29.97i", "50%", "30 0") is an
+                # ignorable attribute, not a stream error — the reference
+                # logs SAX-level junk and keeps parsing
+                # (gstttmlbase.c:783-807); matches parse_time_expression's
+                # None-on-garbage convention
+                CAT.warning("ignoring malformed attribute %s=%r", k, v)
+                return False
             if attr is not None:
                 state.push_attribute(attr)
                 return attr.type == AttrType.DUR
@@ -539,7 +557,14 @@ class TTMLBase(Element):
             pushed_zindex = True
         begin = state.begin if state.begin is not None else 0
         end = state.end if state.end is not None else _INF
-        rid = state.id or f"region-{len(self.active_regions)}"
+        # anonymous regions need DISTINCT ids per document: active_regions
+        # is the runtime dict (empty at parse time), so counting it gave
+        # every anonymous region "region-0" and the second's REGION_BEGIN
+        # clobbered the first's style at flush
+        rid = state.id
+        if not rid:
+            rid = f"region-anon{getattr(self, '_anon_region_seq', 0)}"
+            self._anon_region_seq = getattr(self, "_anon_region_seq", 0) + 1
         self.timeline.insert(region_begin(begin, rid, state.style.copy(True)))
         self.timeline.insert(region_end(end, rid))
         for ts, attr in state.style.collect_events():
@@ -655,5 +680,11 @@ class TTMLBase(Element):
                                            time=event.start)
             byte_seek = SeekEvent(0, None, format="bytes",
                                   flush=event.flush)
-            return self.sinkpad.push_event(byte_seek)
+            ok = self.sinkpad.push_event(byte_seek)
+            if ok and not event.flush:
+                # no FLUSH_STOP will arrive to adopt the pending window
+                # (cleanup only runs on flush) — adopt it now; the
+                # upstream restart re-parses from byte 0 either way
+                self._cleanup()
+            return ok
         return self.sinkpad.push_event(event)

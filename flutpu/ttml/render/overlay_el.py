@@ -75,6 +75,13 @@ class OverlayCompositor(Element):
         if pts is None:
             return None
         with self._lock:
+            # prune intervals that ended before this frame: video pts is
+            # monotone on this pad, and a long-running pipeline otherwise
+            # accumulates one full-frame RGBA array per subtitle interval
+            # forever (~8 MB each at 1080p) with a linear scan per frame
+            if self._overlays:
+                self._overlays = [o for o in self._overlays
+                                  if o[1] is None or pts < o[1]]
             for start, stop, ov in self._overlays:
                 if start <= pts and (stop is None or pts < stop):
                     return ov

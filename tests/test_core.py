@@ -60,6 +60,18 @@ class TestCaps:
         assert sub.is_subset(sup)
         assert not sup.is_subset(sub)
 
+    def test_parse_range_and_list_syntax(self):
+        """Commas inside [lo,hi] and {a,b} belong to the FIELD — a naive
+        split produced silently wrong caps (width='[16')."""
+        c = Caps.from_string("video/x-raw, width=[16,4096], "
+                             "format={RGB,BGRA}, height=32")
+        assert c["width"] == IntRange(16, 4096)
+        assert c["format"] == ValueList(("RGB", "BGRA"))
+        assert c["height"] == 32
+        fixed = Caps.from_string(
+            "video/x-raw, format=RGB, width=1920, height=32")
+        assert fixed.is_subset(c)
+
 
 class TestSegment:
     def test_clip_inside(self):
@@ -173,6 +185,79 @@ class TestQueue:
         q.sinkpad.send_event(EosEvent())
         assert got.wait(5)
         q.set_state(State.NULL)
+
+    def test_buffer_list_sees_downstream_error(self):
+        """A downstream flow error must reach buffer-LIST pushers the same
+        way it reaches per-buffer pushers (the loop thread records it in
+        _srcresult; _chain_list used to ignore it forever)."""
+        from flutpu.core import BufferList
+        q = make("queue")
+        q.set_state(State.PLAYING)
+        sink = Pad("sink", PadDirection.SINK)
+        sink.chain_list_function = lambda p, bl: FlowReturn.ERROR
+        sink.chain_function = lambda p, b: FlowReturn.ERROR
+        q.srcpad.link(sink)
+        q.sinkpad.chain_list(BufferList([Buffer(0)]))
+        deadline = time.monotonic() + 5
+        ret = FlowReturn.OK
+        while time.monotonic() < deadline:
+            ret = q.sinkpad.chain_list(BufferList([Buffer(1)]))
+            if ret != FlowReturn.OK:
+                break
+            time.sleep(0.01)
+        assert ret == FlowReturn.ERROR
+        q.set_state(State.NULL)
+
+
+class TestBus:
+    def test_pop_none_blocks_until_message(self):
+        """pop(timeout=None) waits (the timed_pop_filtered convention);
+        it used to alias None to get_nowait and return instantly."""
+        from flutpu.core.bus import Bus, Message, MessageType
+        bus = Bus()
+        t = threading.Timer(0.2, lambda: bus.post(
+            Message(MessageType.EOS, None)))
+        t.start()
+        t0 = time.monotonic()
+        msg = bus.pop(timeout=None)
+        assert msg is not None and msg.type == MessageType.EOS
+        assert time.monotonic() - t0 >= 0.15
+
+    def test_pop_zero_nonblocking(self):
+        from flutpu.core.bus import Bus
+        bus = Bus()
+        t0 = time.monotonic()
+        assert bus.pop(timeout=0) is None
+        assert time.monotonic() - t0 < 0.1
+
+
+class TestGhostPadRetarget:
+    def test_sink_ghost_replays_stickies_on_retarget(self):
+        """Retargeting a SINK ghost mid-stream hands the new target the
+        negotiation state (STREAM_START/CAPS/SEGMENT) the ghost has seen,
+        before any proxied buffer."""
+        from flutpu.core import (CapsEvent, GhostPad, Segment, SegmentEvent,
+                                 StreamStartEvent)
+        ghost = GhostPad("sink", PadDirection.SINK)
+        first = Pad("sink1", PadDirection.SINK)
+        seen1, seen2 = [], []
+        first.event_function = lambda p, e: (seen1.append(e.type), True)[1]
+        ghost.set_target(first)
+        ghost.send_event(StreamStartEvent("s"))
+        ghost.send_event(CapsEvent(Caps.from_string(
+            "video/x-raw, format=RGB, width=8, height=8")))
+        ghost.send_event(SegmentEvent(Segment()))
+        assert EventType.CAPS in seen1
+        second = Pad("sink2", PadDirection.SINK)
+        second.event_function = lambda p, e: (seen2.append(e.type), True)[1]
+        ghost.set_target(second)
+        assert {EventType.STREAM_START, EventType.CAPS,
+                EventType.SEGMENT} <= set(seen2)
+        got = []
+        second.chain_function = lambda p, b: (got.append(b),
+                                              FlowReturn.OK)[1]
+        ghost.chain(Buffer(b"x"))
+        assert len(got) == 1
 
 
 class TestParseLaunch:

@@ -299,3 +299,43 @@ class TestTTMLParseElement:
         h.teardown()
         assert any("Hello world" in t for t in texts)
         assert any("Second cue" in t for t in texts)
+
+    def test_concatenated_bare_root_documents(self):
+        """Two documents with BARE <tt> roots in one buffer: the opening
+        tag itself contains 'tt>', which defeated the old first-substring
+        doc split and silently dropped the second document."""
+        bare1 = ('<tt><body><div><p begin="0s" end="1s">alpha</p>'
+                 "</div></body></tt>")
+        bare2 = ('<tt><body><div><p begin="1s" end="2s">beta</p>'
+                 "</div></body></tt>")
+        h = Harness("ttmlparse")
+        h.set_src_caps("application/ttml+xml")
+        h.push(Buffer((bare1 + bare2).encode(), pts=0))
+        h.push_eos()
+        texts = []
+        while True:
+            b = h.try_pull(timeout=0.2)
+            if b is None:
+                break
+            texts.append(b.data.decode())
+        h.teardown()
+        assert any("alpha" in t for t in texts), texts
+        assert any("beta" in t for t in texts), texts
+
+    def test_malformed_numeric_attribute_ignored(self):
+        """A malformed numeric attribute (frameRate="29.97i",
+        tts:opacity="garbage") is skipped like SAX junk — it must not
+        error the stream (reference logs and keeps going,
+        gstttmlbase.c:783-807)."""
+        doc = """<?xml version="1.0" encoding="utf-8"?>
+<tt xmlns="http://www.w3.org/ns/ttml"
+    xmlns:tts="http://www.w3.org/ns/ttml#styling"
+    xmlns:ttp="http://www.w3.org/ns/ttml#parameter"
+    ttp:frameRate="29.97i">
+  <body><div>
+    <p begin="0s" end="2s" tts:opacity="garbage">Still here</p>
+  </div></body>
+</tt>
+"""
+        out = run_ttmlparse(doc)
+        assert any("Still here" in t for _, _, t in out), out

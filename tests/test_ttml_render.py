@@ -235,6 +235,50 @@ class TestOverlayCompositor:
         assert (a2 == 0).all()                # no overlay after the cue
 
 
+class TestAnonymousRegions:
+    def test_two_anonymous_regions_render_distinctly(self):
+        """Two <region> elements WITHOUT xml:id must get distinct
+        internal ids — counting the (empty-at-parse-time) runtime dict
+        gave both 'region-0', so the second's style clobbered the first
+        and one background vanished."""
+        doc = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml"
+    xmlns:tts="http://www.w3.org/ns/ttml#styling">
+  <head><layout>
+    <region tts:origin="0% 0%" tts:extent="50% 25%"
+            tts:backgroundColor="blue" tts:showBackground="always"/>
+    <region tts:origin="50% 75%" tts:extent="50% 25%"
+            tts:backgroundColor="red" tts:showBackground="always"/>
+  </layout></head>
+  <body><div><p begin="0s" end="2s">x</p></div></body>
+</tt>
+"""
+        _, _, img = render_first_frame(doc)[0]
+        tl = img[10, 10]       # blue background, BGRA
+        br = img[230, 310]     # red background
+        assert tl[3] > 0 and tl[0] > 100 and tl[2] < 80, tl
+        assert br[3] > 0 and br[2] > 100 and br[0] < 80, br
+
+
+class TestOverlayPruning:
+    def test_expired_overlays_are_pruned(self):
+        """Expired subtitle intervals must not accumulate (one full-frame
+        RGBA array per interval, held forever in a long-running
+        pipeline)."""
+        from flutpu.core import Buffer, SECOND, make
+        comp = make("overlaycompositor")
+        ov = np.zeros((8, 8, 4), np.uint8)
+        for i in range(10):
+            comp._overlay_chain(comp.overlay_pad, Buffer(
+                ov, pts=i * SECOND, duration=SECOND))
+        assert len(comp._overlays) == 10
+        got = comp._active_overlay(9 * SECOND + SECOND // 2)
+        assert got is not None
+        assert len(comp._overlays) == 1  # nine expired intervals dropped
+        assert comp._active_overlay(100 * SECOND) is None
+        assert len(comp._overlays) == 0
+
+
 class TestRegionStyleInheritance:
     def test_region_color_applies_to_spans(self):
         """Content flowed into a region inherits the region's styling

@@ -57,6 +57,31 @@ def test_time_seek_restarts_and_clips(tmp_path):
     p.stop()
 
 
+def test_non_flushing_seek_applies_window(tmp_path):
+    """flush=False seek: no FLUSH_STOP arrives, so the pending window is
+    adopted at seek time (it used to stay pending forever and the seek
+    silently never took effect)."""
+    path = tmp_path / "cues.ttml"
+    path.write_text(DOC)
+    p = parse_launch(f"filesrc location={path} ! ttmlparse name=t "
+                     "! appsink name=out")
+    t = p.get_by_name("t")
+    sink = p.get_by_name("out")
+    assert p.play().name == "SUCCESS"
+    first = pull_all(sink)
+    assert any("cue0" in bytes(b.data).decode() for b in first)
+
+    assert t.srcpad.send_event(SeekEvent(4 * SECOND, flush=False))
+    second = pull_all(sink)
+    data_cues = [(b.pts, bytes(b.data).decode()) for b in second
+                 if bytes(b.data).decode().strip()]
+    assert data_cues, "no output after non-flushing seek"
+    assert all(pts >= 4 * SECOND for pts, _ in data_cues), data_cues
+    assert any("cue2" in s for _, s in data_cues)
+    assert not any("cue0" in s or "cue1" in s for _, s in data_cues)
+    p.stop()
+
+
 class TestTypefind:
     def test_positive(self):
         assert type_find(DOC.encode())
