@@ -91,6 +91,12 @@ class AviMux(Element):
         if event.type == EventType.CAPS:
             self._caps = event.caps
             return True
+        if event.type == EventType.FLUSH_STOP:
+            # discard the flushed segment's frames — they must not be
+            # muxed into the post-flush file
+            self._frames = []
+            self._first_pts = None
+            return self.srcpad.push_event(event)
         if event.type == EventType.EOS:
             caps = self._caps or Caps.new("image/jpeg")
             fps = caps.get("framerate") or Fraction(30, 1)
@@ -101,22 +107,37 @@ class AviMux(Element):
             self.srcpad.push_event(CapsEvent(Caps.new("video/x-msvideo")))
             self.srcpad.push(Buffer(data, pts=self._first_pts or 0))
             self._frames = []
+            self._first_pts = None
             return self.srcpad.push_event(event)
         return self.srcpad.push_event(event)
 
 
+def _dc_stream_no(fourcc: bytes) -> Optional[int]:
+    """Stream number of an ##dc data chunk, or None if not one."""
+    if fourcc[2:4] != b"dc" or not fourcc[:2].isdigit():
+        return None
+    return int(fourcc[:2])
+
+
 def parse_avi(data: bytes):
-    """Minimal RIFF/AVI reader: returns (frames, width, height, fps) for the
-    first MJPG video stream. Walks LIST/chunk structure; tolerates missing
-    idx1 (frames come from the movi list in order)."""
+    """Minimal RIFF/AVI reader: returns a dict with ``frames`` (the
+    first VIDEO stream's data chunks, in movi order), ``width``,
+    ``height`` and ``fps``, or None for non-AVI data. Tolerates missing
+    idx1. Stream-aware: strh/strf pairs are associated in order, so an
+    audio-first AVI doesn't poison width/height and a second stream's
+    ##dc chunks aren't interleaved into the video frames."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         return None
     width = height = 0
     rate, scale = 30, 1
     frames: List[bytes] = []
+    strh_seen = 0
+    last_strh_vids = False
+    vids_stream: Optional[int] = None
 
     def walk(buf: bytes, pos: int, end: int):
         nonlocal width, height, rate, scale
+        nonlocal strh_seen, last_strh_vids, vids_stream
         end = min(end, len(buf))  # declared sizes are untrusted: a RIFF
         #                           header claiming more bytes than exist
         #                           must not walk past the buffer
@@ -129,16 +150,22 @@ def parse_avi(data: bytes):
             if fourcc == b"LIST":
                 walk(buf, body_start + 4, body_end)
             elif fourcc == b"strh" and avail >= 40:
-                typ, handler = buf[body_start:body_start + 4], \
-                    buf[body_start + 4:body_start + 8]
-                if typ == b"vids":
+                typ = buf[body_start:body_start + 4]
+                last_strh_vids = typ == b"vids"
+                if last_strh_vids and vids_stream is None:
+                    vids_stream = strh_seen
                     scale, rate = struct.unpack(
                         "<II", buf[body_start + 20:body_start + 28])
-            elif fourcc == b"strf" and avail >= 16 and not width:
+                strh_seen += 1
+            elif fourcc == b"strf" and avail >= 16 and last_strh_vids \
+                    and not width:
                 width, height = struct.unpack(
                     "<ii", buf[body_start + 4:body_start + 12])
-            elif fourcc[2:4] == b"dc":
-                frames.append(buf[body_start:body_end])
+            else:
+                sno = _dc_stream_no(fourcc)
+                if sno is not None and (vids_stream is None
+                                        or sno == vids_stream):
+                    frames.append(buf[body_start:body_end])
             pos = body_end + (size & 1)
 
     walk(data, 12, 8 + struct.unpack("<I", data[4:8])[0])
@@ -164,6 +191,9 @@ class AviDemux(Element):
         self.srcpad = self.add_pad(Pad("src", PadDirection.SRC, self))
         self.sinkpad.chain_function = self._chain
         self.sinkpad.event_function = self._sink_event
+        self._reset()
+
+    def _reset(self) -> None:
         self._buf = bytearray()
         self._pos = 0            # parse offset into _buf
         self._started = False    # RIFF header consumed
@@ -172,6 +202,9 @@ class AviDemux(Element):
         self._caps_sent = False
         self._frame_idx = 0
         self._bad = False
+        self._strh_seen = 0              # stream association (strh order)
+        self._last_strh_vids = False
+        self._vids_stream: Optional[int] = None
 
     def _emit_caps(self) -> None:
         if self._caps_sent:
@@ -207,10 +240,15 @@ class AviDemux(Element):
                 return
             fourcc = bytes(buf[self._pos:self._pos + 4])
             size = struct.unpack("<I", buf[self._pos + 4:self._pos + 8])[0]
-            # corrupt-stream guards: a fourcc must be printable ASCII and a
-            # declared size plausible — otherwise _parse would wait forever
-            # for bytes that never come while _buf grows unboundedly
-            if size > (1 << 28) or not all(0x20 <= c < 0x7F for c in fourcc):
+            # corrupt-stream guards: a fourcc must be printable ASCII and
+            # a declared size plausible — otherwise _parse would wait
+            # forever for bytes that never come while _buf grows
+            # unboundedly. LISTs are EXEMPT from the size bound: they are
+            # descended into immediately (never buffered whole), and a
+            # long recording's movi LIST legitimately exceeds any bound
+            # (256 MB ≈ 90 s of 1080p30 MJPEG)
+            if (size > (1 << 28) and fourcc != b"LIST") or \
+                    not all(0x20 <= c < 0x7F for c in fourcc):
                 self._bad = True
                 return
             body = self._pos + 8
@@ -226,24 +264,32 @@ class AviDemux(Element):
                 if len(buf) < end:
                     return
                 payload = bytes(buf[body:body + size])
-                if fourcc == b"strh" and size >= 28 and \
-                        payload[:4] == b"vids":
-                    scale, rate = struct.unpack("<II", payload[20:28])
-                    self._hdr["fps"] = Fraction(rate or 30, scale or 1)
+                if fourcc == b"strh" and size >= 4:
+                    # associate the following strf with THIS stream: an
+                    # audio-first AVI must not poison width/height
+                    self._last_strh_vids = payload[:4] == b"vids"
+                    if self._last_strh_vids and size >= 28 and \
+                            self._vids_stream is None:
+                        self._vids_stream = self._strh_seen
+                        scale, rate = struct.unpack("<II", payload[20:28])
+                        self._hdr["fps"] = Fraction(rate or 30, scale or 1)
+                    self._strh_seen += 1
                 elif fourcc == b"strf" and size >= 12 and \
-                        not self._hdr["width"]:
+                        self._last_strh_vids and not self._hdr["width"]:
                     w, h = struct.unpack("<ii", payload[4:12])
                     self._hdr["width"], self._hdr["height"] = w, abs(h)
-            elif fourcc[2:4] == b"dc":
+            elif _dc_stream_no(fourcc) is not None:
                 if len(buf) < end:
                     return  # frame not fully buffered yet
-                self._emit_caps()
-                dur = self._frame_dur()
-                self.srcpad.push(Buffer(bytes(buf[body:body + size]),
-                                        pts=self._frame_idx * dur,
-                                        duration=dur,
-                                        offset=self._frame_idx))
-                self._frame_idx += 1
+                sno = _dc_stream_no(fourcc)
+                if self._vids_stream is None or sno == self._vids_stream:
+                    self._emit_caps()
+                    dur = self._frame_dur()
+                    self.srcpad.push(Buffer(bytes(buf[body:body + size]),
+                                            pts=self._frame_idx * dur,
+                                            duration=dur,
+                                            offset=self._frame_idx))
+                    self._frame_idx += 1
             elif len(buf) < end:
                 return  # skipped chunk (avih, idx1, ...) still arriving
             self._pos = end
@@ -264,12 +310,10 @@ class AviDemux(Element):
             self._parse()
             return self.srcpad.push_event(event)
         if event.type == EventType.FLUSH_STOP:
-            self._buf = bytearray()
-            self._pos = 0
-            self._started = False
-            self._stack = []
-            self._frame_idx = 0
-            self._bad = False
+            # full reset INCLUDING header/caps state: a post-flush stream
+            # may be a different file (new geometry/fps) and must
+            # renegotiate rather than keep the previous stream's caps
+            self._reset()
             return self.srcpad.push_event(event)
         if event.type == EventType.CAPS:
             return True

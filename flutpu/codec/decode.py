@@ -71,8 +71,8 @@ def coefs_to_rgb(yq: jax.Array, cbq: jax.Array, crq: jax.Array,
                  subsample: bool = True) -> jax.Array:
     """Quantized zigzag coefficient planes → (h, w, 3) uint8 RGB (device)."""
     def plane(q, qtab):
-        blocks = zigzag_unflatten(q.astype(jnp.float32))
         if jax.default_backend() == "cpu":
+            blocks = zigzag_unflatten(q.astype(jnp.float32))
             return plane_idct(dequantize(blocks, qtab)) + 128.0
         # planar idct: full-tile MXU matmuls (see dct.plane_dct_planar)
         from .ops.dct import plane_idct_planar, unblockize

@@ -909,14 +909,43 @@ def compact_aligned_segments(seg_bits: np.ndarray, words: np.ndarray):
     return out[:(total_bits + 31) // 32], total_bits
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("layout", "out_words", "use_pallas",
-                                    "interpret", "fused", "concat"))
+def _resolve_pack_variant(fused, concat):
+    """Resolve the A/B env overrides BEFORE the jit boundary. Reading
+    os.environ inside a traced body bakes the first trace's value into
+    the (fused=None, concat=None) cache entry — an in-process env sweep
+    would silently measure the same program in both arms."""
+    import os
+    from ...core.env import env_flag
+    if fused is None:
+        fused = not env_flag("FLUTPU_NO_FUSED_PACK", False)
+    if concat is None:
+        # v3 (scatter formulation) measured 87.6 vs 104.4 ms/GOP for the
+        # full 1080p program on the v5e (benches/tpu_sweep.py round 3);
+        # v4/v5 hybrids measured slower — TPU scatters price well here
+        concat = os.environ.get("FLUTPU_CONCAT", "v3")
+    return fused, concat
+
+
 def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
                      layout: McuLayout, out_words: int,
                      use_pallas: bool = False, interpret: bool = False,
                      fused: Optional[bool] = None,
                      concat: Optional[str] = None):
+    """Env-resolving entry for :func:`_encode_gop_scans` (see its doc)."""
+    fused, concat = _resolve_pack_variant(fused, concat)
+    return _encode_gop_scans(yq, cbq, crq, layout=layout,
+                             out_words=out_words, use_pallas=use_pallas,
+                             interpret=interpret, fused=fused,
+                             concat=concat)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "out_words", "use_pallas",
+                                    "interpret", "fused", "concat"))
+def _encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
+                      layout: McuLayout, out_words: int,
+                      use_pallas: bool = False, interpret: bool = False,
+                      fused: bool = True, concat: str = "v3"):
     """(F, BH, BW, 64) int16 coefficient planes → packed scan bits.
 
     Returns (packed (F, out_words) uint32, bits (F,) int32). With
@@ -929,14 +958,6 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
     b = mcu.shape[1]
     flat = mcu.reshape(f * b, 64)
     comp_flat = jnp.tile(comp, f)
-    import os
-    if fused is None:
-        fused = not os.environ.get("FLUTPU_NO_FUSED_PACK")
-    if concat is None:
-        # v3 (scatter formulation) measured 87.6 vs 104.4 ms/GOP for the
-        # full 1080p program on the v5e (benches/tpu_sweep.py round 3);
-        # v4/v5 hybrids measured slower — TPU scatters price well here
-        concat = os.environ.get("FLUTPU_CONCAT", "v3")
     if use_pallas and fused:
         # round 3: slot construction fused INTO the pack kernel — the XLA
         # slot stage materialized hundreds of (B, 63) intermediates in HBM
@@ -975,14 +996,26 @@ def encode_gop_scans(yq: jnp.ndarray, cbq: jnp.ndarray, crq: jnp.ndarray,
         buf, nbits)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("layout", "prefix_words", "use_pallas",
-                                    "interpret", "fused", "concat"))
 def encode_gop_scans_combined(yq, cbq, crq, layout: McuLayout,
                               prefix_words: int, use_pallas: bool = False,
                               interpret: bool = False,
                               fused: Optional[bool] = None,
                               concat: Optional[str] = None):
+    """Env-resolving entry for :func:`_encode_gop_scans_combined`."""
+    fused, concat = _resolve_pack_variant(fused, concat)
+    return _encode_gop_scans_combined(
+        yq, cbq, crq, layout=layout, prefix_words=prefix_words,
+        use_pallas=use_pallas, interpret=interpret, fused=fused,
+        concat=concat)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "prefix_words", "use_pallas",
+                                    "interpret", "fused", "concat"))
+def _encode_gop_scans_combined(yq, cbq, crq, layout: McuLayout,
+                               prefix_words: int, use_pallas: bool = False,
+                               interpret: bool = False,
+                               fused: bool = True, concat: str = "v3"):
     """Single-fetch variant for high-latency host links: returns
     combined (F, 1+prefix_words) uint32 where combined[f, 0] is the frame's
     bit count and combined[f, 1:] the packed scan words. The concat stage
@@ -990,11 +1023,11 @@ def encode_gop_scans_combined(yq, cbq, crq, layout: McuLayout,
     worst-case cap — gathering the full cap costs 12x more); a frame whose
     bit count exceeds the prefix falls back to the caller's cap-ladder
     path."""
-    packed, bits = encode_gop_scans(yq, cbq, crq, layout=layout,
-                                    out_words=prefix_words,
-                                    use_pallas=use_pallas,
-                                    interpret=interpret, fused=fused,
-                                    concat=concat)
+    packed, bits = _encode_gop_scans(yq, cbq, crq, layout=layout,
+                                     out_words=prefix_words,
+                                     use_pallas=use_pallas,
+                                     interpret=interpret, fused=fused,
+                                     concat=concat)
     return jnp.concatenate(
         [bits.astype(jnp.uint32)[:, None], packed], axis=1)
 

@@ -242,3 +242,159 @@ def test_demux_arbitrary_input_fragmentation():
             frames.append(bytes(b.data))
         h.teardown()
         assert frames == payloads, chunk
+
+
+def _chunk(fourcc, payload):
+    import struct
+    pad = b"\x00" if len(payload) & 1 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def test_avidemux_huge_movi_list_size_ok():
+    """A movi LIST declaring > 256 MB is legal (long recordings); the
+    corrupt-size guard applies only to chunks the parser must buffer
+    whole. The old guard marked the whole stream bad at the LIST header
+    and silently emitted zero frames."""
+    import struct
+    from flutpu.core import Buffer, Harness
+
+    jpg = b"\xff\xd8\xff\xe0" + b"j" * 40 + b"\xff\xd9"
+    movi_body = b"movi" + _chunk(b"00dc", jpg) + _chunk(b"00dc", jpg)
+    huge = (1 << 28) + 64   # declared size far beyond the buffered bytes
+    movi = b"LIST" + struct.pack("<I", huge) + movi_body
+    riff_body = b"AVI " + movi
+    data = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+    h = Harness("avidemux")
+    h.set_src_caps("video/x-msvideo")
+    h.push(Buffer(data, pts=0))
+    got = []
+    while True:
+        b = h.try_pull(timeout=0.2)
+        if b is None:
+            break
+        got.append(bytes(b.data))
+    h.teardown()
+    assert got == [jpg, jpg]
+
+
+def test_avidemux_audio_first_stream_association():
+    """An AVI whose FIRST strl is audio (legal ordering): the audio strf
+    must not poison width/height, and only the VIDEO stream's ##dc
+    chunks become frames."""
+    import struct
+    from flutpu.codec.avimux import parse_avi
+    from flutpu.core import Buffer, Harness
+
+    def _list(kind, payload):
+        body = kind + payload
+        pad = b"\x00" if len(body) & 1 else b""
+        return b"LIST" + struct.pack("<I", len(body)) + body + pad
+
+    auds_strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00" * 4,
+                            0, 0, 0, 0, 1, 44100, 0, 0, 0, 0xFFFFFFFF,
+                            0, 0, 0, 0, 0)
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 44100, 176400, 2, 16)
+    vids_strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG",
+                            0, 0, 0, 0, 1, 30, 0, 2, 0, 0xFFFFFFFF,
+                            0, 0, 0, 64, 48)
+    vids_strf = struct.pack("<IiiHH4sIiiII", 40, 64, 48, 1, 24, b"MJPG",
+                            64 * 48 * 3, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl",
+                 _list(b"strl", _chunk(b"strh", auds_strh)
+                       + _chunk(b"strf", auds_strf))
+                 + _list(b"strl", _chunk(b"strh", vids_strh)
+                         + _chunk(b"strf", vids_strf)))
+    jpg = b"\xff\xd8\xff\xe0" + b"v" * 30 + b"\xff\xd9"
+    movi = _list(b"movi", _chunk(b"00wb", b"a" * 50)       # audio data
+                 + _chunk(b"01dc", jpg) + _chunk(b"01dc", jpg))
+    riff_body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+    parsed = parse_avi(data)
+    assert parsed["width"] == 64 and parsed["height"] == 48
+    assert parsed["frames"] == [jpg, jpg]
+
+    h = Harness("avidemux")
+    h.set_src_caps("video/x-msvideo")
+    h.push(Buffer(data, pts=0))
+    got, caps = [], []
+    while True:
+        b = h.try_pull(timeout=0.2)
+        if b is None:
+            break
+        got.append(bytes(b.data))
+    sink_caps = h.sinkpad.caps
+    h.teardown()
+    assert got == [jpg, jpg]
+    assert sink_caps is not None
+    assert sink_caps.get("width") == 64
+    assert sink_caps.get("height") == 48
+
+
+def test_avimux_flush_discards_buffered_frames():
+    """Frames buffered before FLUSH_STOP must not appear in the
+    post-flush file."""
+    from flutpu.codec.avimux import parse_avi
+    from flutpu.core import Buffer, Harness
+    from flutpu.core.events import FlushStartEvent, FlushStopEvent
+
+    h = Harness("avimux")
+    h.set_src_caps("image/jpeg, width=64, height=48, framerate=30/1")
+    old = b"\xff\xd8OLD\xff\xd9"
+    new = b"\xff\xd8NEW\xff\xd9"
+    h.push(Buffer(old, pts=0))
+    h.push_event(FlushStartEvent())
+    h.push_event(FlushStopEvent())
+    h.push(Buffer(new, pts=0))
+    h.push_eos()
+    avi = bytes(h.pull(timeout=10).data)
+    h.teardown()
+    parsed = parse_avi(avi)
+    assert parsed["frames"] == [new]
+
+
+def test_avidemux_flush_renegotiates_next_stream():
+    """After FLUSH_STOP a NEW file with different geometry must
+    renegotiate caps (header/caps state used to survive the flush)."""
+    import numpy as np
+    from flutpu.core import Buffer, Harness, MSECOND
+    from flutpu.core.elements import make_test_frame
+    from flutpu.core.events import FlushStartEvent, FlushStopEvent
+
+    def encode(w, hgt):
+        e = Harness(f"tpujpegenc quality=90 batch-frames=2 ! avimux")
+        e.set_src_caps(f"video/x-raw, format=RGB, width={w}, "
+                       f"height={hgt}, framerate=30/1")
+        for i in range(2):
+            e.push(Buffer(make_test_frame("gradient", w, hgt, i),
+                          pts=i * MSECOND, duration=MSECOND, offset=i))
+        e.push_eos()
+        out = bytes(e.pull(timeout=30).data)
+        e.teardown()
+        return out
+
+    avi_a = encode(64, 48)
+    avi_b = encode(96, 64)
+    d = Harness("avidemux ! jpegdec")
+    d.set_src_caps("video/x-msvideo")
+    d.push(Buffer(avi_a, pts=0))
+    got_a = []
+    while True:
+        b = d.try_pull(timeout=0.3)
+        if b is None:
+            break
+        got_a.append(np.asarray(b.data))
+    d.push_event(FlushStartEvent())
+    d.push_event(FlushStopEvent())
+    d.push(Buffer(avi_b, pts=0))
+    got_b = []
+    while True:
+        b = d.try_pull(timeout=0.3)
+        if b is None:
+            break
+        got_b.append(np.asarray(b.data))
+    d.teardown()
+    assert len(got_a) == 2 and got_a[0].shape == (48, 64, 3)
+    assert len(got_b) == 2 and got_b[0].shape == (64, 96, 3), \
+        [g.shape for g in got_b]
