@@ -150,8 +150,12 @@ class FvcDec(Element):
             return None, data
         if data[:4] != MAGIC:
             raise ValueError("bad FVC chunk boundary")
-        ver, _, _, _, _, f = _s.unpack(">BBHHBB", data[4:12])
+        ver, cflags, _, _, _, f = _s.unpack(">BBHHBB", data[4:12])
         end = 13 if ver >= 2 else 12
+        if cflags & 16:
+            end += 4  # explicit coded-size extension (striped encodes)
+        if cflags & 32:
+            end += 1  # B-frame bquality extension
         hdr = 7 if ver >= 2 else 5
         for _i in range(f):
             if len(data) - end < hdr:

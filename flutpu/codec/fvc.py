@@ -42,6 +42,18 @@ motion-compensated previous reconstruction (hybrid loop with in-loop
 recon — see fvc_mc_encode_chunk). Frame types are decided per frame in
 the encode scan (intra wins when flat prediction beats motion — the
 in-codec scene-cut detector); any frame may be I, not just chunk starts.
+
+flags bit5 = the chunk may contain B frames (frame_type 2): bidirectional
+NON-REFERENCE frames predicted per 16x16 macroblock from the surrounding
+reconstructed anchor frames (the nearest earlier and later I/P frame in
+the chunk). A B frame's motion block decompresses to
+mbh*mbw*2 forward int8 vectors | mbh*mbw*2 backward int8 vectors |
+mbh*mbw uint8 modes (0=bidirectional average, 1=forward, 2=backward,
+3=flat-128 intra). Frames stay in DISPLAY order in the container — the
+whole chunk decodes at once (anchor scan, then every B frame in one
+parallel pass), so no reorder machinery exists on either side. B frames
+never enter the in-loop reconstruction chain (see fvc_mc_encode_chunk_b).
+B frames do not combine with subpel (flags bit2 with bit5 is invalid).
 """
 
 from __future__ import annotations
@@ -280,6 +292,323 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     return ry, rcb, rcr, mvs, itypes
 
 
+# ---------------------------------------------------------------------------
+# B-frames (v2 header flags bit 5) — bidirectional prediction.
+#
+# GOP structure with ``bframes=b``: anchors (I/P) every b+1 frames plus the
+# last frame; the frames between two anchors are B frames predicted from
+# BOTH surrounding reconstructed anchors. B frames are NON-REFERENCE (no
+# frame chains off them), which is exactly what makes them TPU-shaped:
+# the anchor chain stays a lax.scan, and every B frame then encodes in an
+# embarrassingly parallel pass against the already-reconstructed anchor
+# pair — no sequential dependency, no in-loop reconstruction, no extra
+# HBM-resident carry. Per 16x16 macroblock the encoder picks one of four
+# prediction modes (0=bidirectional average, 1=forward, 2=backward,
+# 3=flat-128 intra) by residual SAD; the mode plane and both vector
+# fields travel in the bitstream, so the decode is pure selection — the
+# encoder-side tie-breaking never has to be reproduced. The reference
+# delegates encoding to x264 (which owns B-frames there); this is the
+# framework-native equivalent for the FVC codec.
+# ---------------------------------------------------------------------------
+
+def _bframe_structure(f: int, bframes: int):
+    """Static anchor/B index maps for an ``f``-frame chunk.
+
+    Returns (anchor_idx, b_idx, prev_map, next_map): display indices of
+    anchors and B frames, and for each B frame the position IN THE ANCHOR
+    ARRAY of its previous/next reference."""
+    s = bframes + 1
+    anchor_idx = list(range(0, f, s))
+    if anchor_idx[-1] != f - 1:
+        anchor_idx.append(f - 1)
+    aset = set(anchor_idx)
+    b_idx = [i for i in range(f) if i not in aset]
+    prev_map, next_map = [], []
+    for j in b_idx:
+        k = max(p for p, a in enumerate(anchor_idx) if a < j)
+        prev_map.append(k)
+        next_map.append(k + 1)
+    return anchor_idx, b_idx, prev_map, next_map
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "pad_h", "pad_w", "search_range", "bframes", "hier", "planar"))
+def fvc_mc_encode_chunk_b(frames, qy, qc, pad_h: int, pad_w: int,
+                          search_range: int = 7, bframes: int = 1,
+                          hier: bool = False,
+                          planar: Optional[bool] = None,
+                          qy_b=None, qc_b=None):
+    """Bidirectional chunk encode (FVC v2 + flags bit 5).
+
+    Anchor frames (every ``bframes+1``, plus the last frame) run the same
+    hybrid scan as fvc_mc_encode_chunk; the in-between B frames encode in
+    one parallel pass against their reconstructed anchor pair.
+
+    ``qy_b``/``qc_b``: quant tables for the B residuals (default = the
+    anchor tables). B frames are non-reference, so coarser B quantization
+    never propagates — the classic rate-allocation lever that makes B
+    frames pay (the encoder sets them from ``bquality``, which travels
+    in the header).
+
+    Returns, all in DISPLAY order:
+      ry/rcb/rcr  (F, BH, BW, 64) int16 zigzag residual coefficients
+      fwd         (F, mbh, mbw, 2) int8 forward vectors (anchor P vectors
+                  live here; zeroed where a B macroblock doesn't use them)
+      bwd         (F, mbh, mbw, 2) int8 backward vectors (B frames only)
+      modes       (F, mbh, mbw) int8 per-macroblock B prediction mode
+                  (0=bi 1=fwd 2=bwd 3=flat; zero for anchors)
+      ftypes      (F,) int8 — 0=P anchor, 1=I anchor, 2=B
+    """
+    from .ops.colorspace import planes_to_i420, rgb_to_i420
+    from .ops.dct import blockize, plane_dct_planar, plane_idct_planar
+    from .ops.quant import (dequantize_planar, quantize_planar,
+                            zigzag_flatten)
+    from .ops.motion import (_mb_sums, motion_compensate, motion_search,
+                             motion_search_hier)
+
+    if isinstance(frames, (tuple, list)):
+        rp, gp, bp = frames
+        f, h, w = rp.shape
+
+        def padp(p):
+            p = p.astype(jnp.float32)
+            if pad_h != h or pad_w != w:
+                p = jnp.pad(p, ((0, 0), (0, pad_h - h), (0, pad_w - w)),
+                            mode="edge")
+            return p
+
+        y, cb, cr = planes_to_i420(padp(rp), padp(gp), padp(bp))
+    else:
+        f, h, w, _ = frames.shape
+        x = frames.astype(jnp.float32)
+        if pad_h != h or pad_w != w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h - h), (0, pad_w - w), (0, 0)),
+                        mode="edge")
+        y, cb, cr = rgb_to_i420(x)
+
+    use_planar = (jax.default_backend() != "cpu") if planar is None \
+        else bool(planar)
+    if qy_b is None:
+        qy_b = qy
+    if qc_b is None:
+        qc_b = qc
+
+    def code_plane(resid, qtab):
+        # identical expressions to fvc_mc_encode_chunk.code_plane — the
+        # formulation is codec state (header flags bit 3)
+        if not use_planar:
+            from .ops.dct import plane_dct, plane_idct
+            from .ops.quant import dequantize, quantize
+            coefs = jnp.clip(quantize(plane_dct(resid), qtab),
+                             -_CLAMP, _CLAMP)
+            rec_resid = plane_idct(dequantize(coefs, qtab))
+            return zigzag_flatten(coefs).astype(jnp.int16), rec_resid
+        cp = jnp.clip(quantize_planar(plane_dct_planar(resid), qtab),
+                      -_CLAMP, _CLAMP)
+        rec_resid = plane_idct_planar(dequantize_planar(cp, qtab))
+        return (zigzag_flatten(blockize(cp)).astype(jnp.int16), rec_resid)
+
+    import os
+    use_kernel = (jax.default_backend() != "cpu"
+                  and not os.environ.get("FLUTPU_NO_MOTION_KERNEL"))
+    if use_kernel:
+        from .ops.motion_pallas import (chroma_mc_fits, chroma_mc_pallas,
+                                        motion_search_mc_hier_pallas,
+                                        motion_search_mc_pallas)
+        from ..core.env import env_flag
+        chroma_kernel_ok = (not env_flag("FLUTPU_NO_CHROMA_KERNEL", False)
+                            and chroma_mc_fits(pad_h // 2, pad_w // 2))
+
+        def search_mc(cy, ref):
+            k = motion_search_mc_hier_pallas if hier \
+                else motion_search_mc_pallas
+            return k(cy, ref, search_range=search_range)
+
+        if chroma_kernel_ok:
+            def mc_chroma(pcb, pcr, mv):
+                return chroma_mc_pallas(pcb, pcr, mv,
+                                        search_range=search_range)
+        else:
+            def mc_chroma(pcb, pcr, mv):
+                return (motion_compensate(pcb, mv,
+                                          search_range=search_range, mb=8),
+                        motion_compensate(pcr, mv,
+                                          search_range=search_range, mb=8))
+    else:
+        def search_mc(cy, ref):
+            search = motion_search_hier if hier else motion_search
+            mv = search(cy, ref, search_range=search_range)
+            return mv, motion_compensate(ref, mv,
+                                         search_range=search_range)
+
+        def mc_chroma(pcb, pcr, mv):
+            return (motion_compensate(pcb, mv,
+                                      search_range=search_range, mb=8),
+                    motion_compensate(pcr, mv,
+                                      search_range=search_range, mb=8))
+
+    anchor_idx, b_idx, prev_map, next_map = _bframe_structure(f, bframes)
+    a_arr = jnp.asarray(anchor_idx)
+    ay, acb, acr = y[a_arr], cb[a_arr], cr[a_arr]
+
+    # -- anchor chain: the v2 hybrid scan, additionally emitting the
+    # reconstructed planes the B pass references ------------------------
+    def astep(carry, xs):
+        rec_y, rec_cb, rec_cr, idx = carry
+        cy, ccb, ccr = xs
+        mv, pred_p_y = search_mc(cy, rec_y)
+        sad_p = jnp.abs(cy - pred_p_y).sum()
+        sad_i = jnp.abs(cy - 128.0).sum()
+        is_i = (idx == 0) | (sad_i < sad_p)
+        mv = jnp.where(is_i, jnp.zeros_like(mv), mv)
+        pred_y = jnp.where(is_i, 128.0, pred_p_y)
+        pcb, pcr = mc_chroma(rec_cb, rec_cr, mv)
+        pred_cb = jnp.where(is_i, 128.0, pcb)
+        pred_cr = jnp.where(is_i, 128.0, pcr)
+        oy, ry_rec = code_plane(cy - pred_y, qy)
+        ocb, rcb_rec = code_plane(ccb - pred_cb, qc)
+        ocr, rcr_rec = code_plane(ccr - pred_cr, qc)
+        rec_y = jnp.clip(pred_y + ry_rec, 0.0, 255.0)
+        rec_cb = jnp.clip(pred_cb + rcb_rec, 0.0, 255.0)
+        rec_cr = jnp.clip(pred_cr + rcr_rec, 0.0, 255.0)
+        return ((rec_y, rec_cb, rec_cr, idx + 1),
+                (oy, ocb, ocr, mv.astype(jnp.int8), is_i.astype(jnp.int8),
+                 rec_y, rec_cb, rec_cr))
+
+    init = (ay[0] * 0.0, acb[0] * 0.0, acr[0] * 0.0, jnp.int32(0))
+    _, (aoy, aocb, aocr, amv, ais_i, rec_ys, rec_cbs, rec_crs) = \
+        jax.lax.scan(astep, init, (ay, acb, acr))
+
+    mbh, mbw = pad_h // 16, pad_w // 16
+    zero_mv = jnp.zeros((len(anchor_idx), mbh, mbw, 2), jnp.int8)
+    zero_mode = jnp.zeros((len(anchor_idx), mbh, mbw), jnp.int8)
+
+    if b_idx:
+        # -- B pass: every B frame against its reconstructed anchor pair,
+        # batched over the frame axis (lax.map — each step reuses the
+        # single-frame search kernels) -----------------------------------
+        p_arr = jnp.asarray(prev_map)
+        n_arr = jnp.asarray(next_map)
+        b_arr = jnp.asarray(b_idx)
+
+        def bstep(xs):
+            cy, ccb, ccr, py, pcb_r, pcr_r, ny, ncb_r, ncr_r = xs
+            fwd, pred_f = search_mc(cy, py)
+            bwd, pred_b = search_mc(cy, ny)
+            pred_bi = (pred_f + pred_b) * 0.5
+            costs = jnp.stack([
+                _mb_sums(jnp.abs(cy - pred_bi), 16),
+                _mb_sums(jnp.abs(cy - pred_f), 16),
+                _mb_sums(jnp.abs(cy - pred_b), 16),
+                _mb_sums(jnp.abs(cy - 128.0), 16)])
+            mode = jnp.argmin(costs, axis=0).astype(jnp.int8)  # tie → bi
+            mpx = jnp.repeat(jnp.repeat(mode, 16, axis=0), 16, axis=1)
+            pred_y = jnp.where(
+                mpx == 0, pred_bi, jnp.where(
+                    mpx == 1, pred_f, jnp.where(mpx == 2, pred_b, 128.0)))
+            fcb, fcr = mc_chroma(pcb_r, pcr_r, fwd.astype(jnp.int32))
+            bcb, bcr = mc_chroma(ncb_r, ncr_r, bwd.astype(jnp.int32))
+            mpc = jnp.repeat(jnp.repeat(mode, 8, axis=0), 8, axis=1)
+
+            def sel_c(fc, bc):
+                return jnp.where(
+                    mpc == 0, (fc + bc) * 0.5, jnp.where(
+                        mpc == 1, fc, jnp.where(mpc == 2, bc, 128.0)))
+
+            pred_cb = sel_c(fcb, bcb)
+            pred_cr = sel_c(fcr, bcr)
+            oy, _ = code_plane(cy - pred_y, qy_b)
+            ocb, _ = code_plane(ccb - pred_cb, qc_b)
+            ocr, _ = code_plane(ccr - pred_cr, qc_b)
+            # zero unused vectors: smaller zlib'd fields, and the decode
+            # never reads them
+            use_f = ((mode == 0) | (mode == 1))[..., None]
+            use_b = ((mode == 0) | (mode == 2))[..., None]
+            fwd8 = jnp.where(use_f, fwd, 0).astype(jnp.int8)
+            bwd8 = jnp.where(use_b, bwd, 0).astype(jnp.int8)
+            return oy, ocb, ocr, fwd8, bwd8, mode
+
+        boy, bocb, bocr, bfwd, bbwd, bmode = jax.lax.map(
+            bstep, (y[b_arr], cb[b_arr], cr[b_arr],
+                    rec_ys[p_arr], rec_cbs[p_arr], rec_crs[p_arr],
+                    rec_ys[n_arr], rec_cbs[n_arr], rec_crs[n_arr]))
+        # interleave back to display order (static permutation gather)
+        perm = np.argsort(np.asarray(anchor_idx + b_idx))
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)[perm]
+        ry, rcb, rcr = cat(aoy, boy), cat(aocb, bocb), cat(aocr, bocr)
+        fwd = cat(amv, bfwd)
+        bwd = cat(zero_mv, bbwd)
+        modes = cat(zero_mode, bmode)
+        ftypes = cat(ais_i, jnp.full((len(b_idx),), 2, jnp.int8))
+    else:
+        ry, rcb, rcr = aoy, aocb, aocr
+        fwd, bwd, modes, ftypes = amv, zero_mv, zero_mode, ais_i
+    return ry, rcb, rcr, fwd, bwd, modes, ftypes
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "planar"))
+def fvc_mc_decode_chunk_b(a_ry, a_rcb, a_rcr, a_mvs, a_itypes,
+                          b_ry, b_rcb, b_rcr, b_fwd, b_bwd, b_modes,
+                          prev_map, next_map, qy, qc,
+                          search_range: int = 7,
+                          planar: Optional[bool] = None,
+                          qy_b=None, qc_b=None):
+    """Device decode of a B-frame chunk: anchors through the v2 scan
+    (fvc_mc_decode_chunk), then all B frames in one parallel selection
+    pass. ``prev_map``/``next_map`` index the anchor arrays per B frame;
+    ``qy_b``/``qc_b`` dequantize the B residuals (header ``bquality``).
+    Returns anchor recon planes and B recon planes (caller interleaves
+    to display order)."""
+    from .ops.motion import motion_compensate
+
+    if qy_b is None:
+        qy_b = qy
+    if qc_b is None:
+        qc_b = qc
+    a_out = fvc_mc_decode_chunk(a_ry, a_rcb, a_rcr, a_mvs, a_itypes,
+                                qy, qc, search_range=search_range,
+                                subpel=False, planar=planar)
+    ay, acb, acr = a_out
+
+    def bstep(xs):
+        qy_c, qcb_c, qcr_c, fwd, bwd, mode, py, pcb, pcr, ny, ncb, ncr = xs
+        fwd = fwd.astype(jnp.int32)
+        bwd = bwd.astype(jnp.int32)
+        pred_f = motion_compensate(py, fwd, search_range=search_range)
+        pred_b = motion_compensate(ny, bwd, search_range=search_range)
+        mpx = jnp.repeat(jnp.repeat(mode, 16, axis=0), 16, axis=1)
+        pred_y = jnp.where(
+            mpx == 0, (pred_f + pred_b) * 0.5, jnp.where(
+                mpx == 1, pred_f, jnp.where(mpx == 2, pred_b, 128.0)))
+        fcb = motion_compensate(pcb, fwd, search_range=search_range, mb=8)
+        fcr = motion_compensate(pcr, fwd, search_range=search_range, mb=8)
+        bcb = motion_compensate(ncb, bwd, search_range=search_range, mb=8)
+        bcr = motion_compensate(ncr, bwd, search_range=search_range, mb=8)
+        mpc = jnp.repeat(jnp.repeat(mode, 8, axis=0), 8, axis=1)
+
+        def sel_c(fc, bc):
+            return jnp.where(
+                mpc == 0, (fc + bc) * 0.5, jnp.where(
+                    mpc == 1, fc, jnp.where(mpc == 2, bc, 128.0)))
+
+        rec_y = jnp.clip(
+            pred_y + _plane_from_coefs(qy_c, qy_b, planar=planar),
+            0.0, 255.0)
+        rec_cb = jnp.clip(
+            sel_c(fcb, bcb) + _plane_from_coefs(qcb_c, qc_b, planar=planar),
+            0.0, 255.0)
+        rec_cr = jnp.clip(
+            sel_c(fcr, bcr) + _plane_from_coefs(qcr_c, qc_b, planar=planar),
+            0.0, 255.0)
+        return rec_y, rec_cb, rec_cr
+
+    by, bcb, bcr = jax.lax.map(
+        bstep, (b_ry, b_rcb, b_rcr, b_fwd, b_bwd, b_modes,
+                ay[prev_map], acb[prev_map], acr[prev_map],
+                ay[next_map], acb[next_map], acr[next_map]))
+    return (ay, acb, acr), (by, bcb, bcr)
+
+
 @jax.jit
 def fvc_accumulate(ry, rcb, rcr):
     """Decoder-side: residual planes → absolute coefficient planes
@@ -320,18 +649,34 @@ def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "pad_h", "pad_w", "search_range", "layout", "prefix_words",
-    "use_pallas", "hier", "subpel", "planar", "seg_words"))
+    "use_pallas", "hier", "subpel", "planar", "seg_words", "bframes"))
 def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
                         prefix_words, use_pallas, hier=False, subpel=False,
-                        planar=None, seg_words=None):
+                        planar=None, seg_words=None, bframes=0,
+                        qy_b=None, qc_b=None):
     """v1 program with the motion-compensated hybrid loop; motion vectors
     are bitcast into extra uint32 columns of the combined output so the
-    whole GOP is still ONE fetch."""
+    whole GOP is still ONE fetch. ``bframes`` > 0 selects the
+    bidirectional structure (fvc_mc_encode_chunk_b): the side columns
+    then carry fwd + bwd vectors and the per-macroblock mode plane."""
     from .ops.entropy import (encode_gop_scans_combined,
                               encode_gop_scans_segmented)
-    ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
-        frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
-        search_range=search_range, hier=hier, subpel=subpel, planar=planar)
+    if bframes:
+        ry, rcb, rcr, fwd, bwd, modes, ftypes = fvc_mc_encode_chunk_b(
+            frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
+            search_range=search_range, bframes=bframes, hier=hier,
+            planar=planar, qy_b=qy_b, qc_b=qc_b)
+        f = fwd.shape[0]
+        side = jnp.concatenate([fwd.reshape(f, -1), bwd.reshape(f, -1),
+                                modes.reshape(f, -1)], axis=1)
+        itypes = ftypes
+    else:
+        ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
+            frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
+            search_range=search_range, hier=hier, subpel=subpel,
+            planar=planar)
+        f = mvs.shape[0]
+        side = mvs.reshape(f, -1)
     if seg_words is not None:
         combined = encode_gop_scans_segmented(
             ry, rcb, rcr, layout=layout, prefix_words=prefix_words,
@@ -340,13 +685,11 @@ def _fvc_gop_program_v2(frames, qy, qc, pad_h, pad_w, search_range, layout,
         combined = encode_gop_scans_combined(ry, rcb, rcr, layout=layout,
                                              prefix_words=prefix_words,
                                              use_pallas=use_pallas)
-    f = mvs.shape[0]
-    flat = mvs.reshape(f, -1)
-    pad = (-flat.shape[1]) % 4
+    pad = (-side.shape[1]) % 4
     if pad:
-        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+        side = jnp.pad(side, ((0, 0), (0, pad)))
     mv_words = jax.lax.bitcast_convert_type(
-        flat.reshape(f, -1, 4), jnp.uint32)
+        side.reshape(f, -1, 4), jnp.uint32)
     itype_word = itypes.astype(jnp.uint32)[:, None]
     return jnp.concatenate([combined, mv_words, itype_word], axis=1)
 
@@ -369,18 +712,21 @@ def _fvc_gop_program_v1_src(start, qy, qc, src_fn, n, pad_h, pad_w,
 
 @functools.partial(jax.jit, static_argnames=(
     "src_fn", "n", "pad_h", "pad_w", "search_range", "layout",
-    "prefix_words", "use_pallas", "hier", "subpel", "planar", "seg_words"))
+    "prefix_words", "use_pallas", "hier", "subpel", "planar", "seg_words",
+    "bframes"))
 def _fvc_gop_program_v2_src(start, qy, qc, src_fn, n, pad_h, pad_w,
                             search_range, layout, prefix_words, use_pallas,
                             hier=False, subpel=False, planar=None,
-                            seg_words=None):
+                            seg_words=None, bframes=0, qy_b=None,
+                            qc_b=None):
     frames = src_fn(pad_h, pad_w, n, start)
     return _fvc_gop_program_v2(frames, qy, qc, pad_h=pad_h, pad_w=pad_w,
                                search_range=search_range, layout=layout,
                                prefix_words=prefix_words,
                                use_pallas=use_pallas, hier=hier,
                                subpel=subpel, planar=planar,
-                               seg_words=seg_words)
+                               seg_words=seg_words, bframes=bframes,
+                               qy_b=qy_b, qc_b=qc_b)
 
 
 class FvcEncoder:
@@ -393,11 +739,30 @@ class FvcEncoder:
     def __init__(self, quality: int = 85, subsample: bool = True,
                  motion: bool = False, search_range: int = 7,
                  engine: str = "auto", hier: bool = False,
-                 subpel: bool = False, segmented: Optional[bool] = None):
+                 subpel: bool = False, segmented: Optional[bool] = None,
+                 bframes: int = 0, bquality: Optional[int] = None):
         from .jpeg import JpegEncoder
         self.quality = quality
         self.subsample = subsample
         self.motion = motion
+        if bframes:
+            if not motion:
+                raise ValueError("bframes requires motion=True")
+            if subpel:
+                raise ValueError("bframes does not support subpel")
+            if not 0 < bframes <= 7:
+                raise ValueError("bframes must be in 0..7")
+        self.bframes = int(bframes)
+        # B frames are non-reference: coarser quantization there never
+        # propagates, so they default a step below the anchor quality —
+        # the rate-allocation lever that makes B frames pay for the wider
+        # anchor spacing. Travels in the header (bit5 extension byte).
+        self.bquality = None
+        if bframes:
+            self.bquality = int(bquality) if bquality is not None \
+                else max(10, quality - 8)
+            if not 1 <= self.bquality <= 100:
+                raise ValueError("bquality must be in 1..100")
         # vectors travel as int8 in the bitstream; with subpel they are in
         # half-pixel units up to ±(2*search_range+1) — bound the range so
         # they can never wrap (ADVICE r1: silent int8 overflow)
@@ -416,6 +781,12 @@ class FvcEncoder:
         self.qc = scale_qtable(CHROMA_QTABLE, quality)
         self._qy_dev = jnp.asarray(self.qy)
         self._qc_dev = jnp.asarray(self.qc)
+        self._qyb_dev = self._qcb_dev = None
+        if self.bquality is not None:
+            self._qyb_dev = jnp.asarray(scale_qtable(LUMA_QTABLE,
+                                                     self.bquality))
+            self._qcb_dev = jnp.asarray(scale_qtable(CHROMA_QTABLE,
+                                                     self.bquality))
         self.engine = engine
         # shared scan coder: device entropy packing (only compressed bits
         # cross the host link) with host C++ fallback
@@ -448,7 +819,8 @@ class FvcEncoder:
                     search_range=self.search_range, layout=layout,
                     prefix_words=p, use_pallas=sc.use_pallas,
                     hier=self.hier, subpel=self.subpel, planar=self.planar,
-                    seg_words=s), p, s
+                    seg_words=s, bframes=self.bframes,
+                    qy_b=self._qyb_dev, qc_b=self._qcb_dev), p, s
             return _fvc_gop_program_v1(
                 dev, self._qy_dev, self._qc_dev, pad_h=ph, pad_w=pw,
                 subsample=self.subsample, layout=layout,
@@ -483,7 +855,8 @@ class FvcEncoder:
                     layout=layout, prefix_words=p,
                     use_pallas=sc.use_pallas, hier=self.hier,
                     subpel=self.subpel, planar=self.planar,
-                    seg_words=s), p, s
+                    seg_words=s, bframes=self.bframes,
+                    qy_b=self._qyb_dev, qc_b=self._qcb_dev), p, s
             return _fvc_gop_program_v1_src(
                 start, self._qy_dev, self._qc_dev, src_fn, n,
                 pad_h=ph, pad_w=pw, subsample=self.subsample,
@@ -579,17 +952,41 @@ class FvcEncoder:
                         for i in range(arr.shape[0])]
         mvs = itypes = None
         if self.motion:
-            mv_len = (ph // 16) * (pw // 16) * 2
-            mvs = [np.frombuffer(arr[i, scan_end:-1].tobytes(),
-                                 np.int8)[:mv_len].reshape(
-                                     ph // 16, pw // 16, 2)
-                   for i in range(arr.shape[0])]
-            itypes = arr[:, -1].astype(np.int64)  # 1 = I frame
+            mbh, mbw = ph // 16, pw // 16
+            mv_len = mbh * mbw * 2
+            if self.bframes:
+                # side columns: fwd | bwd | modes (int8, padded to words)
+                mbn = mbh * mbw
+                mvs = []
+                for i in range(arr.shape[0]):
+                    raw = np.frombuffer(arr[i, scan_end:-1].tobytes(),
+                                        np.int8)
+                    fwd = raw[:mv_len].reshape(mbh, mbw, 2)
+                    bwd = raw[mv_len:2 * mv_len].reshape(mbh, mbw, 2)
+                    modes = raw[2 * mv_len:2 * mv_len + mbn].reshape(
+                        mbh, mbw)
+                    mvs.append((fwd, bwd, modes))
+            else:
+                mvs = [np.frombuffer(arr[i, scan_end:-1].tobytes(),
+                                     np.int8)[:mv_len].reshape(
+                                         mbh, mbw, 2)
+                       for i in range(arr.shape[0])]
+            itypes = arr[:, -1].astype(np.int64)  # 1 = I frame, 2 = B
         return payloads, mvs, itypes
 
     def _encode_host(self, frames: np.ndarray, ph: int, pw: int):
         """Reference path: residual planes fetched, host C++ scan coder."""
-        if self.motion:
+        if self.motion and self.bframes:
+            ry, rcb, rcr, fwd, bwd, modes, ftypes = fvc_mc_encode_chunk_b(
+                jnp.asarray(frames), self._qy_dev, self._qc_dev,
+                pad_h=ph, pad_w=pw, search_range=self.search_range,
+                bframes=self.bframes, hier=self.hier, planar=self.planar,
+                qy_b=self._qyb_dev, qc_b=self._qcb_dev)
+            fwd, bwd = np.asarray(fwd), np.asarray(bwd)
+            modes = np.asarray(modes)
+            mvs = [(fwd[i], bwd[i], modes[i]) for i in range(fwd.shape[0])]
+            itypes = np.asarray(ftypes).astype(np.int64)
+        elif self.motion:
             ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
                 jnp.asarray(frames), self._qy_dev, self._qc_dev,
                 pad_h=ph, pad_w=pw, search_range=self.search_range,
@@ -651,26 +1048,48 @@ class FvcEncoder:
                 flags |= 4  # vectors are in half-pel units
             if self.planar:
                 flags |= 8  # in-loop recon used the planar DCT formulation
+            if self.bframes:
+                flags |= 32  # chunk may contain B frames (ftype 2)
         out = [MAGIC, struct.pack(">BBHHBB", version, flags, w, h,
                                   self.quality, f)]
         if self.motion:
             # v2 extends the header with the search range so the decoder
             # sizes its compensation window without guessing
             out.append(struct.pack(">B", self.search_range))
+            if self.bframes:
+                # bit5 extension: the B-frame quantizer quality (follows
+                # any bit4 coded-size extension, which this writer never
+                # emits — tpuhype's striped path does)
+                out.append(struct.pack(">B", self.bquality))
         for i in range(f):
             payload = payloads[i]
             if self.motion:
                 # per-frame mode decision (device scan): mid-chunk scene
-                # cuts become I frames instead of expensive P frames
-                ftype = 0 if (i == 0 or int(itypes[i])) else 1
+                # cuts become I frames instead of expensive P frames.
+                # itype codes: 1 = I anchor, 0 = P anchor, 2 = B.
+                it = int(itypes[i]) if itypes is not None else 0
+                if it == 2:
+                    ftype = 2
+                else:
+                    ftype = 0 if (i == 0 or it) else 1
             else:
                 ftype = 0 if i == 0 else 1
             if self.motion:
                 # raw vectors cost 2 B/macroblock (~16 KB/frame at 1080p);
                 # they are mostly smooth/zero, so zlib cuts them ~100x
                 import zlib
-                mv_bytes = b"" if ftype == 0 else \
-                    zlib.compress(mvs[i].astype(np.int8).tobytes(), 6)
+                if ftype == 2:
+                    fwd, bwd, modes = mvs[i]
+                    mv_bytes = zlib.compress(
+                        fwd.astype(np.int8).tobytes()
+                        + bwd.astype(np.int8).tobytes()
+                        + modes.astype(np.int8).tobytes(), 6)
+                elif ftype == 0:
+                    mv_bytes = b""
+                else:
+                    mv = mvs[i][0] if isinstance(mvs[i], tuple) else mvs[i]
+                    mv_bytes = zlib.compress(mv.astype(np.int8).tobytes(),
+                                             6)
                 out.append(struct.pack(">BHI", ftype, len(mv_bytes),
                                        len(payload)))
                 out.append(mv_bytes)
@@ -842,6 +1261,15 @@ class FvcDecoder:
                 raise ValueError("invalid coded-size extension")
             ybw, ybh = pw // 8, ph // 8
             cbw, cbh = (pw // 16, ph // 16) if subsample else (ybw, ybh)
+        bquality = quality
+        if flags & 32:
+            # bit5 extension: B-frame quantizer quality
+            if len(data) < off + 1:
+                raise ValueError("truncated bquality extension")
+            bquality = data[off]
+            off += 1
+            if not 1 <= bquality <= 100:
+                raise ValueError("invalid bquality extension")
         planes = []
         types = []
         mvs = []
@@ -863,11 +1291,25 @@ class FvcDecoder:
                         except zlib.error as e:
                             raise ValueError(
                                 f"corrupt motion block (frame {i}): {e}")
-                    if len(raw) != (ph // 16) * (pw // 16) * 2:
-                        raise ValueError(f"bad motion block (frame {i})")
-                    mv = np.frombuffer(raw, np.int8).reshape(
-                        ph // 16, pw // 16, 2)
+                    mbn = (ph // 16) * (pw // 16)
+                    if ftype == 2:
+                        # B frame: fwd vectors | bwd vectors | mode plane
+                        if len(raw) != mbn * 5:
+                            raise ValueError(f"bad motion block (frame {i})")
+                        b8 = np.frombuffer(raw, np.int8)
+                        mv = (b8[:mbn * 2].reshape(ph // 16, pw // 16, 2),
+                              b8[mbn * 2:mbn * 4].reshape(
+                                  ph // 16, pw // 16, 2),
+                              b8[mbn * 4:].reshape(ph // 16, pw // 16))
+                    else:
+                        if len(raw) != mbn * 2:
+                            raise ValueError(f"bad motion block (frame {i})")
+                        mv = np.frombuffer(raw, np.int8).reshape(
+                            ph // 16, pw // 16, 2)
                     off += mv_len
+                elif ftype == 2:
+                    raise ValueError(f"B frame without motion block "
+                                     f"(frame {i})")
                 mvs.append(mv)
             else:
                 if len(data) - off < 5:
@@ -888,7 +1330,17 @@ class FvcDecoder:
 
         qy = jnp.asarray(scale_qtable(LUMA_QTABLE, quality))
         qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, quality))
-        if version >= 2:
+        if version >= 2 and 2 in types:
+            if flags & 4:
+                raise ValueError("B frames with subpel vectors are not a "
+                                 "valid stream")
+            qy_b = jnp.asarray(scale_qtable(LUMA_QTABLE, bquality))
+            qc_b = jnp.asarray(scale_qtable(CHROMA_QTABLE, bquality))
+            frames = self._reconstruct_mc_b(planes, mvs, types, qy, qc,
+                                            h, w, search_range,
+                                            planar=bool(flags & 8),
+                                            qy_b=qy_b, qc_b=qc_b)
+        elif version >= 2:
             frames = self._reconstruct_mc(planes, mvs, qy, qc, h, w,
                                           search_range,
                                           subpel=bool(flags & 4),
@@ -925,6 +1377,127 @@ class FvcDecoder:
             search_range=int(search_range), subpel=subpel, planar=planar)
         rgb = np.asarray(_i420_frames_to_rgb(oy, ocb, ocr))
         return [rgb[i, :h, :w] for i in range(f)]
+
+    def _reconstruct_mc_b(self, planes, mvs, types, qy, qc, h: int, w: int,
+                          search_range: int = 7, planar: bool = False,
+                          qy_b=None, qc_b=None):
+        """B-frame chunk reconstruction: anchors through the v2 scan,
+        then all B frames in one parallel device pass
+        (fvc_mc_decode_chunk_b)."""
+        f = len(planes)
+        a_idx = [i for i, t in enumerate(types) if t != 2]
+        b_idx = [i for i, t in enumerate(types) if t == 2]
+        if not a_idx or b_idx[0] < a_idx[0] or b_idx[-1] > a_idx[-1]:
+            raise ValueError("B frame without surrounding anchor frames")
+        prev_map, next_map = [], []
+        for j in b_idx:
+            k = max(p for p, a in enumerate(a_idx) if a < j)
+            prev_map.append(k)
+            next_map.append(k + 1)
+
+        def stk(sel, c):
+            return jnp.asarray(np.stack([planes[i][c] for i in sel]))
+
+        mbh = planes[0][0].shape[0] // 2
+        mbw = planes[0][0].shape[1] // 2
+        a_mv = np.zeros((len(a_idx), mbh, mbw, 2), np.int8)
+        a_it = np.zeros(len(a_idx), np.int8)
+        for k, i in enumerate(a_idx):
+            if mvs[i] is not None:
+                a_mv[k] = mvs[i]
+            else:
+                a_it[k] = 1  # no vectors → intra anchor
+        b_fwd = np.stack([mvs[i][0] for i in b_idx])
+        b_bwd = np.stack([mvs[i][1] for i in b_idx])
+        b_modes = np.stack([mvs[i][2] for i in b_idx])
+        (ay, acb, acr), (by, bcb, bcr) = fvc_mc_decode_chunk_b(
+            stk(a_idx, 0), stk(a_idx, 1), stk(a_idx, 2),
+            jnp.asarray(a_mv), jnp.asarray(a_it),
+            stk(b_idx, 0), stk(b_idx, 1), stk(b_idx, 2),
+            jnp.asarray(b_fwd), jnp.asarray(b_bwd), jnp.asarray(b_modes),
+            jnp.asarray(prev_map), jnp.asarray(next_map), qy, qc,
+            search_range=int(search_range), planar=planar,
+            qy_b=qy_b, qc_b=qc_b)
+        perm = np.argsort(np.asarray(a_idx + b_idx))
+        oy = jnp.concatenate([ay, by], axis=0)[perm]
+        ocb = jnp.concatenate([acb, bcb], axis=0)[perm]
+        ocr = jnp.concatenate([acr, bcr], axis=0)[perm]
+        rgb = np.asarray(_i420_frames_to_rgb(oy, ocb, ocr))
+        return [rgb[i, :h, :w] for i in range(f)]
+
+    def _reconstruct_mc_b_np(self, planes, mvs, types, qy, qc, h: int,
+                             w: int, search_range: int = 7,
+                             planar: bool = False, qy_b=None, qc_b=None):
+        """Test-only numpy reference for B-frame reconstruction (two
+        passes: anchors chained, then each B frame from its anchor
+        pair). ``planar`` must match header flags bit 3."""
+        from .ops.colorspace import i420_to_rgb
+        if qy_b is None:
+            qy_b = qy
+        if qc_b is None:
+            qc_b = qc
+        f = len(planes)
+        a_idx = [i for i, t in enumerate(types) if t != 2]
+        rec = {}
+        prev = None
+        for i in a_idx:
+            yq, cbq, crq = planes[i]
+            ry = np.asarray(_plane_from_coefs(jnp.asarray(yq), qy,
+                                              planar=planar))
+            rcb = np.asarray(_plane_from_coefs(jnp.asarray(cbq), qc,
+                                               planar=planar))
+            rcr = np.asarray(_plane_from_coefs(jnp.asarray(crq), qc,
+                                               planar=planar))
+            if prev is None or mvs[i] is None:
+                py = pcb = pcr = 128.0
+            else:
+                py = _mc_np(prev[0], mvs[i], 16, chroma=False)
+                pcb = _mc_np(prev[1], mvs[i], 8, chroma=True)
+                pcr = _mc_np(prev[2], mvs[i], 8, chroma=True)
+            prev = (np.clip(py + ry, 0.0, 255.0),
+                    np.clip(pcb + rcb, 0.0, 255.0),
+                    np.clip(pcr + rcr, 0.0, 255.0))
+            rec[i] = prev
+        out = []
+        for i in range(f):
+            if types[i] != 2:
+                ry_, rcb_, rcr_ = rec[i]
+            else:
+                pa = max(a for a in a_idx if a < i)
+                na = min(a for a in a_idx if a > i)
+                fwd, bwd, modes = mvs[i]
+                yq, cbq, crq = planes[i]
+                ry = np.asarray(_plane_from_coefs(jnp.asarray(yq), qy_b,
+                                                  planar=planar))
+                rcb = np.asarray(_plane_from_coefs(jnp.asarray(cbq), qc_b,
+                                                   planar=planar))
+                rcr = np.asarray(_plane_from_coefs(jnp.asarray(crq), qc_b,
+                                                   planar=planar))
+                pf = _mc_np(rec[pa][0], fwd, 16, chroma=False)
+                pb = _mc_np(rec[na][0], bwd, 16, chroma=False)
+                mpx = np.repeat(np.repeat(modes, 16, 0), 16, 1)
+                py = np.where(mpx == 0, (pf + pb) * np.float32(0.5),
+                              np.where(mpx == 1, pf,
+                                       np.where(mpx == 2, pb,
+                                                np.float32(128.0))))
+                mpc = np.repeat(np.repeat(modes, 8, 0), 8, 1)
+
+                def sel_c(plane_idx):
+                    fc = _mc_np(rec[pa][plane_idx], fwd, 8, chroma=True)
+                    bc = _mc_np(rec[na][plane_idx], bwd, 8, chroma=True)
+                    return np.where(
+                        mpc == 0, (fc + bc) * np.float32(0.5),
+                        np.where(mpc == 1, fc,
+                                 np.where(mpc == 2, bc, np.float32(128.0))))
+
+                ry_ = np.clip(py + ry, 0.0, 255.0)
+                rcb_ = np.clip(sel_c(1) + rcb, 0.0, 255.0)
+                rcr_ = np.clip(sel_c(2) + rcr, 0.0, 255.0)
+            rgb = np.asarray(i420_to_rgb(jnp.asarray(ry_),
+                                         jnp.asarray(rcb_),
+                                         jnp.asarray(rcr_)))
+            out.append(np.clip(rgb + 0.5, 0, 255).astype(np.uint8)[:h, :w])
+        return out
 
     def _reconstruct_mc_np(self, planes, mvs, qy, qc, h: int, w: int,
                            subpel: bool = False, planar: bool = False):
@@ -968,6 +1541,8 @@ class FvcDecoder:
             end = off + (13 if ver >= 2 else 12)
             if cflags & 16:
                 end += 4  # explicit coded-size extension
+            if cflags & 32:
+                end += 1  # B-frame bquality extension
             hdr = 7 if ver >= 2 else 5
             for _ in range(f):
                 if len(data) - end < hdr:
@@ -1024,6 +1599,12 @@ class FvcEnc(VideoEncoder):
                                        "whole-frame passes)"),
         PropertySpec("subpel", False, "half-pel motion refinement + bilinear "
                                      "compensation"),
+        PropertySpec("bframes", 0, "B frames between anchors (motion mode "
+                                   "only): bidirectional per-macroblock "
+                                   "prediction from the surrounding "
+                                   "reconstructed anchors — non-reference "
+                                   "frames encoded in one parallel device "
+                                   "pass"),
         PropertySpec("bitrate", 0, "target bits/sec; 0 = constant quality. "
                                    "Per-chunk log-proportional quality "
                                    "controller (the rate-control role the "
@@ -1055,7 +1636,8 @@ class FvcEnc(VideoEncoder):
                 hier=str(self.get_property("search")) == "hier",
                 subpel=bool(self.get_property("subpel")),
                 segmented=segmented_property(
-                    self.get_property("segmented")))
+                    self.get_property("segmented")),
+                bframes=int(self.get_property("bframes")))
         return enc
 
     def set_format(self, caps: Caps):
