@@ -17,6 +17,9 @@ trace time):
   xla_full_rolls     — 225-roll XLA search + masked-roll MC
   xla_full_gather    — 225-roll XLA search + flat-gather MC
   xla_full_halfpel   — XLA search + half-pel refinement (subpel=True)
+  kernel_full_4k / xla_chroma_4k — 2160x3840 pair: banded chroma kernel
+                       vs the XLA chroma arm
+  kernel_bframes1/2  — anchors scan + parallel B pass (bframes=1/2)
 
 Run on the TPU host: python benches/ab_motion.py
 Prints one JSON line per arm: {"metric": ..., "value": ms/GOP}.
@@ -67,6 +70,11 @@ ARMS = {
     "kernel_full_4k": (False, False, {"_AB_4K": "1"}),
     "xla_chroma_4k": (False, False, {"_AB_4K": "1",
                                      "FLUTPU_NO_CHROMA_KERNEL": "1"}),
+    # B-frame arms (round 4): anchors scan + parallel bidirectional pass
+    # (fvc_mc_encode_chunk_b). Expect ~1.5x the search work of P-only
+    # (half the frames pay two searches); compare against kernel_full.
+    "kernel_bframes1": (False, False, {"_AB_BFRAMES": "1"}),
+    "kernel_bframes2": (False, False, {"_AB_BFRAMES": "2"}),
 }
 
 
@@ -75,12 +83,13 @@ def measure_device_ms(hier: bool, subpel: bool, reps: int = 4) -> float:
     _AB_4K=1, 2160x3840 GOP=4)."""
     import jax
     import jax.numpy as jnp
-    from flutpu.codec.fvc import fvc_mc_encode_chunk
+    from flutpu.codec.fvc import fvc_mc_encode_chunk, fvc_mc_encode_chunk_b
     from flutpu.codec.jpeg import JpegEncoder
     from flutpu.codec.ops.testsrc import gradient_ball_planes
 
     enc = JpegEncoder(quality=85)
     four_k = bool(os.environ.get("_AB_4K"))
+    bframes = int(os.environ.get("_AB_BFRAMES", "0"))
     H, W = (2160, 3840) if four_k else (1088, 1920)
     gop = 4 if four_k else 8
     if four_k:
@@ -91,9 +100,15 @@ def measure_device_ms(hier: bool, subpel: bool, reps: int = 4) -> float:
         def body(i, acc):
             planes = gradient_ball_planes(
                 H, W, gop, start + i.astype(jnp.float32) * gop)
-            ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
-                planes, qy, qc, pad_h=H, pad_w=W,
-                hier=hier, subpel=subpel)
+            if bframes:
+                ry, rcb, rcr, fwd, bwd, modes, _ft = fvc_mc_encode_chunk_b(
+                    planes, qy, qc, pad_h=H, pad_w=W,
+                    bframes=bframes, hier=hier)
+                mvs = fwd
+            else:
+                ry, rcb, rcr, mvs, itypes = fvc_mc_encode_chunk(
+                    planes, qy, qc, pad_h=H, pad_w=W,
+                    hier=hier, subpel=subpel)
             return (acc + jnp.abs(ry).astype(jnp.uint32).sum()
                     + jnp.abs(rcb).astype(jnp.uint32).sum()
                     + jnp.abs(rcr).astype(jnp.uint32).sum()

@@ -71,3 +71,27 @@ class TestKernelLowering:
         mv = jnp.zeros((hc // 8, wc // 8, 2), jnp.int32)
         _lower(chroma_mc_pallas, z, z, mv,
                static=("search_range", "interpret"), search_range=7)
+
+    @pytest.mark.parametrize("shape", [(1088, 1920), (2160, 3840)],
+                             ids=["1080p", "4k"])
+    def test_motion_kernels_under_lax_map(self, shape):
+        """The B-frame pass (fvc_mc_encode_chunk_b) runs the search and
+        chroma kernels inside a lax.map over gathered anchor references —
+        a new structural usage the per-kernel cases don't cover."""
+        from flutpu.codec.ops.motion_pallas import (chroma_mc_pallas,
+                                                    motion_search_mc_pallas)
+        h, w = shape
+
+        def bpass(cur, prev_refs, next_refs, cb, cr):
+            def step(xs):
+                cy, py, ny, pcb, pcr = xs
+                fwd, pf = motion_search_mc_pallas(cy, py, search_range=7)
+                bwd, pb = motion_search_mc_pallas(cy, ny, search_range=7)
+                fcb, fcr = chroma_mc_pallas(pcb, pcr, fwd, search_range=7)
+                return (pf + pb) * 0.5 + fcb.sum() + fcr.sum(), fwd, bwd
+
+            return jax.lax.map(step, (cur, prev_refs, next_refs, cb, cr))
+
+        z = jnp.zeros((2, h, w), jnp.float32)
+        c = jnp.zeros((2, h // 2, w // 2), jnp.float32)
+        _lower(bpass, z, z, z, c, c)
