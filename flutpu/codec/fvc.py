@@ -479,9 +479,10 @@ def fvc_mc_encode_chunk_b(frames, qy, qc, pad_h: int, pad_w: int,
     _, (aoy, aocb, aocr, amv, ais_i, rec_ys, rec_cbs, rec_crs) = \
         jax.lax.scan(astep, init, (ay, acb, acr))
 
-    mbh, mbw = pad_h // 16, pad_w // 16
-    zero_mv = jnp.zeros((len(anchor_idx), mbh, mbw, 2), jnp.int8)
-    zero_mode = jnp.zeros((len(anchor_idx), mbh, mbw), jnp.int8)
+    # data-derived zeros (not jnp.zeros): keeps the varying-manual-axes
+    # annotation of the outputs consistent under shard_map (CLAUDE.md)
+    zero_mv = amv * 0
+    zero_mode = amv[..., 0] * 0
 
     if b_idx:
         # -- B pass: every B frame against its reconstructed anchor pair,

@@ -65,6 +65,9 @@ class TpuHype(VideoEncoder):
                                       "(opt-in quality knob: ~8% smaller "
                                       "streams, 2.3x slower on TPU — the "
                                       "round-2 hardware A/B)"),
+        PropertySpec("bframes", 0, "fvc-motion B frames between anchors "
+                                   "(chunk-local bidirectional prediction; "
+                                   "not combinable with spatial/subpel)"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -187,18 +190,37 @@ class TpuHype(VideoEncoder):
         from ..parallel.gop import fvc_chunks_sharded
         sr = int(self.get_property("search-range"))
         subpel = bool(self.get_property("subpel"))
+        bframes = int(self.get_property("bframes")) if motion else 0
         if spatial > 1 and (subpel or
                             str(self.get_property("search")) == "hier"):
             raise ValueError("codec=fvc spatial striping supports "
                              "full-search integer-pel motion (and v1)")
+        if bframes and (spatial > 1 or subpel):
+            raise ValueError("bframes supports neither spatial striping "
+                             "nor subpel")
+        bquality = max(10, jenc.quality - 8) if bframes else None
+        qyb = qcb = None
+        if bframes:
+            from ..codec.ops.quant import (CHROMA_QTABLE, LUMA_QTABLE,
+                                           scale_qtable)
+            qyb = jnp.asarray(scale_qtable(LUMA_QTABLE, bquality))
+            qcb = jnp.asarray(scale_qtable(CHROMA_QTABLE, bquality))
         out = fvc_chunks_sharded(
             jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
             mesh=mesh, motion=motion, search_range=sr,
             hier=str(self.get_property("search")) == "hier", subpel=subpel,
-            spatial=spatial > 1)
+            spatial=spatial > 1, bframes=bframes, qy_b=qyb, qc_b=qcb)
         ry, rcb, rcr = out[:3]
-        mvs = np.asarray(out[3]) if motion else None
-        itypes = np.asarray(out[4]) if motion else None
+        if bframes:
+            fwd = np.asarray(out[3])
+            bwd = np.asarray(out[4])
+            modes = np.asarray(out[5])
+            itypes = np.asarray(out[6])
+            mvs = None
+        else:
+            fwd = bwd = modes = None
+            mvs = np.asarray(out[3]) if motion else None
+            itypes = np.asarray(out[4]) if motion else None
         c, f = ry.shape[0], ry.shape[1]
         layout = mcu_layout(ry.shape[3], ry.shape[2],
                             rcb.shape[3], rcb.shape[2], True)
@@ -230,28 +252,63 @@ class TpuHype(VideoEncoder):
         coded_ext = (ph, pw) != (_pad_to(h, 16), _pad_to(w, 16))
         if coded_ext:
             cflags |= 16
+        if bframes:
+            cflags |= 32
         for ci in range(c):
             first = ci * gop
             if first >= n:
                 break  # wholly padding
             real = min(gop, n - first)
+            if bframes and real < gop:
+                # a truncated chunk may end on a B frame whose NEXT anchor
+                # was cut (the batched encode used the full-gop structure)
+                # — re-encode the tail with the structure of the real
+                # count, which always ends on an anchor
+                from ..codec.fvc import FvcEncoder
+                tail_enc = FvcEncoder(
+                    jenc.quality, motion=True, search_range=sr,
+                    hier=str(self.get_property("search")) == "hier",
+                    bframes=bframes, bquality=bquality)
+                tail_frames = np.stack(
+                    [np.asarray(b.data) for b in batch[first:first + real]])
+                data = tail_enc.encode_chunk(tail_frames)
+                src = batch[first]
+                last = batch[first + real - 1]
+                dur = None
+                if src.pts is not None and last.pts is not None:
+                    dur = last.pts - src.pts + (last.duration or 0)
+                self.srcpad.push(Buffer(data, pts=src.pts, dts=src.dts,
+                                        duration=dur, offset=src.offset))
+                continue
             parts = [MAGIC, struct.pack(">BBHHBB", version, cflags, w, h,
                                         jenc.quality, real)]
             if motion:
                 parts.append(struct.pack(">B", sr))
             if coded_ext:
                 parts.append(struct.pack(">HH", pw, ph))
+            if bframes:
+                parts.append(struct.pack(">B", bquality))
             for fi in range(real):
                 payload = payloads[ci * gop + fi]
-                if motion:
-                    ftype = 0 if (fi == 0 or int(itypes[ci, fi])) else 1
+                it = int(itypes[ci, fi]) if motion else 0
+                if motion and it == 2:
+                    ftype = 2
+                elif motion:
+                    ftype = 0 if (fi == 0 or it) else 1
                 else:
                     ftype = 0 if fi == 0 else 1
                 if motion:
                     import zlib
-                    mv = b"" if ftype == 0 else \
-                        zlib.compress(mvs[ci, fi].astype(np.int8).tobytes(),
-                                      6)
+                    if ftype == 2:
+                        mv = zlib.compress(
+                            fwd[ci, fi].astype(np.int8).tobytes()
+                            + bwd[ci, fi].astype(np.int8).tobytes()
+                            + modes[ci, fi].astype(np.int8).tobytes(), 6)
+                    elif ftype == 0:
+                        mv = b""
+                    else:
+                        raw = (fwd if bframes else mvs)[ci, fi]
+                        mv = zlib.compress(raw.astype(np.int8).tobytes(), 6)
                     parts.append(struct.pack(">BHI", ftype, len(mv),
                                              len(payload)))
                     parts.append(mv)

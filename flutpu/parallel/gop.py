@@ -75,11 +75,12 @@ def encode_chunks_single(frames: jax.Array, qy: jax.Array, qc: jax.Array):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "motion", "search_range",
-                                    "hier", "subpel", "spatial"))
+                                    "hier", "subpel", "spatial", "bframes"))
 def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                        mesh: Mesh, motion: bool = False,
                        search_range: int = 7, hier: bool = False,
-                       subpel: bool = False, spatial: bool = False):
+                       subpel: bool = False, spatial: bool = False,
+                       bframes: int = 0, qy_b=None, qc_b=None):
     """FVC GOP coding as an SPMD program: (C, F, H, W, 3) uint8, C sharded
     over the ``chunk`` mesh axis, each shard running an independent codec
     instance (frame 0 of every chunk is an I frame — the forced-keyframe
@@ -97,10 +98,19 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     be a multiple of 16.
 
     Returns (ry, rcb, rcr) int16 residual planes, plus mvs int8 and
-    itypes int8 when ``motion`` (the v2 hybrid loop per chunk). H/W must
-    be multiples of 16 (pad upstream).
+    itypes int8 when ``motion`` (the v2 hybrid loop per chunk). With
+    ``bframes`` > 0 (motion mode, not spatial) each chunk runs the
+    bidirectional structure instead and the return is
+    (ry, rcb, rcr, fwd, bwd, modes, ftypes) — still zero collectives:
+    B-frame anchors are chunk-local. H/W must be multiples of 16 (pad
+    upstream).
     """
-    from ..codec.fvc import fvc_mc_encode_chunk, fvc_residuals
+    from ..codec.fvc import (fvc_mc_encode_chunk, fvc_mc_encode_chunk_b,
+                             fvc_residuals)
+
+    if bframes and (not motion or spatial or subpel):
+        raise ValueError("bframes needs motion=True and supports neither "
+                         "spatial striping nor subpel")
 
     h, w = frames.shape[2], frames.shape[3]
 
@@ -119,6 +129,16 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
                                        search_range=search_range, hier=hier,
                                        subpel=subpel, spatial_axis=sp_axis,
                                        n_spatial=n_sp)
+        return jax.vmap(one)(fr)
+
+    def local_mc_b(fr, qy, qc, qyb, qcb):
+        # qy_b/qc_b enter as explicit operands (shard_map cannot close
+        # over traced arrays)
+        def one(chunk):
+            return fvc_mc_encode_chunk_b(
+                chunk, qy, qc, pad_h=h_local, pad_w=w,
+                search_range=search_range, bframes=bframes, hier=hier,
+                qy_b=qyb, qc_b=qcb)
         return jax.vmap(one)(fr)
 
     # check_vma=False: the motion arm runs pallas_call (search+predict,
@@ -140,6 +160,14 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     else:
         in_spec = P("chunk", None, None, None, None)
         out_specs = (P("chunk"),) * (5 if motion else 3)
+    if bframes:
+        fn = shard_map(
+            local_mc_b, mesh=mesh,
+            in_specs=(in_spec, P(), P(), P(), P()),
+            out_specs=(P("chunk"),) * 7, check_vma=False)
+        return fn(frames, qy, qc,
+                  qy if qy_b is None else qy_b,
+                  qc if qc_b is None else qc_b)
     fn = shard_map(
         local_mc if motion else local_v1, mesh=mesh,
         in_specs=(in_spec, P(), P()),

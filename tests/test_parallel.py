@@ -239,6 +239,45 @@ class TestTpuHypeFvc:
         assert dec.shape == (8, 48, 64, 3)
         assert psnr(np.asarray(frames[5]), dec[5]) > 30
 
+    def test_fvc_motion_bframes_chunks(self):
+        """Chunk-parallel B frames: every full chunk carries a type-2
+        frame; the stream decodes in order at quality."""
+        from flutpu.codec.fvc import FvcDecoder
+        from flutpu.codec.jpeg import psnr
+        frames, chunks = self._run(
+            "tpuhype gop-size=4 chunks=2 quality=90 codec=fvc-motion "
+            "search-range=3 bframes=1", n=8)
+        assert len(chunks) == 2
+        for c in chunks:
+            d = bytes(c.data)
+            assert d[4] == 2 and (d[5] & 32), (d[4], d[5])
+        dec = FvcDecoder().decode_stream(
+            b"".join(bytes(c.data) for c in chunks))
+        assert dec.shape == (8, 48, 64, 3)
+        for i in (0, 3, 5, 7):
+            assert psnr(np.asarray(frames[i]), dec[i]) > 30, i
+
+    def test_fvc_motion_bframes_tail_chunk_self_contained(self):
+        """A truncated final chunk must not end on a B frame whose next
+        anchor was cut — the tail re-encodes with the real-count
+        structure."""
+        from flutpu.codec.fvc import FvcDecoder
+        frames, chunks = self._run(
+            "tpuhype gop-size=4 chunks=2 quality=90 codec=fvc-motion "
+            "search-range=3 bframes=1", n=6)
+        dec = FvcDecoder().decode_stream(
+            b"".join(bytes(c.data) for c in chunks))
+        assert dec.shape == (6, 48, 64, 3)
+
+    def test_bframes_rejects_spatial_and_subpel(self):
+        import pytest
+        with pytest.raises(ValueError):
+            self._run("tpuhype gop-size=2 chunks=2 spatial=2 quality=90 "
+                      "codec=fvc-motion bframes=1", n=8)
+        with pytest.raises(ValueError):
+            self._run("tpuhype gop-size=2 chunks=4 quality=90 "
+                      "codec=fvc-motion subpel=true bframes=1", n=8)
+
 
 class TestSpatialFvcMotion:
     """Round-4 sequence-parallel FVC motion: frames row-striped over the
