@@ -268,14 +268,15 @@ def bench_full_pipeline(gops=6, w=1920, h=1088, out_h=1080):
     report(name, gops * 8 / dt, "frames/s")
 
 
-def bench_fvc(gops=6, motion=False):
+def bench_fvc(gops=6, motion=False, bframes=0):
     """Config 6: FVC GOP codec throughput at 1080p — source fused into the
-    chunk program (encode_chunk_dispatch_src), two chunks in flight."""
+    chunk program (encode_chunk_dispatch_src), two chunks in flight.
+    ``bframes`` adds the bidirectional pass (config 6b)."""
     import jax.numpy as jnp
     from flutpu.codec.fvc import FvcEncoder
     from flutpu.codec.ops.testsrc import gradient_ball_frames
 
-    enc = FvcEncoder(quality=85, motion=motion)
+    enc = FvcEncoder(quality=85, motion=motion, bframes=bframes)
 
     def planar_src(ph, pw, n, start):
         # channel-planar source (round 4): i420 stage measured +7.3 ms/GOP
@@ -308,6 +309,8 @@ def bench_fvc(gops=6, motion=False):
     dt = time.time() - t0
     pool.shutdown()
     name = "fvc_motion_encode_fps" if motion else "fvc_encode_fps"
+    if bframes:
+        name = f"fvc_motion_b{bframes}_encode_fps"
     report(name, gops * 8 / dt, "frames/s",
            kbytes_per_gop=round(total / gops / 1024, 1))
 
@@ -327,6 +330,8 @@ def main():
     if "fvc" in which:
         bench_fvc(gops=gops)
         bench_fvc(gops=gops, motion=True)
+    if "fvc-b" in which:
+        bench_fvc(gops=gops, motion=True, bframes=1)
     if "full4k" in which:
         # explicit-only: first-time 4K-shaped compiles through a tunneled
         # remote compiler can take extremely long (observed >1h on axon);

@@ -29,12 +29,16 @@ def main():
     v1 = FvcEncoder(quality=85).encode_chunk(frames)
     v2 = FvcEncoder(quality=85, motion=True,
                     search_range=7).encode_chunk(frames)
+    v2b = FvcEncoder(quality=85, motion=True, search_range=7,
+                     bframes=2).encode_chunk(frames)
     print(f"v1 (DCT residuals):        {len(v1):7d} bytes")
     print(f"v2 (motion-compensated):   {len(v2):7d} bytes "
           f"({100 * len(v2) / len(v1):.1f}% of v1)")
+    print(f"v2 + B frames (bframes=2): {len(v2b):7d} bytes "
+          f"({100 * len(v2b) / len(v1):.1f}% of v1)")
 
     dec = FvcDecoder()
-    for name, blob in (("v1", v1), ("v2", v2)):
+    for name, blob in (("v1", v1), ("v2", v2), ("v2b", v2b)):
         out, info = dec.decode_chunk(blob)
         ps = [psnr(frames[i], out[i]) for i in range(n)]
         print(f"{name}: frame types {info['types'][:6]}..., "

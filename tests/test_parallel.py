@@ -270,13 +270,27 @@ class TestTpuHypeFvc:
         assert dec.shape == (6, 48, 64, 3)
 
     def test_bframes_rejects_spatial_and_subpel(self):
-        import pytest
-        with pytest.raises(ValueError):
-            self._run("tpuhype gop-size=2 chunks=2 spatial=2 quality=90 "
-                      "codec=fvc-motion bframes=1", n=8)
-        with pytest.raises(ValueError):
-            self._run("tpuhype gop-size=2 chunks=4 quality=90 "
-                      "codec=fvc-motion subpel=true bframes=1", n=8)
+        """The invalid combinations surface as flow errors on the chain
+        (Pad.chain converts element exceptions — the error-containment
+        contract), not silent misencodes."""
+        from flutpu.core import Buffer, FlowReturn, Harness, MSECOND
+        from flutpu.core.elements import make_test_frame
+        for launch in (
+                "tpuhype gop-size=2 chunks=2 spatial=2 quality=90 "
+                "codec=fvc-motion bframes=1",
+                "tpuhype gop-size=2 chunks=4 quality=90 "
+                "codec=fvc-motion subpel=true bframes=1"):
+            h = Harness(launch)
+            h.set_src_caps(self.CAPS)
+            ret = FlowReturn.OK
+            for i in range(8):
+                ret = h.push(Buffer(
+                    make_test_frame("ball", 64, 48, i),
+                    pts=i * MSECOND, duration=MSECOND, offset=i))
+                if ret != FlowReturn.OK:
+                    break
+            assert ret == FlowReturn.ERROR, launch
+            h.teardown()
 
 
 class TestSpatialFvcMotion:
