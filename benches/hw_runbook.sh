@@ -1,8 +1,16 @@
 #!/bin/bash
 # Hardware runbook — run (in background) the moment the axon link recovers.
-# Ordered cheapest-first so a mid-run link loss still yields data; the 4K
-# first-time compiles (the risky remote compiles, per CLAUDE.md) go LAST.
+# Ordered cheapest-first so a mid-run link loss still yields data; first-time
+# compiles of NEW shapes (the risky remote compiles, per CLAUDE.md) go LAST.
 # Logs to /tmp/hw_runbook.log; every step is timeout-bounded.
+#
+# Round-4 session-4 goals:
+#   1. fresh headline capture (warms /tmp/flutpu-jax-cache for the driver)
+#   2. planar-era device-budget decomposition (stage_split.py full-program
+#      arms + the labeled cut probes) — decides whether a fused Pallas
+#      front end (convert+DCT+quant for materialized-input paths) is worth
+#      building
+#   3. B-frame element-level fps (bench_all fvc-b)
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/hw_runbook.log
@@ -23,20 +31,13 @@ fi
 say "bench.py headline"
 timeout 2400 python bench.py >>"$LOG" 2>&1
 
-# 2. 4K chroma-MC A/B: banded kernel vs XLA chroma (verdict #6 hardware half)
-say "ab_motion 4K chroma A/B"
-timeout 2400 python benches/ab_motion.py kernel_full_4k xla_chroma_4k >>"$LOG" 2>&1
+# 2. planar-era stage decomposition (cached shapes; cheap)
+say "stage_split 1080p full-program arms"
+timeout 2400 python benches/stage_split.py >>"$LOG" 2>&1
 
-# 3. 4K chroma bit-identity ON HARDWARE (interpret mode has lied before)
-say "ab_motion --verify-chroma-4k (hardware)"
-timeout 1800 python benches/ab_motion.py --verify-chroma-4k >>"$LOG" 2>&1
-
-# 4. 1080p stage split refresh (cached programs; cheap)
-say "stage_split_fvc 1080p"
-timeout 2400 python benches/stage_split_fvc.py >>"$LOG" 2>&1
-
-# 5. 4K stage split — the big first-time compiles, last
-say "stage_split_fvc 4K"
-STAGE_4K=1 timeout 3600 python benches/stage_split_fvc.py >>"$LOG" 2>&1
+# 3. B-frame element fps (new program family: bframes through the
+#    threaded-finalize pipeline)
+say "bench_all fvc-b"
+timeout 2400 python benches/bench_all.py fvc-b >>"$LOG" 2>&1
 
 say "runbook done"

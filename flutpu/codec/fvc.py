@@ -332,12 +332,15 @@ def _bframe_structure(f: int, bframes: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "pad_h", "pad_w", "search_range", "bframes", "hier", "planar"))
+    "pad_h", "pad_w", "search_range", "bframes", "hier", "planar",
+    "spatial_axis", "n_spatial"))
 def fvc_mc_encode_chunk_b(frames, qy, qc, pad_h: int, pad_w: int,
                           search_range: int = 7, bframes: int = 1,
                           hier: bool = False,
                           planar: Optional[bool] = None,
-                          qy_b=None, qc_b=None):
+                          qy_b=None, qc_b=None,
+                          spatial_axis: Optional[str] = None,
+                          n_spatial: int = 1):
     """Bidirectional chunk encode (FVC v2 + flags bit 5).
 
     Anchor frames (every ``bframes+1``, plus the last frame) run the same
@@ -358,6 +361,15 @@ def fvc_mc_encode_chunk_b(frames, qy, qc, pad_h: int, pad_w: int,
       modes       (F, mbh, mbw) int8 per-macroblock B prediction mode
                   (0=bi 1=fwd 2=bwd 3=flat; zero for anchors)
       ftypes      (F,) int8 — 0=P anchor, 1=I anchor, 2=B
+
+    ``spatial_axis``/``n_spatial`` (round 4): sequence-parallel mode —
+    ``frames`` is a row STRIPE of the real frame inside a shard_map, and
+    both the anchor scan and the parallel B pass exchange ±r halo rows
+    with ring ppermutes over ICI (ops/motion.py striped formulations;
+    bit-identical per pixel to the unsharded codec, like
+    fvc_mc_encode_chunk's spatial arm). The anchor frame-type decision
+    psum-reduces; the per-macroblock B mode decision is stripe-local
+    because stripes are macroblock-aligned.
     """
     from .ops.colorspace import planes_to_i420, rgb_to_i420
     from .ops.dct import blockize, plane_dct_planar, plane_idct_planar
@@ -408,8 +420,12 @@ def fvc_mc_encode_chunk_b(frames, qy, qc, pad_h: int, pad_w: int,
         rec_resid = plane_idct_planar(dequantize_planar(cp, qtab))
         return (zigzag_flatten(blockize(cp)).astype(jnp.int16), rec_resid)
 
+    if spatial_axis is not None and hier:
+        raise ValueError("spatial sharding supports full-search "
+                         "integer-pel motion only")
     import os
     use_kernel = (jax.default_backend() != "cpu"
+                  and spatial_axis is None
                   and not os.environ.get("FLUTPU_NO_MOTION_KERNEL"))
     if use_kernel:
         from .ops.motion_pallas import (chroma_mc_fits, chroma_mc_pallas,
@@ -434,6 +450,26 @@ def fvc_mc_encode_chunk_b(frames, qy, qc, pad_h: int, pad_w: int,
                                           search_range=search_range, mb=8),
                         motion_compensate(pcr, mv,
                                           search_range=search_range, mb=8))
+    elif spatial_axis is not None:
+        from .ops.motion import (exchange_row_halos,
+                                 motion_compensate_striped,
+                                 motion_search_striped)
+        rc_halo = (search_range + 1) // 2
+
+        def search_mc(cy, ref):
+            ph = exchange_row_halos(ref, search_range, spatial_axis,
+                                    n_spatial)
+            mv = motion_search_striped(cy, ph, search_range=search_range)
+            return mv, motion_compensate_striped(ph, mv, search_range,
+                                                 search_range)
+
+        def mc_chroma(pcb, pcr, mv):
+            def one(p):
+                return motion_compensate_striped(
+                    exchange_row_halos(p, rc_halo, spatial_axis,
+                                       n_spatial),
+                    mv, rc_halo, search_range, mb=8)
+            return one(pcb), one(pcr)
     else:
         def search_mc(cy, ref):
             search = motion_search_hier if hier else motion_search
@@ -459,6 +495,10 @@ def fvc_mc_encode_chunk_b(frames, qy, qc, pad_h: int, pad_w: int,
         mv, pred_p_y = search_mc(cy, rec_y)
         sad_p = jnp.abs(cy - pred_p_y).sum()
         sad_i = jnp.abs(cy - 128.0).sum()
+        if spatial_axis is not None:
+            # all stripes must make the SAME frame-type decision
+            sad_p = jax.lax.psum(sad_p, spatial_axis)
+            sad_i = jax.lax.psum(sad_i, spatial_axis)
         is_i = (idx == 0) | (sad_i < sad_p)
         mv = jnp.where(is_i, jnp.zeros_like(mv), mv)
         pred_y = jnp.where(is_i, 128.0, pred_p_y)

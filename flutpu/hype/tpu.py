@@ -67,7 +67,8 @@ class TpuHype(VideoEncoder):
                                       "round-2 hardware A/B)"),
         PropertySpec("bframes", 0, "fvc-motion B frames between anchors "
                                    "(chunk-local bidirectional prediction; "
-                                   "not combinable with spatial/subpel)"),
+                                   "composes with spatial striping, not "
+                                   "with subpel)"),
     ]
 
     def __init__(self, name: Optional[str] = None, **props):
@@ -195,9 +196,8 @@ class TpuHype(VideoEncoder):
                             str(self.get_property("search")) == "hier"):
             raise ValueError("codec=fvc spatial striping supports "
                              "full-search integer-pel motion (and v1)")
-        if bframes and (spatial > 1 or subpel):
-            raise ValueError("bframes supports neither spatial striping "
-                             "nor subpel")
+        if bframes and subpel:
+            raise ValueError("bframes does not support subpel")
         bquality = max(10, jenc.quality - 8) if bframes else None
         qyb = qcb = None
         if bframes:

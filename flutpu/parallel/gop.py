@@ -99,18 +99,20 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
 
     Returns (ry, rcb, rcr) int16 residual planes, plus mvs int8 and
     itypes int8 when ``motion`` (the v2 hybrid loop per chunk). With
-    ``bframes`` > 0 (motion mode, not spatial) each chunk runs the
-    bidirectional structure instead and the return is
-    (ry, rcb, rcr, fwd, bwd, modes, ftypes) — still zero collectives:
-    B-frame anchors are chunk-local. H/W must be multiples of 16 (pad
+    ``bframes`` > 0 (motion mode) each chunk runs the bidirectional
+    structure instead and the return is
+    (ry, rcb, rcr, fwd, bwd, modes, ftypes) — zero collectives in the
+    chunk direction (B-frame anchors are chunk-local); composed with
+    ``spatial``, both the anchor scan and the B pass stripe with halo
+    ppermutes like the P path. H/W must be multiples of 16 (pad
     upstream).
     """
     from ..codec.fvc import (fvc_mc_encode_chunk, fvc_mc_encode_chunk_b,
                              fvc_residuals)
 
-    if bframes and (not motion or spatial or subpel):
-        raise ValueError("bframes needs motion=True and supports neither "
-                         "spatial striping nor subpel")
+    if bframes and (not motion or subpel):
+        raise ValueError("bframes needs motion=True and does not "
+                         "support subpel")
 
     h, w = frames.shape[2], frames.shape[3]
 
@@ -138,7 +140,7 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
             return fvc_mc_encode_chunk_b(
                 chunk, qy, qc, pad_h=h_local, pad_w=w,
                 search_range=search_range, bframes=bframes, hier=hier,
-                qy_b=qyb, qc_b=qcb)
+                qy_b=qyb, qc_b=qcb, spatial_axis=sp_axis, n_spatial=n_sp)
         return jax.vmap(one)(fr)
 
     # check_vma=False: the motion arm runs pallas_call (search+predict,
@@ -161,10 +163,17 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         in_spec = P("chunk", None, None, None, None)
         out_specs = (P("chunk"),) * (5 if motion else 3)
     if bframes:
+        if spatial:
+            # residuals stripe on the block-row axis, vector/mode fields
+            # on the macroblock-row axis; ftypes are psum-identical
+            # across stripes → replicated over 'spatial'
+            out_specs_b = (P("chunk", None, "spatial"),) * 6 + (P("chunk"),)
+        else:
+            out_specs_b = (P("chunk"),) * 7
         fn = shard_map(
             local_mc_b, mesh=mesh,
             in_specs=(in_spec, P(), P(), P(), P()),
-            out_specs=(P("chunk"),) * 7, check_vma=False)
+            out_specs=out_specs_b, check_vma=False)
         return fn(frames, qy, qc,
                   qy if qy_b is None else qy_b,
                   qc if qc_b is None else qc_b)

@@ -269,28 +269,25 @@ class TestTpuHypeFvc:
             b"".join(bytes(c.data) for c in chunks))
         assert dec.shape == (6, 48, 64, 3)
 
-    def test_bframes_rejects_spatial_and_subpel(self):
-        """The invalid combinations surface as flow errors on the chain
+    def test_bframes_rejects_subpel(self):
+        """The invalid combination surfaces as a flow error on the chain
         (Pad.chain converts element exceptions — the error-containment
-        contract), not silent misencodes."""
+        contract), not a silent misencode."""
         from flutpu.core import Buffer, FlowReturn, Harness, MSECOND
         from flutpu.core.elements import make_test_frame
-        for launch in (
-                "tpuhype gop-size=2 chunks=2 spatial=2 quality=90 "
-                "codec=fvc-motion bframes=1",
-                "tpuhype gop-size=2 chunks=4 quality=90 "
-                "codec=fvc-motion subpel=true bframes=1"):
-            h = Harness(launch)
-            h.set_src_caps(self.CAPS)
-            ret = FlowReturn.OK
-            for i in range(8):
-                ret = h.push(Buffer(
-                    make_test_frame("ball", 64, 48, i),
-                    pts=i * MSECOND, duration=MSECOND, offset=i))
-                if ret != FlowReturn.OK:
-                    break
-            assert ret == FlowReturn.ERROR, launch
-            h.teardown()
+        launch = ("tpuhype gop-size=2 chunks=4 quality=90 "
+                  "codec=fvc-motion subpel=true bframes=1")
+        h = Harness(launch)
+        h.set_src_caps(self.CAPS)
+        ret = FlowReturn.OK
+        for i in range(8):
+            ret = h.push(Buffer(
+                make_test_frame("ball", 64, 48, i),
+                pts=i * MSECOND, duration=MSECOND, offset=i))
+            if ret != FlowReturn.OK:
+                break
+        assert ret == FlowReturn.ERROR, launch
+        h.teardown()
 
 
 class TestSpatialFvcMotion:
@@ -329,6 +326,29 @@ class TestSpatialFvcMotion:
                                           np.asarray(e[0]))
             np.testing.assert_array_equal(np.asarray(rcb[c]),
                                           np.asarray(e[1]))
+
+    def test_striped_bframes_matches_unsharded(self, qtabs):
+        """bframes + spatial (round 4 final): the anchor scan AND the
+        parallel B pass stripe with halo ppermutes; every output field
+        must equal the unsharded bidirectional codec."""
+        from flutpu.codec.fvc import fvc_mc_encode_chunk_b
+        from flutpu.parallel.gop import fvc_chunks_sharded
+        qy, qc = qtabs
+        frames = self._moving(f=4)
+        mesh = make_chunk_spatial_mesh(2, 4)
+        out = fvc_chunks_sharded(frames, qy, qc, mesh, motion=True,
+                                 search_range=3, spatial=True, bframes=1)
+        ry, rcb, rcr, fwd, bwd, modes, ftypes = out
+        assert fwd.shape == (2, 4, 4, 2, 2)
+        assert modes.shape == (2, 4, 4, 2)
+        for c in range(2):
+            e = fvc_mc_encode_chunk_b(frames[c], qy, qc, pad_h=64,
+                                      pad_w=32, search_range=3, bframes=1)
+            for got, want, name in zip(
+                    (ry, rcb, rcr, fwd, bwd, modes, ftypes), e,
+                    ("ry", "rcb", "rcr", "fwd", "bwd", "modes", "ftypes")):
+                np.testing.assert_array_equal(
+                    np.asarray(got[c]), np.asarray(want), err_msg=name)
 
     def test_striped_v1_matches_unsharded(self, qtabs):
         """v1 (temporal coefficient deltas) stripes with zero halos."""
@@ -377,6 +397,33 @@ class TestTpuHypeFvcSpatial:
             b"".join(bytes(c.data) for c in chunks))
         assert dec.shape == (8, 48, 64, 3)
         for i in (0, 3, 7):
+            assert psnr(np.asarray(frames[i]), dec[i]) > 30, i
+
+    def test_fvc_motion_spatial_bframes_decode(self):
+        """spatial=2 + bframes=1 through the element: streams carry both
+        the coded-size extension (bit 4) and the B structure (bit 5) and
+        decode like any other fvc stream."""
+        from flutpu.codec.fvc import FvcDecoder
+        from flutpu.codec.jpeg import psnr
+        from flutpu.core import Buffer, Harness, MSECOND
+        from flutpu.core.elements import make_test_frame
+        h = Harness("tpuhype gop-size=4 chunks=2 spatial=2 quality=90 "
+                    "codec=fvc-motion search-range=3 bframes=1")
+        h.set_src_caps(self.CAPS)
+        frames = [make_test_frame("ball", 64, 48, i) for i in range(8)]
+        for i, f in enumerate(frames):
+            h.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        h.push_eos()
+        chunks = []
+        while (b := h.try_pull(timeout=30)) is not None:
+            chunks.append(b)
+        h.teardown()
+        assert [c.pts for c in chunks] == sorted(c.pts for c in chunks)
+        assert all(bytes(c.data)[5] & 32 for c in chunks), "bit 5 (B)"
+        dec = FvcDecoder().decode_stream(
+            b"".join(bytes(c.data) for c in chunks))
+        assert dec.shape == (8, 48, 64, 3)
+        for i in (0, 1, 5, 7):
             assert psnr(np.asarray(frames[i]), dec[i]) > 30, i
 
     def test_fvc_v1_spatial_chunks_decode(self):
