@@ -48,21 +48,26 @@ def parse_rungs(spec: str) -> List[Rung]:
 
 
 def encode_ladder_chunk(frames, rungs: List[Rung], motion: bool = False,
-                        encoders: Optional[dict] = None) -> List[bytes]:
+                        encoders: Optional[dict] = None,
+                        bframes: int = 0) -> List[bytes]:
     """(F, H, W, 3) uint8 (numpy or device) → one FVC chunk per rung.
 
     Scaling runs on device (jitted bilinear, static output shapes) feeding
     each rung's fused encode program; pass a dict to reuse encoder
-    instances (and their compiled programs) across chunks."""
+    instances (and their compiled programs) across chunks. ``bframes``
+    (motion mode) encodes bidirectional B frames per rung — the
+    bandwidth-constrained serving case B frames exist for (7-33% smaller
+    streams at near-equal PSNR, PERF.md B-frames table)."""
     dev = jnp.asarray(frames)
     out = []
     for r in rungs:
         scaled = jnp.clip(scale_bilinear(dev, r.height, r.width) + 0.5,
                           0, 255).astype(jnp.uint8)
-        key = (r.width, r.height, r.quality, motion)
+        key = (r.width, r.height, r.quality, motion, bframes)
         enc = None if encoders is None else encoders.get(key)
         if enc is None:
-            enc = FvcEncoder(quality=r.quality, motion=motion)
+            enc = FvcEncoder(quality=r.quality, motion=motion,
+                             bframes=bframes if motion else 0)
             if encoders is not None:
                 encoders[key] = enc
         out.append(enc.encode_chunk(scaled))
@@ -81,6 +86,10 @@ class FvcLadderEnc(Element):
                      "setting it (re)builds one src_%u pad per rung"),
         PropertySpec("gop-size", 8),
         PropertySpec("motion", False, "v2 hybrid codec per rung"),
+        PropertySpec("bframes", 0, "B frames between anchors per rung "
+                     "(motion mode): smaller streams for the "
+                     "bandwidth-constrained serving case the adaptive "
+                     "ladder exists for"),
         PropertySpec("adaptive", False, "add a src_active pad carrying, per "
                      "chunk, the highest rung whose bitrate fits the "
                      "bwmeter's conservative bandwidth estimate — the "
@@ -156,7 +165,8 @@ class FvcLadderEnc(Element):
         frames = np.stack([np.asarray(b.data) for b in batch])
         chunks = encode_ladder_chunk(
             frames, self.rungs, motion=bool(self.get_property("motion")),
-            encoders=self._encoders)
+            encoders=self._encoders,
+            bframes=int(self.get_property("bframes")))
         first, last = batch[0], batch[-1]
         dur = None
         if first.pts is not None and last.pts is not None:

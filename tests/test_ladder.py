@@ -50,6 +50,57 @@ def test_ladder_element_three_rungs():
     assert sum(map(len, lo_chunks)) < sum(map(len, hi_chunks))
 
 
+def test_ladder_bframes_rungs_decode_and_shrink():
+    """bframes=1 on the ladder (the serving case B frames exist for):
+    every rung stream carries the B structure (header flags bit 5),
+    decodes with the stock decoder, and is smaller than the b0 rung on
+    NOISY content (the regime B frames win in — PERF.md B-frames table;
+    on tiny clean geometries the doubled anchor spacing can cost more
+    than B saves, a documented content tradeoff)."""
+    rng = np.random.default_rng(3)
+    frames = [np.clip(
+        np.asarray(make_test_frame("ball", 128, 96, i)).astype(np.int16)
+        + rng.normal(0, 6, (96, 128, 3)).astype(np.int16),
+        0, 255).astype(np.uint8) for i in range(8)]
+
+    def run(bframes):
+        p = parse_launch(
+            "appsrc name=src caps='video/x-raw, format=RGB, width=128, "
+            "height=96, framerate=30/1' "
+            f"! fvcladderenc name=lad rungs='128x96@85,64x48@80' "
+            f"gop-size=8 motion=true bframes={bframes} "
+            "lad.src_0 ! appsink name=hi "
+            "lad.src_1 ! appsink name=lo")
+        src = p.get_by_name("src")
+        sinks = [p.get_by_name("hi"), p.get_by_name("lo")]
+        p.play()
+        for i, f in enumerate(frames):
+            src.push(Buffer(f, pts=i * MSECOND, duration=MSECOND, offset=i))
+        src.end_of_stream()
+        outs = []
+        for s in sinks:
+            chunks = []
+            while (b := s.try_pull_buffer(timeout=10)) is not None:
+                chunks.append(bytes(b.data))
+            outs.append(b"".join(chunks))
+        p.stop()
+        return outs
+
+    hi_b, lo_b = run(1)
+    hi_0, lo_0 = run(0)
+    for blob in (hi_b, lo_b):
+        assert blob[5] & 32, "flags bit 5 (B frames)"
+    dhi = FvcDecoder().decode_stream(hi_b)
+    assert dhi.shape == (8, 96, 128, 3)
+    assert psnr(frames[5], dhi[5]) > 30
+    assert FvcDecoder().decode_stream(lo_b).shape == (8, 48, 64, 3)
+    # the full-res rung shrinks (noisy content, the B-win regime); the
+    # downscale smooths the noise off the tiny rung, where B may cost a
+    # few percent — the documented content tradeoff
+    assert len(hi_b) < len(hi_0)
+    assert len(lo_b) <= len(lo_0) * 1.05
+
+
 def test_parse_rungs_garbage():
     import pytest
     for bad in ("", "x", "12x", "@85", "axb@c"):
