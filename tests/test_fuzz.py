@@ -43,6 +43,37 @@ class TestFvcFuzz:
                 with pytest.raises(ValueError):
                     FvcDecoder().decode_chunk(chunk[:cut])
 
+    def test_bframes_truncations_never_crash(self):
+        """B streams (flags bit 5: bquality byte, fwd+bwd+mode fields) —
+        every prefix truncation raises ValueError too."""
+        frames = np.random.default_rng(4).integers(
+            0, 256, (4, 32, 32, 3), np.uint8)
+        chunk = FvcEncoder(quality=80, motion=True,
+                           bframes=1).encode_chunk(frames)
+        for cut in range(4, len(chunk) - 1, max(1, len(chunk) // 31)):
+            with pytest.raises(ValueError):
+                FvcDecoder().decode_chunk(chunk[:cut])
+
+    def test_bframes_bitflips_contained(self):
+        """Single-byte corruptions of a B stream either raise ValueError
+        or decode to the right shape — zlib'd vector/mode fields and the
+        mode-plane selection must not escape containment."""
+        frames = np.random.default_rng(5).integers(
+            0, 256, (4, 32, 32, 3), np.uint8)
+        chunk = bytearray(FvcEncoder(quality=80, motion=True,
+                                     bframes=2).encode_chunk(frames))
+        rng = _rng()
+        for _ in range(32):
+            pos = int(rng.integers(12, len(chunk)))
+            orig = chunk[pos]
+            chunk[pos] ^= 0xFF
+            try:
+                out, _ = FvcDecoder().decode_chunk(bytes(chunk))
+                assert out.shape == frames.shape
+            except ValueError:
+                pass
+            chunk[pos] = orig
+
     def test_bitflips_contained(self):
         """Single-byte corruptions either raise ValueError or decode to
         frames of the right shape — never crash with anything else."""
