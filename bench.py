@@ -203,7 +203,7 @@ def measure_device_ms_per_gop(reps: int = 8):
     import jax
     import jax.numpy as jnp
     from flutpu.codec.jpeg import JpegEncoder
-    from flutpu.codec.jpeg import encode_gop_planes_to_coefs
+    from flutpu.codec.jpeg import _planes_front_end
     from flutpu.codec.ops.entropy import (encode_gop_scans_combined,
                                           encode_gop_scans_segmented,
                                           mcu_layout)
@@ -219,7 +219,9 @@ def measure_device_ms_per_gop(reps: int = 8):
         def body(i, acc):
             r, g, b = gradient_ball_planes(
                 PH, PW, GOP, start + i.astype(jnp.float32) * GOP)
-            yq, cbq, crq = encode_gop_planes_to_coefs(
+            # the PRODUCT front end (kernel-or-XLA dispatcher) so this
+            # metric tracks the shipped program, not one formulation
+            yq, cbq, crq = _planes_front_end(
                 r, g, b, qy, qc, pad_h=PH, pad_w=PW, subsample=True)
             if segmented:
                 c = encode_gop_scans_segmented(

@@ -22,6 +22,15 @@ load-independent device-time shape of bench.measure_device_ms_per_gop):
                         blend prep and keeps the source fused (+1.2-2.2
                         ms/GOP measured) — the boundary is an
                         argument-read cost, not a blend cost
+  planar_barrier      — the XLA front end reading MATERIALIZED planes
+                        (optimization_barrier after the source): the
+                        host-fed / post-boundary shape
+  kernel_plain        — the fused Pallas front end (ops/frontend_pallas)
+                        reading the same materialized planes: blend-free
+                        A/B partner of planar_barrier
+  kernel_burnin       — materialized planes + overlay planes, blend
+                        FOLDED INTO the kernel: A/B partner of
+                        planar_seg_burnin (the product burn-in shape)
   src_only / coefs_cut — two CUT-POINT probes kept for continuity,
                         labeled as such: deltas against full programs
                         are NOT valid stage attributions.
@@ -101,11 +110,35 @@ def main():
             yq, cbq, crq, layout=layout, prefix_words=PREFIX,
             use_pallas=enc.use_pallas)
 
+    from flutpu.codec.ops.dct import blockize
+    from flutpu.codec.ops.frontend_pallas import front_end_pallas
+    from flutpu.codec.ops.quant import zigzag_flatten
+
+    # overlay as channel planes for the kernel-fold arm (pre-split once
+    # per subtitle interval in the product path — amortized)
+    ovp = tuple(jnp.asarray(ov_np[..., c]) for c in (2, 1, 0, 3))
+
     def arm(start, ov_arg, mode):
         if mode == "src_only":
             r, g, b = gradient_ball_planes(PH, PW, GOP, start)
             return (r.astype(jnp.uint32).sum() + g.astype(jnp.uint32).sum()
                     + b.astype(jnp.uint32).sum())
+        if mode.startswith("kernel_") or mode == "planar_barrier":
+            r, g, b = gradient_ball_planes(PH, PW, GOP, start)
+            if mode == "planar_barrier":
+                r, g, b = jax.lax.optimization_barrier((r, g, b))
+                yq, cbq, crq = encode_gop_planes_to_coefs(
+                    r, g, b, enc._qy_dev, enc._qc_dev,
+                    pad_h=PH, pad_w=PW, subsample=True)
+            else:
+                ovk = ovp if mode == "kernel_burnin" else None
+                yp, cbp, crp = front_end_pallas(
+                    r, g, b, enc._qy_dev, enc._qc_dev, overlay_planes=ovk,
+                    interpret=jax.default_backend() == "cpu")
+                yq = zigzag_flatten(blockize(yp))
+                cbq = zigzag_flatten(blockize(cbp))
+                crq = zigzag_flatten(blockize(crp))
+            return entropy(yq, cbq, crq).astype(jnp.uint32).sum()
         if mode == "interleaved_segmented":
             yq, cbq, crq = encode_gop_to_coefs(
                 gradient_ball_frames(PH, PW, GOP, start),
@@ -139,8 +172,12 @@ def main():
     x8 = jnp.ones((8, 8), jnp.float32)
     float(tiny(x8))
     arms = ("planar_segmented", "planar_concat_v3", "interleaved_segmented",
-            "planar_seg_burnin", "planar_seg_burnin_const", "src_only",
-            "coefs_cut")
+            "planar_seg_burnin", "planar_seg_burnin_const",
+            "planar_barrier", "kernel_plain", "kernel_burnin",
+            "src_only", "coefs_cut")
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if only:
+        arms = tuple(a for a in arms if a in only)
     for mode in arms:
         int(loop(jnp.float32(0), ov, mode))   # compile
         best = float("inf")

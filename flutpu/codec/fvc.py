@@ -672,8 +672,11 @@ def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
     from .ops.entropy import (encode_gop_scans_combined,
                               encode_gop_scans_segmented)
     if isinstance(frames, (tuple, list)):
-        from .jpeg import encode_gop_planes_to_coefs
-        coefs = encode_gop_planes_to_coefs(
+        # kernel-or-XLA front end (jpeg._planes_front_end): v1 residuals
+        # accumulate in the quantized-coefficient domain, so the
+        # formulation choice cannot drift a P chain
+        from .jpeg import _planes_front_end
+        coefs = _planes_front_end(
             *frames, qy, qc, pad_h=pad_h, pad_w=pad_w, subsample=subsample)
     else:
         coefs = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,

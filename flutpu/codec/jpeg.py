@@ -148,6 +148,49 @@ def encode_gop_planes_to_coefs(r: jax.Array, g: jax.Array, b: jax.Array,
     return _plane_to_zz(y, qy), _plane_to_zz(cb, qc), _plane_to_zz(cr, qc)
 
 
+def _planes_front_end(r, g, b, qy, qc, pad_h: int, pad_w: int,
+                      subsample: bool, overlay=None):
+    """Front-end dispatcher: the fused Pallas kernel
+    (ops/frontend_pallas: blend → convert → 4:2:0 → DCT → quantize, one
+    HBM read + one write per band) on accelerators when the padded shape
+    fits — round-4 hardware A/B: 15.5 vs 27.6 ms/GOP on materialized
+    planes, 17.3 vs 28.5 with the burn-in blend folded in — the XLA
+    formulation otherwise (CPU, f32 inputs, 4:4:4, odd shapes,
+    FLUTPU_NO_FRONTEND_KERNEL=1 for A/Bs). The kernel's DCT runs
+    exact-f32-class (HIGHEST) vs the XLA arm's bf16_3x: equal quality and
+    size at every tested q (the PERF.md round-2 precision gate), but the
+    two arms' streams can differ on rounding razor ties — both are valid
+    and self-consistent; intra/coefficient-domain consumers (JPEG, FVC
+    v1) carry no cross-frame recon state that could drift."""
+    from ..core.env import env_flag
+    from .ops.frontend_pallas import front_end_fits, front_end_pallas
+    use_kernel = (jax.default_backend() != "cpu" and subsample
+                  and r.dtype == jnp.uint8
+                  and front_end_fits(pad_h, pad_w)
+                  and not env_flag("FLUTPU_NO_FRONTEND_KERNEL", False))
+    if not use_kernel:
+        if overlay is not None:
+            from ..ttml.render import overlay_on_planes
+            r, g, b = overlay_on_planes(r, g, b, overlay)
+        return encode_gop_planes_to_coefs(r, g, b, qy, qc, pad_h=pad_h,
+                                          pad_w=pad_w, subsample=subsample)
+    f, h, w = r.shape
+    if (pad_h, pad_w) != (h, w):
+        def pad(p):
+            return jnp.pad(p, ((0, 0), (0, pad_h - h), (0, pad_w - w)),
+                           mode="edge")
+        r, g, b = pad(r), pad(g), pad(b)
+    ovp = None
+    if overlay is not None:
+        # overlay planes from the (H, W, 4) BGRA argument — one
+        # interleaved read per program; overlays change per subtitle
+        # interval, the frames every GOP
+        ovp = tuple(overlay[..., c] for c in (2, 1, 0, 3))
+    yp, cbp, crp = front_end_pallas(r, g, b, qy, qc, overlay_planes=ovp)
+    return (zigzag_flatten(blockize(yp)), zigzag_flatten(blockize(cbp)),
+            zigzag_flatten(blockize(crp)))
+
+
 # ----------------------------------------------------------------------------
 # host: headers
 # ----------------------------------------------------------------------------
@@ -200,11 +243,9 @@ def _gop_dispatch_program_src(start, qy, qc, overlay, src_fn, pad_h, pad_w,
         # measured 8.7 ms/GOP cheaper at 1080p (the (w, 3) tile padding
         # tax; see encode_gop_to_coefs)
         r, g, b = frames
-        if overlay is not None:
-            from ..ttml.render import overlay_on_planes
-            r, g, b = overlay_on_planes(r, g, b, overlay)
-        yq, cbq, crq = encode_gop_planes_to_coefs(
-            r, g, b, qy, qc, pad_h=pad_h, pad_w=pad_w, subsample=subsample)
+        yq, cbq, crq = _planes_front_end(
+            r, g, b, qy, qc, pad_h=pad_h, pad_w=pad_w,
+            subsample=subsample, overlay=overlay)
     else:
         if overlay is not None:
             from ..ttml.render import overlay_on_frames

@@ -95,3 +95,21 @@ class TestKernelLowering:
         z = jnp.zeros((2, h, w), jnp.float32)
         c = jnp.zeros((2, h // 2, w // 2), jnp.float32)
         _lower(bpass, z, z, z, c, c)
+
+    @pytest.mark.parametrize("shape,overlay", [
+        ((1088, 1920), False), ((2176, 3840), False),
+        ((1088, 1920), True), ((480, 640), False)],
+        ids=["1080p", "4k", "1080p-burnin", "480p"])
+    def test_frontend_kernel(self, shape, overlay):
+        """Fused convert+subsample+DCT+quant front end (round 4), with
+        and without the in-kernel overlay blend."""
+        from flutpu.codec.ops.frontend_pallas import front_end_pallas
+        from flutpu.codec.ops.quant import (CHROMA_QTABLE, LUMA_QTABLE,
+                                            scale_qtable)
+        h, w = shape
+        qy = jnp.asarray(scale_qtable(LUMA_QTABLE, 85))
+        qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, 85))
+        p = jnp.zeros((2, h, w), jnp.uint8)
+        ovp = (jnp.zeros((h, w), jnp.uint8),) * 4 if overlay else None
+        _lower(lambda r, g, b, o=None: front_end_pallas(
+            r, g, b, qy, qc, overlay_planes=o), p, p, p, ovp)
