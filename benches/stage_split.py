@@ -123,6 +123,21 @@ def main():
             r, g, b = gradient_ball_planes(PH, PW, GOP, start)
             return (r.astype(jnp.uint32).sum() + g.astype(jnp.uint32).sum()
                     + b.astype(jnp.uint32).sum())
+        if mode == "interleaved_kernel":
+            # host-fed interleaved shape: materialized (F, H, W, 3) arg
+            # (the barrier) → plane extraction → kernel. A/B partner of
+            # interleaved_segmented, which converts straight from the
+            # interleaved layout.
+            frames = jax.lax.optimization_barrier(
+                gradient_ball_frames(PH, PW, GOP, start))
+            r, g, b = frames[..., 0], frames[..., 1], frames[..., 2]
+            yp, cbp, crp = front_end_pallas(
+                r, g, b, enc._qy_dev, enc._qc_dev,
+                interpret=jax.default_backend() == "cpu")
+            yq = zigzag_flatten(blockize(yp))
+            cbq = zigzag_flatten(blockize(cbp))
+            crq = zigzag_flatten(blockize(crp))
+            return entropy(yq, cbq, crq).astype(jnp.uint32).sum()
         if mode.startswith("kernel_") or mode == "planar_barrier":
             r, g, b = gradient_ball_planes(PH, PW, GOP, start)
             if mode == "planar_barrier":
@@ -139,10 +154,13 @@ def main():
                 cbq = zigzag_flatten(blockize(cbp))
                 crq = zigzag_flatten(blockize(crp))
             return entropy(yq, cbq, crq).astype(jnp.uint32).sum()
-        if mode == "interleaved_segmented":
+        if mode in ("interleaved_segmented", "interleaved_barrier"):
+            frames = gradient_ball_frames(PH, PW, GOP, start)
+            if mode == "interleaved_barrier":
+                # the host-fed shape: frames as a materialized argument
+                frames = jax.lax.optimization_barrier(frames)
             yq, cbq, crq = encode_gop_to_coefs(
-                gradient_ball_frames(PH, PW, GOP, start),
-                enc._qy_dev, enc._qc_dev, pad_h=PH, pad_w=PW,
+                frames, enc._qy_dev, enc._qc_dev, pad_h=PH, pad_w=PW,
                 subsample=True)
             return entropy(yq, cbq, crq).astype(jnp.uint32).sum()
         ov_in = (ov_arg if mode == "planar_seg_burnin"
@@ -172,6 +190,7 @@ def main():
     x8 = jnp.ones((8, 8), jnp.float32)
     float(tiny(x8))
     arms = ("planar_segmented", "planar_concat_v3", "interleaved_segmented",
+            "interleaved_barrier", "interleaved_kernel",
             "planar_seg_burnin", "planar_seg_burnin_const",
             "planar_barrier", "kernel_plain", "kernel_burnin",
             "src_only", "coefs_cut")

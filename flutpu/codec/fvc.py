@@ -679,8 +679,10 @@ def _fvc_gop_program_v1(frames, qy, qc, pad_h, pad_w, subsample, layout,
         coefs = _planes_front_end(
             *frames, qy, qc, pad_h=pad_h, pad_w=pad_w, subsample=subsample)
     else:
-        coefs = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
-                                    pad_w=pad_w, subsample=subsample)
+        from .jpeg import _planes_front_end
+        coefs = _planes_front_end(
+            frames[..., 0], frames[..., 1], frames[..., 2], qy, qc,
+            pad_h=pad_h, pad_w=pad_w, subsample=subsample)
     ry, rcb, rcr = fvc_residuals(*coefs)
     if seg_words is not None:
         return encode_gop_scans_segmented(

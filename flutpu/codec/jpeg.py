@@ -208,11 +208,13 @@ def _gop_dispatch_program(frames, qy, qc, overlay, pad_h, pad_w, subsample,
     bit counts, word-aligned stream (host compacts)."""
     from .ops.entropy import (encode_gop_scans_combined,
                               encode_gop_scans_segmented)
-    if overlay is not None:
-        from ..ttml.render import overlay_on_frames
-        frames = overlay_on_frames(frames, overlay)
-    yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
-                                       pad_w=pad_w, subsample=subsample)
+    # route interleaved frames through plane extraction + the front-end
+    # dispatcher: the host-fed interleaved shape measured 15.9 (kernel)
+    # vs 28.4 (XLA straight from the interleaved layout) device ms/GOP —
+    # stage_split.py interleaved_kernel vs interleaved_barrier, round 4
+    yq, cbq, crq = _planes_front_end(
+        frames[..., 0], frames[..., 1], frames[..., 2], qy, qc,
+        pad_h=pad_h, pad_w=pad_w, subsample=subsample, overlay=overlay)
     if seg_words is not None:
         return encode_gop_scans_segmented(
             yq, cbq, crq, layout=layout, prefix_words=prefix_words,
@@ -247,11 +249,11 @@ def _gop_dispatch_program_src(start, qy, qc, overlay, src_fn, pad_h, pad_w,
             r, g, b, qy, qc, pad_h=pad_h, pad_w=pad_w,
             subsample=subsample, overlay=overlay)
     else:
-        if overlay is not None:
-            from ..ttml.render import overlay_on_frames
-            frames = overlay_on_frames(frames, overlay)
-        yq, cbq, crq = encode_gop_to_coefs(frames, qy, qc, pad_h=pad_h,
-                                           pad_w=pad_w, subsample=subsample)
+        # interleaved source: extract planes and take the front-end
+        # dispatcher (see _gop_dispatch_program)
+        yq, cbq, crq = _planes_front_end(
+            frames[..., 0], frames[..., 1], frames[..., 2], qy, qc,
+            pad_h=pad_h, pad_w=pad_w, subsample=subsample, overlay=overlay)
     if seg_words is not None:
         return encode_gop_scans_segmented(
             yq, cbq, crq, layout=layout, prefix_words=prefix_words,

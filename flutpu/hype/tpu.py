@@ -152,8 +152,13 @@ class TpuHype(VideoEncoder):
             self._flush_fvc(batch, chunks, n, h, w, jenc, mesh, spatial,
                             gop, motion=codec == "fvc-motion")
             return
+        # channel-planar upload: same bytes, tile-dense on device, and the
+        # per-shard encode takes the fused Pallas front end where the
+        # shape fits (parallel.gop._encode_block_planes)
         yq, cbq, crq = encode_chunks_sharded(
-            jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
+            tuple(jnp.asarray(np.ascontiguousarray(chunks[..., c]))
+                  for c in range(3)),
+            jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
             mesh=mesh, spatial=spatial > 1)
         mh = _pad_to(h, 16)
         if ph != mh:

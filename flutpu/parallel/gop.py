@@ -45,22 +45,57 @@ def _encode_block(frames: jax.Array, qy: jax.Array, qc: jax.Array):
     return q(y, qy), q(cb, qc), q(cr, qc)
 
 
+def _encode_block_planes(r: jax.Array, g: jax.Array, b: jax.Array,
+                         qy: jax.Array, qc: jax.Array):
+    """Channel-planar _encode_block: (..., F, H, W) uint8 per channel —
+    takes the fused Pallas front end (jpeg._planes_front_end) where the
+    shape fits (round-4 hardware A/B), the XLA formulation otherwise
+    (CPU meshes, odd stripe shapes)."""
+    from ..codec.jpeg import _planes_front_end
+    h, w = r.shape[-2], r.shape[-1]
+
+    def one(rr, gg, bb):
+        return _planes_front_end(rr, gg, bb, qy, qc, pad_h=h, pad_w=w,
+                                 subsample=True)
+
+    if r.ndim == 4:   # (C_local, F, H, W): per-chunk within the shard
+        return jax.vmap(one)(r, g, b)
+    return one(r, g, b)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "spatial"))
-def encode_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
+def encode_chunks_sharded(frames, qy: jax.Array, qc: jax.Array,
                           mesh: Mesh, spatial: bool = False):
-    """(C, F, H, W, 3) uint8 → (y, cb, cr) int16 (C, F, BH, BW, 64).
+    """(C, F, H, W, 3) uint8 — or a channel-planar (r, g, b) tuple of
+    (C, F, H, W) planes — → (y, cb, cr) int16 (C, F, BH, BW, 64).
 
     C is sharded over the ``chunk`` mesh axis; with ``spatial`` True, H is
     additionally striped over the ``spatial`` axis (stripe height must stay a
     multiple of 16 so 4:2:0 macroblocks remain shard-local → zero halo).
+    Planar input is preferred on TPU: it skips the interleaved layout's
+    (w, 3) tile-padding tax AND takes the fused Pallas front end per
+    shard (jpeg._planes_front_end — round-4 hardware A/B).
     """
+    planar = isinstance(frames, (tuple, list))
     if spatial:
+        plane_spec = P("chunk", None, "spatial", None)
         in_spec = P("chunk", None, "spatial", None, None)
         out_spec = (P("chunk", None, "spatial"),) * 3
     else:
+        plane_spec = P("chunk", None, None, None)
         in_spec = P("chunk", None, None, None, None)
         out_spec = (P("chunk", None, None),) * 3
 
+    if planar:
+        # check_vma=False: the kernel arm runs pallas_call inside the
+        # sharded region and pallas outputs carry no varying-manual-axes
+        # annotation (the round-3 motion-path lesson)
+        fn = shard_map(
+            _encode_block_planes, mesh=mesh,
+            in_specs=(plane_spec,) * 3 + (P(), P()),
+            out_specs=out_spec, check_vma=False)
+        r, g, b = frames
+        return fn(r, g, b, qy, qc)
     fn = shard_map(
         _encode_block, mesh=mesh,
         in_specs=(in_spec, P(), P()),

@@ -45,6 +45,26 @@ class TestShardedEncode:
         for a, b in zip(sharded, single):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_planar_input_matches_interleaved(self, qtabs):
+        """Channel-planar sharded encode (round 4: tile-dense upload +
+        kernel front end per shard on TPU) is bit-identical to the
+        interleaved form, on both mesh shapes."""
+        qy, qc = qtabs
+        chunks = rand_chunks(8, 2, 32, 32, seed=2)
+        mesh = make_chunk_mesh(8)
+        planes = tuple(jnp.asarray(chunks[..., c]) for c in range(3))
+        got = encode_chunks_sharded(planes, qy, qc, mesh=mesh)
+        want = encode_chunks_sharded(jnp.asarray(chunks), qy, qc, mesh=mesh)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        chunks = rand_chunks(4, 2, 64, 32, seed=3)
+        mesh = make_chunk_spatial_mesh(4, 2)
+        planes = tuple(jnp.asarray(chunks[..., c]) for c in range(3))
+        got = encode_chunks_sharded(planes, qy, qc, mesh=mesh, spatial=True)
+        want = encode_chunks_single(jnp.asarray(chunks), qy, qc)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_output_stays_sharded(self, qtabs):
         """Coefficients must come back sharded over chunk — no implicit
         gather (host pulls per-chunk for entropy coding)."""
