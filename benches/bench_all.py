@@ -187,7 +187,7 @@ def bench_4k_convert(frames=4, reps=5):
     ms/frame through this formulation)."""
     import jax
     import jax.numpy as jnp
-    from flutpu.codec.jpeg import JpegEncoder, encode_gop_planes_to_coefs
+    from flutpu.codec.jpeg import JpegEncoder, _planes_front_end
     from flutpu.codec.ops.testsrc import gradient_ball_planes
     enc = JpegEncoder(quality=85)
     w, h = 3840, 2160
@@ -196,7 +196,7 @@ def bench_4k_convert(frames=4, reps=5):
     def prog(start, qy, qc):
         def body(i, acc):
             r, g, b = gradient_ball_planes(h, w, frames, start + i * frames)
-            y, cb, cr = encode_gop_planes_to_coefs(
+            y, cb, cr = _planes_front_end(
                 r, g, b, qy, qc, pad_h=h, pad_w=w, subsample=True)
             return (acc + y.astype(jnp.int32).sum()
                     + cb.astype(jnp.int32).sum()

@@ -164,9 +164,14 @@ def _planes_front_end(r, g, b, qy, qc, pad_h: int, pad_w: int,
     v1) carry no cross-frame recon state that could drift."""
     from ..core.env import env_flag
     from .ops.frontend_pallas import front_end_fits, front_end_pallas
+    # the kernel needs %32 rows (u8 input tiles); coded heights are only
+    # %16 (4K = 2160) — pad to the next 32-multiple and slice the coef
+    # ROWS back after: 8x8 blocks are independent, so dropping the extra
+    # two block-rows is exact and the slice fuses into the zigzag gather
+    kpad_h = _pad_to(pad_h, 32)
     use_kernel = (jax.default_backend() != "cpu" and subsample
                   and r.dtype == jnp.uint8
-                  and front_end_fits(pad_h, pad_w)
+                  and front_end_fits(kpad_h, pad_w)
                   and not env_flag("FLUTPU_NO_FRONTEND_KERNEL", False))
     if not use_kernel:
         if overlay is not None:
@@ -175,18 +180,27 @@ def _planes_front_end(r, g, b, qy, qc, pad_h: int, pad_w: int,
         return encode_gop_planes_to_coefs(r, g, b, qy, qc, pad_h=pad_h,
                                           pad_w=pad_w, subsample=subsample)
     f, h, w = r.shape
-    if (pad_h, pad_w) != (h, w):
+    if (kpad_h, pad_w) != (h, w):
         def pad(p):
-            return jnp.pad(p, ((0, 0), (0, pad_h - h), (0, pad_w - w)),
+            return jnp.pad(p, ((0, 0), (0, kpad_h - h), (0, pad_w - w)),
                            mode="edge")
         r, g, b = pad(r), pad(g), pad(b)
     ovp = None
     if overlay is not None:
         # overlay planes from the (H, W, 4) BGRA argument — one
         # interleaved read per program; overlays change per subtitle
-        # interval, the frames every GOP
-        ovp = tuple(overlay[..., c] for c in (2, 1, 0, 3))
+        # interval, the frames every GOP. Rows beyond the coded height
+        # pad with zero alpha (those coef rows are sliced away anyway).
+        oh, ow = overlay.shape[0], overlay.shape[1]
+        ovp = tuple(jnp.pad(overlay[..., c],
+                            ((0, kpad_h - oh), (0, pad_w - ow)))
+                    if (oh, ow) != (kpad_h, pad_w) else overlay[..., c]
+                    for c in (2, 1, 0, 3))
     yp, cbp, crp = front_end_pallas(r, g, b, qy, qc, overlay_planes=ovp)
+    if kpad_h != pad_h:
+        yp = yp[:, :pad_h]
+        cbp = cbp[:, :pad_h // 2]
+        crp = crp[:, :pad_h // 2]
     return (zigzag_flatten(blockize(yp)), zigzag_flatten(blockize(cbp)),
             zigzag_flatten(blockize(crp)))
 

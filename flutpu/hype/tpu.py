@@ -211,7 +211,9 @@ class TpuHype(VideoEncoder):
             qyb = jnp.asarray(scale_qtable(LUMA_QTABLE, bquality))
             qcb = jnp.asarray(scale_qtable(CHROMA_QTABLE, bquality))
         out = fvc_chunks_sharded(
-            jnp.asarray(chunks), jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
+            tuple(jnp.asarray(np.ascontiguousarray(chunks[..., ci]))
+                  for ci in range(3)),
+            jnp.asarray(jenc.qy), jnp.asarray(jenc.qc),
             mesh=mesh, motion=motion, search_range=sr,
             hier=str(self.get_property("search")) == "hier", subpel=subpel,
             spatial=spatial > 1, bframes=bframes, qy_b=qyb, qc_b=qcb)

@@ -111,15 +111,17 @@ def encode_chunks_single(frames: jax.Array, qy: jax.Array, qc: jax.Array):
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "motion", "search_range",
                                     "hier", "subpel", "spatial", "bframes"))
-def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
+def fvc_chunks_sharded(frames, qy: jax.Array, qc: jax.Array,
                        mesh: Mesh, motion: bool = False,
                        search_range: int = 7, hier: bool = False,
                        subpel: bool = False, spatial: bool = False,
                        bframes: int = 0, qy_b=None, qc_b=None):
-    """FVC GOP coding as an SPMD program: (C, F, H, W, 3) uint8, C sharded
-    over the ``chunk`` mesh axis, each shard running an independent codec
-    instance (frame 0 of every chunk is an I frame — the forced-keyframe
-    contract that makes chunks independent, reference
+    """FVC GOP coding as an SPMD program: (C, F, H, W, 3) uint8 — or a
+    channel-planar (r, g, b) tuple of (C, F, H, W) planes (preferred on
+    TPU: tile-dense, and v1 takes the fused Pallas front end per shard) —
+    C sharded over the ``chunk`` mesh axis, each shard running an
+    independent codec instance (frame 0 of every chunk is an I frame —
+    the forced-keyframe contract that makes chunks independent, reference
     hype/src/outputselector/imp.rs:39-43). Zero collectives in the chunk
     direction.
 
@@ -149,34 +151,49 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         raise ValueError("bframes needs motion=True and does not "
                          "support subpel")
 
-    h, w = frames.shape[2], frames.shape[3]
-
-    def local_v1(fr, qy, qc):
-        coefs = _encode_block(fr, qy, qc)
-        return jax.vmap(fvc_residuals)(*coefs)
+    planar = isinstance(frames, (tuple, list))
+    shp = frames[0].shape if planar else frames.shape
+    h, w = shp[2], shp[3]
 
     n_sp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("spatial", 1)
     sp_axis = "spatial" if spatial else None
     h_local = h // n_sp if spatial else h
 
-    def local_mc(fr, qy, qc):
-        def one(chunk):
-            return fvc_mc_encode_chunk(chunk, qy, qc, pad_h=h_local,
-                                       pad_w=w,
-                                       search_range=search_range, hier=hier,
-                                       subpel=subpel, spatial_axis=sp_axis,
-                                       n_spatial=n_sp)
-        return jax.vmap(one)(fr)
+    # per-shard locals: each takes the shard's frames — one interleaved
+    # array, or three channel planes (*fr) — as leading operands
+    if planar:
+        def local_v1(r, g, b, qy, qc):
+            coefs = _encode_block_planes(r, g, b, qy, qc)
+            return jax.vmap(fvc_residuals)(*coefs)
+    else:
+        def local_v1(fr, qy, qc):
+            coefs = _encode_block(fr, qy, qc)
+            return jax.vmap(fvc_residuals)(*coefs)
 
-    def local_mc_b(fr, qy, qc, qyb, qcb):
+    def local_mc(*args):
+        fr = args[:3] if planar else args[0]
+        qy, qc = args[-2:]
+
+        def one(*chunk):
+            return fvc_mc_encode_chunk(
+                chunk if planar else chunk[0], qy, qc, pad_h=h_local,
+                pad_w=w, search_range=search_range, hier=hier,
+                subpel=subpel, spatial_axis=sp_axis, n_spatial=n_sp)
+        return jax.vmap(one)(*(fr if planar else (fr,)))
+
+    def local_mc_b(*args):
         # qy_b/qc_b enter as explicit operands (shard_map cannot close
         # over traced arrays)
-        def one(chunk):
+        fr = args[:3] if planar else args[0]
+        qy, qc, qyb, qcb = args[-4:]
+
+        def one(*chunk):
             return fvc_mc_encode_chunk_b(
-                chunk, qy, qc, pad_h=h_local, pad_w=w,
-                search_range=search_range, bframes=bframes, hier=hier,
-                qy_b=qyb, qc_b=qcb, spatial_axis=sp_axis, n_spatial=n_sp)
-        return jax.vmap(one)(fr)
+                chunk if planar else chunk[0], qy, qc, pad_h=h_local,
+                pad_w=w, search_range=search_range, bframes=bframes,
+                hier=hier, qy_b=qyb, qc_b=qcb, spatial_axis=sp_axis,
+                n_spatial=n_sp)
+        return jax.vmap(one)(*(fr if planar else (fr,)))
 
     # check_vma=False: the motion arm runs pallas_call (search+predict,
     # chroma MC) inside the sharded region, and pallas output
@@ -185,6 +202,7 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
     # Per-chunk codecs touch no cross-shard state the specs don't name.
     if spatial:
         in_spec = P("chunk", None, "spatial", None, None)
+        plane_spec = P("chunk", None, "spatial", None)
         if motion:
             # itypes are psum-identical across stripes → replicated over
             # 'spatial'; planes/mvs are row-striped
@@ -196,7 +214,10 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
             out_specs = (P("chunk", None, "spatial"),) * 3
     else:
         in_spec = P("chunk", None, None, None, None)
+        plane_spec = P("chunk", None, None, None)
         out_specs = (P("chunk"),) * (5 if motion else 3)
+    frame_specs = (plane_spec,) * 3 if planar else (in_spec,)
+    frame_args = tuple(frames) if planar else (frames,)
     if bframes:
         if spatial:
             # residuals stripe on the block-row axis, vector/mode fields
@@ -207,13 +228,13 @@ def fvc_chunks_sharded(frames: jax.Array, qy: jax.Array, qc: jax.Array,
             out_specs_b = (P("chunk"),) * 7
         fn = shard_map(
             local_mc_b, mesh=mesh,
-            in_specs=(in_spec, P(), P(), P(), P()),
+            in_specs=frame_specs + (P(), P(), P(), P()),
             out_specs=out_specs_b, check_vma=False)
-        return fn(frames, qy, qc,
+        return fn(*frame_args, qy, qc,
                   qy if qy_b is None else qy_b,
                   qc if qc_b is None else qc_b)
     fn = shard_map(
         local_mc if motion else local_v1, mesh=mesh,
-        in_specs=(in_spec, P(), P()),
+        in_specs=frame_specs + (P(), P()),
         out_specs=out_specs, check_vma=False)
-    return fn(frames, qy, qc)
+    return fn(*frame_args, qy, qc)

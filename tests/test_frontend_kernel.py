@@ -82,6 +82,26 @@ class TestFrontEndKernel:
         for a, c in zip(folded, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
+    def test_mod16_height_pad_and_slice(self, qtabs):
+        """Coded heights are %16 but the kernel needs %32 (4K = 2160):
+        pad to the next 32-multiple, slice the coefficient rows back —
+        exact, because 8x8 blocks are independent (the
+        jpeg._planes_front_end route)."""
+        from flutpu.codec.jpeg import encode_gop_planes_to_coefs
+        from flutpu.codec.ops.dct import blockize
+        from flutpu.codec.ops.quant import zigzag_flatten
+        r, g, b = _planes(h=48, w=256, seed=6)
+        pads = tuple(jnp.pad(p, ((0, 0), (0, 16), (0, 0)), mode="edge")
+                     for p in (r, g, b))
+        yp, cbp, crp = front_end_pallas(*pads, *qtabs, interpret=True)
+        yp, cbp, crp = yp[:, :48], cbp[:, :24], crp[:, :24]
+        got = [np.asarray(zigzag_flatten(blockize(p)))
+               for p in (yp, cbp, crp)]
+        want = encode_gop_planes_to_coefs(r, g, b, *qtabs,
+                                          pad_h=48, pad_w=256)
+        for a, c, n in zip(got, want, ("y", "cb", "cr")):
+            np.testing.assert_array_equal(a, np.asarray(c), err_msg=n)
+
     def test_matches_product_arm_on_cpu(self, qtabs):
         """Exact f32 everywhere on CPU: the kernel's formulation and the
         product planar arm agree bit for bit (on TPU the product arm's

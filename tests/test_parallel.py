@@ -119,6 +119,25 @@ class TestShardedFvc:
         ry, _, _ = fvc_chunks_sharded(self._frames(), qy, qc, mesh)
         assert len(ry.sharding.device_set) == 8
 
+    def test_planar_input_matches_interleaved(self, qtabs):
+        """Channel-planar fvc_chunks_sharded (the tpuhype upload layout,
+        round 4) — bit-identical to interleaved input for v1, motion,
+        and motion+bframes."""
+        from flutpu.parallel.gop import fvc_chunks_sharded
+        qy, qc = qtabs
+        frames = self._frames(c=8, f=4)
+        planes = tuple(frames[..., ci] for ci in range(3))
+        mesh = make_chunk_mesh(8)
+        for kw in (dict(), dict(motion=True, search_range=3),
+                   dict(motion=True, search_range=3, bframes=1)):
+            got = fvc_chunks_sharded(planes, qy, qc, mesh, **kw)
+            want = fvc_chunks_sharded(frames, qy, qc, mesh, **kw)
+            got = got if isinstance(got, tuple) else (got,)
+            want = want if isinstance(want, tuple) else (want,)
+            for a, b in zip(got, want):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                              err_msg=str(kw))
+
 
 class TestGraftEntry:
     def test_entry(self):
