@@ -50,6 +50,10 @@ class RunSpec:
     shear: float = 0.0  # glyph shear: reverseOblique renders the regular
     #                     face leaning LEFT (reference custom pango attr +
     #                     matrix shear, gstttmlrender.c:858-898)
+    hscale: float = 1.0  # anamorphic two-length fontSize: glyph widths
+    #                      scale by horizontal/vertical (reference
+    #                      gstttmlrender.c:745-857 shape attrs; composes
+    #                      with the region-wide PAR scale)
     metrics: RunMetrics = None  # filled during measuring
 
     def measure(self) -> RunMetrics:
@@ -125,6 +129,20 @@ def extract_runs(spans: List[Span], region_id: Optional[str],
         # decompression-bomb-sized glyph bitmaps (fuzz-found)
         max_fs = max(64, 4 * int(defaults.get("frame_h") or 576))
         font_sizes = [min(f, max_fs) for f in font_sizes]
+        # two-length fontSize is anamorphic: first = horizontal, second =
+        # vertical — the point size is the VERTICAL length and glyph
+        # widths scale by horizontal/vertical (reference:
+        # gstttmlstyle.c:181-199 size2 override, gstttmlrender.c:745-857
+        # per-glyph shape attrs with hscale = len0/len1)
+        size_px = font_sizes[0]
+        hscale = 1.0
+        fs_attr = style.get(AttrType.FONT_SIZE)
+        if fs_attr is not None and isinstance(fs_attr.value, list) \
+                and len(fs_attr.value) > 1 \
+                and isinstance(fs_attr.value[1], Length) \
+                and fs_attr.value[1].present and font_sizes[1] > 0:
+            size_px = font_sizes[1]
+            hscale = font_sizes[0] / font_sizes[1]
         color_attr = style.get(AttrType.COLOR)
         color = _rgba_tuple(color_attr.value) if color_attr is not None \
             else (255, 255, 255, 255)
@@ -167,10 +185,11 @@ def extract_runs(spans: List[Span], region_id: Optional[str],
             if not frag:
                 continue
             lines[-1].append(RunSpec(
-                frag, family, int(round(font_sizes[0])),
+                frag, family, int(round(size_px)),
                 fweight == FontWeight.BOLD,
                 fstyle in (FontStyle.ITALIC, FontStyle.OBLIQUE),
-                color, bgcolor, deco, outline, out_color, rtl, shear))
+                color, bgcolor, deco, outline, out_color, rtl, shear,
+                hscale))
     # RTL base direction lays runs out right-to-left within the line
     for line in lines:
         if any(r.rtl for r in line):
@@ -197,14 +216,15 @@ def wrap_lines(lines: List[List[RunSpec]], max_width: int,
                 candidate = pending + (" " if pending and word else "") + word
                 m = measure_run(candidate, run.family, run.size_px,
                                 run.bold, run.italic)
-                if cur_w + m.width > max_width and (pending or cur):
+                if cur_w + m.width * run.hscale > max_width \
+                        and (pending or cur):
                     # flush what we have
                     if pending:
                         cur.append(RunSpec(pending, run.family, run.size_px,
                                            run.bold, run.italic, run.color,
                                            run.bgcolor, run.decorations,
                                            run.outline, run.outline_color,
-                                           run.rtl, run.shear))
+                                           run.rtl, run.shear, run.hscale))
                     if cur:
                         out.append(cur)
                     cur = []
@@ -217,9 +237,10 @@ def wrap_lines(lines: List[List[RunSpec]], max_width: int,
                                    run.bold, run.italic, run.color,
                                    run.bgcolor, run.decorations,
                                    run.outline, run.outline_color, run.rtl,
-                                   run.shear))
+                                   run.shear, run.hscale))
                 cur_w += measure_run(pending, run.family, run.size_px,
-                                     run.bold, run.italic).width
+                                     run.bold, run.italic).width \
+                    * run.hscale
         if cur:
             out.append(cur)
     return out
@@ -284,13 +305,19 @@ def draw_region_layer(width: int, height: int, lines: List[List[RunSpec]],
         y0 = int((lh - ih) * bg_image_pos[1])
         _blit_rgba(layer, bg_image, x0, y0)
 
-    # measure lines
+    # measure lines (run widths scale by the anamorphic fontSize hscale,
+    # matching the device path's scaled_w)
+    def host_w(run: RunSpec) -> int:
+        if run.hscale == 1.0:
+            return run.measure().width
+        return max(1, int(round(run.measure().width * run.hscale)))
+
     metrics = []
     for line in lines:
         if not line:
             metrics.append((0, 0, 0))
             continue
-        w = sum(r.measure().width for r in line)
+        w = sum(host_w(r) for r in line)
         asc = max(r.measure().ascent for r in line)
         desc = max(r.measure().descent for r in line)
         metrics.append((w, asc, desc))
@@ -315,11 +342,16 @@ def draw_region_layer(width: int, height: int, lines: List[List[RunSpec]],
         baseline = y + asc
         for run in line:
             m = run.measure()
+            rw_px = host_w(run)
             alpha, _ = rasterize_run(run.text, run.family, run.size_px,
                                      run.bold, run.italic, shear=run.shear)
+            if run.hscale != 1.0 and alpha.shape[1] > 0:
+                from .atlas import _resize_width
+                alpha = _resize_width(
+                    alpha, max(1, int(round(alpha.shape[1] * run.hscale))))
             ry = baseline - m.ascent
             if run.bgcolor is not None and run.bgcolor[3] > 0:
-                _fill_rect(layer, run.bgcolor, x, ry, m.width, m.height)
+                _fill_rect(layer, run.bgcolor, x, ry, rw_px, m.height)
             if run.outline is not None:
                 r_px = int(round(run.outline.lengths[0].value)) \
                     if run.outline.lengths[0].present else 1
@@ -334,13 +366,13 @@ def draw_region_layer(width: int, height: int, lines: List[List[RunSpec]],
                 thickness = max(1, run.size_px // 14)
                 if run.decorations & TextDecoration.UNDERLINE:
                     _fill_rect(layer, run.color, x, baseline + 1,
-                               m.width, thickness)
+                               rw_px, thickness)
                 if run.decorations & TextDecoration.STRIKETHROUGH:
                     _fill_rect(layer, run.color, x,
-                               baseline - m.ascent // 3, m.width, thickness)
+                               baseline - m.ascent // 3, rw_px, thickness)
                 if run.decorations & TextDecoration.OVERLINE:
-                    _fill_rect(layer, run.color, x, ry, m.width, thickness)
-            x += m.width
+                    _fill_rect(layer, run.color, x, ry, rw_px, thickness)
+            x += rw_px
         y += int(adv)
 
     # host-path note: drawing is inherently clipped to the region layer;
@@ -505,8 +537,13 @@ def layout_region_instances(
         iy0 = int((lh - ih) * bg_image_pos[1])
         emit_entry(ie, ix0, iy0, iw, ih, (255, 255, 255, 255))
 
+    def run_scale(run: RunSpec) -> float:
+        # region-wide PAR scale composed with the run's anamorphic
+        # fontSize scale
+        return par_scale * run.hscale
+
     def scaled_w(run: RunSpec) -> int:
-        return max(1, int(round(run.measure().width * par_scale)))
+        return max(1, int(round(run.measure().width * run_scale(run))))
 
     metrics = []
     for line in lines:
@@ -550,13 +587,13 @@ def layout_region_instances(
                     if run.outline.lengths[1].present else 0
                 stroked = atlas.stroked_entry(
                     run.text, run.family, run.size_px, run.bold,
-                    run.italic, max(1, r_px), blur_px, par_scale, rot,
+                    run.italic, max(1, r_px), blur_px, run_scale(run), rot,
                     run.shear)
                 emit_entry(stroked, x, ytop, rw_px, m.height,
                            run.outline_color)
             entry = atlas.run_entry(run.text, run.family, run.size_px,
-                                    run.bold, run.italic, par_scale, rot,
-                                    run.shear)
+                                    run.bold, run.italic, run_scale(run),
+                                    rot, run.shear)
             emit_entry(entry, x, ytop, rw_px, m.height, run.color)
             if run.decorations:
                 thickness = max(1, run.size_px // 14)

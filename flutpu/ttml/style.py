@@ -82,8 +82,16 @@ class Style:
             span_attrs.append(f'font_family="{a.value}"')
         a = self.get(AttrType.FONT_SIZE)
         if a is not None and a.value[0].present:
+            # two-length fontSize: the SECOND length (vertical) is the
+            # point size — reference gstttmlstyle.c:181-199 (size2
+            # overrides size1 when both are pixel lengths)
             size = a.value[0].value
-            if a.value[0].unit == LengthUnit.PIXELS:
+            unit = a.value[0].unit
+            if len(a.value) > 1 and a.value[1].present \
+                    and a.value[1].unit == LengthUnit.PIXELS \
+                    and unit == LengthUnit.PIXELS:
+                size = a.value[1].value
+            if unit == LengthUnit.PIXELS:
                 span_attrs.append(f'font_size="{int(size)}px"')
         a = self.get(AttrType.FONT_STYLE)
         if a is not None and a.value in (FontStyle.ITALIC, FontStyle.OBLIQUE):

@@ -148,6 +148,46 @@ DOCS["Content"] = {
     # br inside a nested styled span
     "Br003": doc(body=p(
         '<span tts:fontWeight="bold">bold line<br/>still bold</span>')),
+    # br at paragraph start and end (leading/trailing blank lines)
+    "Br004": doc(body=p('<br/>middle<br/>')),
+    # nested divs: the inner paragraph flows into the OUTER div's region
+    "Div002": doc(
+        head=layout(region("r1", origin="0% 0%", extent="100% 40%",
+                           extra='tts:backgroundColor="gray"')),
+        body=('    <div region="r1">\n'
+              '      <div><p begin="0s" end="2s">inherited region</p>'
+              '</div>\n'
+              '    </div>\n')),
+    # div timing clips its children
+    "Div003": doc(body=(
+        '    <div begin="1s" end="3s">\n'
+        '      <p begin="0s" end="10s">clipped by div</p>\n'
+        '    </div>\n')),
+    # three-level nested spans, each contributing a style
+    "Span005": doc(body=p(
+        '<span tts:color="red">a<span tts:fontWeight="bold">b'
+        '<span tts:fontStyle="italic">c</span>b</span>a</span>')),
+    # two independently TIMED spans inside one paragraph
+    "Span006": doc(body=p(
+        '<span begin="0s" end="1s" tts:color="red">first</span>'
+        '<span begin="1s" end="2s" tts:color="blue">second</span>',
+        end="3s")),
+    # paragraph whose only child is a span (no anonymous text)
+    "Paragraph003": doc(body=p('<span>wrapped only</span>')),
+    # empty paragraph between cues must not break the timeline
+    "Paragraph004": doc(body=(
+        '    <div>\n'
+        '      <p begin="0s" end="1s">before</p>\n'
+        '      <p begin="1s" end="2s"></p>\n'
+        '      <p begin="2s" end="3s">after</p>\n'
+        '    </div>\n')),
+    # xml:space=preserve directly on the paragraph
+    "Whitespace002": doc(body=p(
+        'lead    mid    tail', extra='xml:space="preserve"')),
+    # xml:lang on nested content is carried without affecting layout
+    "Language001": doc(
+        attrs='xml:lang="en"',
+        body=p('english <span xml:lang="de">deutsch</span>')),
 }
 
 # ----------------------------------------------------------------- Metadata
@@ -193,6 +233,38 @@ DOCS["Metadata"] = {
               '    </metadata>\n' + layout(
                   region("r1", extra='smpte:backgroundImage="#i1"'))),
         body=p('image region', extra='region="r1"')),
+    # character agent with an actor reference (ttml1 §12.1.6 pattern)
+    "Agent002": doc(
+        head=('    <metadata>\n'
+              '      <ttm:agent type="person" xml:id="per1">\n'
+              '        <ttm:name type="full">A. Person</ttm:name>\n'
+              '      </ttm:agent>\n'
+              '      <ttm:agent type="character" xml:id="char1">\n'
+              '        <ttm:name type="alias">HERO</ttm:name>\n'
+              '        <ttm:actor agent="per1"/>\n'
+              '      </ttm:agent>\n'
+              '    </metadata>\n'),
+        body=p('in character', extra='ttm:agent="char1"')),
+    # title-only metadata
+    "Title001": doc(
+        head='    <metadata><ttm:title>only a title</ttm:title>'
+             '</metadata>\n',
+        body=p('titled')),
+    # ttm:role on a span inside the paragraph
+    "Role002": doc(body=p(
+        'narration <span ttm:role="music">♪ theme ♪</span>')),
+    # metadata element inside a region definition is skipped
+    "Metadata002": doc(
+        head=layout(region("r1").replace(
+            "/>", '>\n        <metadata><ttm:desc>region meta</ttm:desc>'
+                  '</metadata>\n      </region>\n')),
+        body=p('region with meta', extra='region="r1"')),
+    # foreign-namespace element in the HEAD is skipped entirely
+    "Foreign003": doc(
+        attrs='xmlns:x="urn:example:foreign"',
+        head='    <x:extension><x:inner attr="1">text</x:inner>'
+             '</x:extension>\n',
+        body=p('head survived')),
 }
 
 # --------------------------------------------------------------- Parameters
@@ -222,6 +294,40 @@ DOCS["Parameters"] = {
     "TimeBase001": doc(
         attrs='ttp:timeBase="media"',
         body=p('media time', begin="00:00:01", end="00:00:02")),
+    # markerMode/dropMode are parsed and tolerated without rendering
+    # effect (the reference never consumes them either)
+    "MarkerMode001": doc(
+        attrs='ttp:frameRate="30" ttp:markerMode="continuous"',
+        body=p('markers', begin="00:00:00:10", end="00:00:01:00")),
+    "DropMode001": doc(
+        attrs='ttp:frameRate="30" ttp:frameRateMultiplier="1000 1001" '
+              'ttp:dropMode="dropNTSC"',
+        body=p('drop frames', begin="00:00:00:15", end="00:00:02:00")),
+    # ttp:profile on tt is informative only — content must still play
+    "Profile001": doc(
+        attrs='ttp:profile="http://www.w3.org/ns/ttml/profile/dfxp-'
+              'presentation"',
+        body=p('profiled')),
+    # frame metric at a frame-count above one second's worth of frames
+    "FrameRate002": doc(
+        attrs='ttp:frameRate="30"',
+        body=p('high frames', begin="45f", end="90f")),
+    # frames roll into seconds at exactly frameRate
+    "FrameRate003": doc(
+        attrs='ttp:frameRate="25"',
+        body=p('rollover', begin="00:00:01:24", end="00:00:02:00")),
+    # region origin/extent/padding all in cell units under an explicit
+    # cell grid
+    "CellResolution003": doc(
+        attrs='ttp:cellResolution="20 10"',
+        head=layout(region("r1", origin="2c 7c", extent="16c 2c",
+                           extra='tts:padding="0.25c 0.5c" '
+                                 'tts:backgroundColor="black"')),
+        body=p('cell padding', extra='region="r1"')),
+    # large tick rate exercises sub-millisecond offsets
+    "TickRate002": doc(
+        attrs='ttp:tickRate="90000"',
+        body=p('mpeg ticks', begin="45000t", end="180000t")),
 }
 
 # ------------------------------------------------------------------ Styling
@@ -346,6 +452,48 @@ DOCS["Styling"] = {
         head=(styling('      <style xml:id="rs" tts:color="aqua"/>\n') +
               layout(region("r1", extra='style="rs"'))),
         body=p('region styled', extra='region="r1"')),
+    # anamorphic two-length fontSize (independent x/y scale — the
+    # reference's per-glyph shape-attr path, gstttmlrender.c:745-857)
+    "FontSize004": doc(body=p(
+        '<span tts:fontSize="32px 16px">squeezed</span>')),
+    "FontSize005": doc(body=p(
+        '<span tts:fontSize="12px 24px">stretched</span>')),
+    # textOutline with a blur radius (color width blur)
+    "TextOutline002": doc(body=p(
+        '<span tts:textOutline="red 2px 2px">soft edge</span>')),
+    # textOutline without an explicit color (inherits text color)
+    "TextOutline003": doc(body=p(
+        '<span tts:color="yellow" tts:textOutline="3px">self color'
+        '</span>')),
+    # lineHeight normal keyword resets an inherited percentage
+    "LineHeight002": doc(body=p(
+        '<span tts:lineHeight="normal">n1</span><br/>n2',
+        extra='tts:lineHeight="180%"')),
+    # transparent backgroundColor keyword
+    "Color006": doc(
+        head=layout(region("r1",
+                           extra='tts:backgroundColor="transparent"')),
+        body=p('see-through box', extra='region="r1"')),
+    # quoted font family list with fallback generic
+    "FontFamily002": doc(body=p(
+        "<span tts:fontFamily=\"'DejaVu Sans', monospace\">listed"
+        "</span>")),
+    # vertical left-to-right writing mode (tblr)
+    "WritingMode002": doc(
+        head=layout(region("r1", origin="10% 10%", extent="20% 80%",
+                           extra='tts:writingMode="tblr" '
+                                 'tts:backgroundColor="navy"')),
+        body=p('vertical lr', extra='region="r1"')),
+    # region extent overflowing the window must clamp, not wrap/crash
+    "Extent001": doc(
+        head=layout(region("r1", origin="50% 50%", extent="100% 100%",
+                           extra='tts:backgroundColor="green"')),
+        body=p('clamped box', extra='region="r1"')),
+    # padding shorthand with three values (top sides bottom)
+    "Padding004": doc(
+        head=layout(region("r1", extra='tts:padding="2px 8px 4px" '
+                                       'tts:backgroundColor="olive"')),
+        body=p('three-value pad', extra='region="r1"')),
 }
 
 # ------------------------------------------------------------------- Timing
@@ -407,6 +555,54 @@ DOCS["Timing"] = {
         '      <p begin="0s" end="100s">clipped by body</p>\n'
         '    </div>\n').replace("<body>", "")
         ).replace("<body>", '<body begin="0s" dur="2s">'),
+    # seq container directly on the body element: div children run
+    # back to back
+    "Sequence003": doc(body=(
+        '    <div dur="1s"><p>body seq one</p></div>\n'
+        '    <div dur="1s"><p>body seq two</p></div>\n')).replace(
+            "<body>", '<body timeContainer="seq">'),
+    # seq nested inside seq: the inner container carries an explicit dur
+    # (a dur-LESS seq child is ignored — see Sequence006) and the outer
+    # cursor advances past it
+    "Sequence004": doc(body=(
+        '    <div timeContainer="seq">\n'
+        '      <div timeContainer="seq" dur="2s">\n'
+        '        <p dur="1s">inner a</p>\n'
+        '        <p dur="1s">inner b</p>\n'
+        '      </div>\n'
+        '      <p dur="1s">outer next</p>\n'
+        '    </div>\n')),
+    # reference contract (gstttmlbase.c:595-600): a child of a seq
+    # container that does not declare dur gets DUR=0 — "this node must
+    # be ignored" — and the cursor does not advance past it
+    "Sequence006": doc(body=(
+        '    <div timeContainer="seq">\n'
+        '      <p dur="1s">kept one</p>\n'
+        '      <p>ignored (no dur in seq)</p>\n'
+        '      <p dur="1s">kept two</p>\n'
+        '    </div>\n')),
+    # par div inside a seq container
+    "Sequence005": doc(body=(
+        '    <div timeContainer="seq">\n'
+        '      <p dur="1s">lead</p>\n'
+        '      <div timeContainer="par" dur="2s">\n'
+        '        <p begin="0s" end="2s">par one</p>\n'
+        '        <p begin="1s" end="2s">par two</p>\n'
+        '      </div>\n'
+        '    </div>\n')),
+    # begin with no end inside a BOUNDED container: runs to container end
+    "BeginOnly001": doc(body=(
+        '    <div begin="0s" end="3s">\n'
+        '      <p begin="1s">until container end</p>\n'
+        '    </div>\n')),
+    # hh:mm:ss with fraction at an hour boundary
+    "ClockTime001": doc(body=p('hour mark', begin="00:59:59.5",
+                               end="01:00:00.5")),
+    # subframe rollover: .1 of 2 subframes at 25fps is half a frame
+    "SubFrameRate002": doc(
+        attrs='ttp:frameRate="25" ttp:subFrameRate="2"',
+        body=p('subframe rollover', begin="00:00:00:24.1",
+               end="00:00:01:10.0")),
 }
 
 # ------------------------------------------------------------------ EbuTtD
@@ -455,6 +651,44 @@ DOCS["EbuTtD"] = {
         layout(region("r1")),
         p('<span tts:fontSize="1c">default cells</span>',
           extra='region="r1"')),
+    # ebutts:linePadding is an EBU extension neither the reference nor
+    # flutpu consumes — the doc must parse/render with it ignored
+    "EbuTtD006": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:color="white" '
+                'tts:backgroundColor="black" '
+                'ebutts:linePadding="0.5c"/>\n') +
+        layout(region("bottom", origin="10% 80%", extent="80% 15%")),
+        p('line padded', extra='region="bottom" style="s0"')),
+    # ebutts:multiRowAlign (tolerated extension) with centered text
+    "EbuTtD007": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:textAlign="center" '
+                'ebutts:multiRowAlign="start"/>\n') +
+        layout(region("bottom", origin="10% 70%", extent="80% 25%")),
+        p('longer first row<br/>short', extra='region="bottom" '
+          'style="s0"')),
+    # the IRT two-region top/bottom pattern with simultaneous cues
+    "EbuTtD008": ebu_doc(
+        'ttp:cellResolution="50 30" ttp:timeBase="media"',
+        layout(region("top", origin="10% 5%", extent="80% 15%") +
+               region("bottom", origin="10% 80%", extent="80% 15%")),
+        ('    <div>\n'
+         '      <p begin="00:00:00.000" end="00:00:02.000" '
+         'region="top">translation</p>\n'
+         '      <p begin="00:00:00.000" end="00:00:02.000" '
+         'region="bottom">dialogue</p>\n'
+         '    </div>\n')),
+    # typical IRT styling bundle: sansSerif family, 160% fontSize,
+    # 125% lineHeight, outlined white on transparent
+    "EbuTtD009": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:fontFamily="sansSerif" '
+                'tts:fontSize="160%" tts:lineHeight="125%" '
+                'tts:color="white" tts:textOutline="black 1px"/>\n') +
+        layout(region("bottom", origin="5% 75%", extent="90% 20%")),
+        p('styled bundle<br/>second row',
+          extra='region="bottom" style="s0"')),
 }
 
 
