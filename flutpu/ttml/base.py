@@ -221,6 +221,12 @@ class TTMLBase(Element):
                 self._parser.Parse(data, False)
             except expat.ExpatError:
                 pass  # SAX errors become logs in the reference
+            except LookupError as e:
+                # an unknown declared encoding (<?xml encoding="u-8"?>)
+                # surfaces from pyexpat as LookupError, not ExpatError —
+                # libxml2 reports it as a SAX-level error; match that
+                # (fuzz-found on a mutated XML declaration)
+                CAT.warning("unsupported XML encoding: %s", e)
 
             if doc_ended:
                 self._finish_document()
@@ -232,7 +238,7 @@ class TTMLBase(Element):
         if self._parser is not None:
             try:
                 self._parser.Parse(b"", True)
-            except expat.ExpatError:
+            except (expat.ExpatError, LookupError):
                 pass
             self._parser = None
         self._doc_end()

@@ -207,6 +207,67 @@ class TestCoreFuzz:
                 pass
             h.teardown()
 
+    def test_ttml_unknown_encoding_is_sax_error(self):
+        """pyexpat raises LookupError (not ExpatError) for an unknown
+        declared encoding — must be handled as a logged SAX error like
+        libxml2, not escape the chain function (fuzz-found)."""
+        doc = (b"<?xml version='1.0' encoding='u-8'?>"
+               b"<tt xmlns='http://www.w3.org/ns/ttml'>"
+               b"<body><div><p begin='0s' end='1s'>x</p></div></body></tt>")
+        h = Harness("ttmlparse")
+        h.set_src_caps("application/ttml+xml")
+        ret = h.push(Buffer(doc, pts=0))
+        h.push_eos()
+        while h.try_pull(timeout=0.2) is not None:
+            pass
+        h.teardown()
+        from flutpu.core import FlowReturn
+        assert ret == FlowReturn.OK, ret
+
+    def test_ttml_corpus_mutations_contained(self):
+        """Structured mutations of REAL corpus documents (byte flips,
+        truncation, slice delete/duplicate) through both ttmlparse and
+        ttmlrender: mutated markup must never raise out of the element.
+        A broader exploratory run (834 mutations x 2 elements, seeds 0-1)
+        found exactly one escape class — the unknown-encoding LookupError
+        pinned above."""
+        import os
+        corpus = os.path.join(os.path.dirname(__file__), "ttml_corpus")
+        rng = _rng()
+        docs = []
+        for area in ("Content", "Styling", "Timing", "EbuTtD"):
+            names = sorted(n for n in os.listdir(os.path.join(corpus, area))
+                           if n.endswith(".xml"))
+            for n in names[:3]:
+                with open(os.path.join(corpus, area, n), "rb") as f:
+                    docs.append(f.read())
+        for data in docs:
+            for _ in range(3):
+                b = bytearray(data)
+                kind = int(rng.integers(0, 4))
+                if kind == 0:
+                    for _ in range(int(rng.integers(1, 6))):
+                        b[int(rng.integers(0, len(b)))] = \
+                            int(rng.integers(0, 256))
+                elif kind == 1:
+                    b = b[:int(rng.integers(4, len(b)))]
+                elif kind == 2:
+                    i = int(rng.integers(0, len(b) - 8))
+                    del b[i:i + int(rng.integers(1, 64))]
+                else:
+                    i = int(rng.integers(0, len(b) - 8))
+                    j = i + int(rng.integers(1, 64))
+                    b[int(rng.integers(0, len(b))):0] = b[i:j]
+                for el in ("ttmlparse",
+                           "ttmlrender window-width=160 window-height=120"):
+                    h = Harness(el)
+                    h.set_src_caps("application/ttml+xml")
+                    h.push(Buffer(bytes(b), pts=0))
+                    h.push_eos()
+                    while h.try_pull(timeout=0.2) is not None:
+                        pass
+                    h.teardown()
+
 
 class TestRenderHostileGeometry:
     """ttmlrender must clamp hostile region geometry, not crash or
