@@ -4,13 +4,12 @@
 # compiles of NEW shapes (the risky remote compiles, per CLAUDE.md) go LAST.
 # Logs to /tmp/hw_runbook.log; every step is timeout-bounded.
 #
-# Round-4 session-4 goals:
-#   1. fresh headline capture (warms /tmp/flutpu-jax-cache for the driver)
-#   2. planar-era device-budget decomposition (stage_split.py full-program
-#      arms + the labeled cut probes) — decides whether a fused Pallas
-#      front end (convert+DCT+quant for materialized-input paths) is worth
-#      building
-#   3. B-frame element-level fps (bench_all fvc-b)
+# Round-4 session-5 goals:
+#   1. fresh headline capture (warms /tmp/flutpu-jax-cache for the driver's
+#      BENCH_r04 run; kernel front end is the default — expect ~350 fps,
+#      device ~15.7 ms/GOP)
+#   2. configs 5/6 with the kernel front end (burn-in / FVC v1 / motion)
+#   3. 4K encode+burn-in margin check
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/hw_runbook.log
@@ -31,13 +30,14 @@ fi
 say "bench.py headline"
 timeout 2400 python bench.py >>"$LOG" 2>&1
 
-# 2. planar-era stage decomposition (cached shapes; cheap)
-say "stage_split 1080p full-program arms"
-timeout 2400 python benches/stage_split.py >>"$LOG" 2>&1
+# 2. secondary configs at the kernel front end (cached shapes; cheap)
+say "bench_all full (encode+burn-in)"
+timeout 2400 python benches/bench_all.py full >>"$LOG" 2>&1
+say "bench_all fvc (v1 + motion)"
+timeout 2400 python benches/bench_all.py fvc >>"$LOG" 2>&1
 
-# 3. B-frame element fps (new program family: bframes through the
-#    threaded-finalize pipeline)
-say "bench_all fvc-b"
-timeout 2400 python benches/bench_all.py fvc-b >>"$LOG" 2>&1
+# 3. 4K margin (bigger shapes last)
+say "bench_all full4k (encode+burn-in at 4K; warm-cache shapes)"
+timeout 3000 python benches/bench_all.py full4k >>"$LOG" 2>&1
 
 say "runbook done"
