@@ -41,7 +41,13 @@ _enable_compile_cache()
 
 W, H = 1920, 1080
 PH, PW = 1088, 1920  # padded to macroblock multiples
-GOP = 8
+# Frames per device dispatch. JPEG is intra-only, so the "GOP" here is
+# purely a dispatch batch: a bigger batch amortizes the axon link's
+# ~25 ms per-round-trip cost over more frames (device ms/frame is linear
+# in the batch) at the price of a new static shape (one-time compile,
+# cached). FLUTPU_BENCH_GOP=16/32 A/Bs it on hardware; 8 is the product
+# GOP contract and stays the default.
+GOP = int(os.environ.get("FLUTPU_BENCH_GOP", "8"))
 QUALITY = 85
 
 
@@ -247,7 +253,9 @@ def measure_device_ms_per_gop(reps: int = 8):
     rtt = time.time() - t0
     t0 = time.time()
     int(device_loop(jnp.float32(0), enc._qy_dev, enc._qc_dev))
-    return max(0.0, (time.time() - t0 - rtt)) / reps * 1000.0
+    # normalized to 8-frame GOPs so the companion metric stays comparable
+    # across FLUTPU_BENCH_GOP settings and across rounds
+    return max(0.0, (time.time() - t0 - rtt)) / reps * 1000.0 * (8.0 / GOP)
 
 
 def run_pipeline_cpu(n_gops: int) -> float:
@@ -257,14 +265,14 @@ def run_pipeline_cpu(n_gops: int) -> float:
     reported speedup is conservative)."""
     from flutpu.codec.jpeg import JpegEncoder
     enc = JpegEncoder(quality=QUALITY, engine="host")
-    frames = make_frames(GOP)
-    enc.encode_gop(frames)  # warm/compile
+    frames = make_frames(8)  # baseline batch pinned at the product GOP so
+    enc.encode_gop(frames)   # vs_baseline is comparable across GOP knobs
     best = 0.0
     for _ in range(3):
         t0 = time.time()
         for _ in range(n_gops):
             enc.encode_gop(frames)
-        best = max(best, n_gops * GOP / (time.time() - t0))
+        best = max(best, n_gops * 8 / (time.time() - t0))
     return best
 
 
@@ -351,7 +359,8 @@ def main():
 
     import jax
     backend = jax.devices()[0].platform
-    n_gops = 40 if backend != "cpu" else 3
+    # keep the measured frame count constant (~320) across GOP knobs
+    n_gops = max(4, (40 * 8) // GOP) if backend != "cpu" else 3
     try:
         fps = run_pipeline(n_gops, report)
         if backend != "cpu":
@@ -402,6 +411,8 @@ def main():
     }
     if device_ms is not None:
         out["device_ms_per_gop"] = device_ms
+    if GOP != 8:
+        out["gop"] = GOP
     if done is not None:
         done.set()
     print(json.dumps(out))

@@ -40,4 +40,12 @@ timeout 2400 python benches/bench_all.py fvc >>"$LOG" 2>&1
 say "bench_all full4k (encode+burn-in at 4K; warm-cache shapes)"
 timeout 3000 python benches/bench_all.py full4k >>"$LOG" 2>&1
 
+# 4. batched-dispatch A/B (NEW static shapes — first-time compiles, so
+# last): 16/32 frames per dispatch amortize the ~25 ms per-RTT link cost;
+# device ms/frame should be flat, wall fps is the question.
+say "bench.py gop=16 A/B (batched dispatch)"
+timeout 3000 env FLUTPU_BENCH_GOP=16 python bench.py >>"$LOG" 2>&1
+say "bench.py gop=32 A/B (batched dispatch)"
+timeout 3000 env FLUTPU_BENCH_GOP=32 python bench.py >>"$LOG" 2>&1
+
 say "runbook done"

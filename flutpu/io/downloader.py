@@ -37,6 +37,7 @@ class TaskOutcome(enum.IntEnum):
     SSL_ERROR = 12
     NO_TASK = 13
     TOO_MANY_REDIRECTS = 14
+    DECODE_ERROR = 15  # corrupt/truncated Content-Encoding payload
 
 
 class SslStatus(enum.IntEnum):

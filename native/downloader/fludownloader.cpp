@@ -2,9 +2,9 @@
 //
 // Rebuild of the reference's libcurl downloader
 // (libs/flu/downloader/lib/fludownloader.c) as a native component with no
-// external dependencies: http:// via POSIX sockets (HTTP/1.1, chunked and
-// content-length bodies, redirect following with a 5-hop cap) and file://
-// via stdio. Semantics kept:
+// dependencies beyond system zlib: http:// via POSIX sockets (HTTP/1.1,
+// chunked and content-length bodies, redirect following with a 5-hop cap,
+// transparent gzip/deflate decode) and file:// via stdio. Semantics kept:
 //   - one worker thread per session owning all I/O (:490-532)
 //   - task queue with LOOK-AHEAD PIPELINING: the next task's request is
 //     issued once the current transfer passes 75% of its content length
@@ -29,6 +29,7 @@
 #include <sys/socket.h>
 #include <sys/stat.h>
 #include <unistd.h>
+#include <zlib.h>
 
 #include <atomic>
 #include <cstdio>
@@ -62,13 +63,14 @@ enum Outcome {
   TASK_SSL_ERROR,
   TASK_NO_TASK,
   TASK_TOO_MANY_REDIRECTS,
+  TASK_DECODE_ERROR,
 };
 
 const char* kOutcomeNames[] = {
     "OK", "PENDING", "ABORTED", "ERROR", "COULD_NOT_CONNECT",
     "CONNECTION_REFUSED", "HTTP_ERROR", "SEND_ERROR", "RECV_ERROR",
     "TIMEOUT", "FILE_NOT_FOUND", "COULD_NOT_RESOLVE_HOST", "SSL_ERROR",
-    "NO_TASK", "TOO_MANY_REDIRECTS"};
+    "NO_TASK", "TOO_MANY_REDIRECTS", "DECODE_ERROR"};
 
 typedef int (*DataCb)(const void* buf, size_t size, void* user, void* task);
 typedef void (*DoneCb)(int outcome, int http_status, size_t size, void* user,
@@ -96,11 +98,40 @@ struct Task {
   flutls::Conn* tls = nullptr;   // non-null for https transfers
   int ssl_status = 0;            // flutls::SslStatus (fludownloader.h:50-82)
 
+  // transparent Content-Encoding decode (gzip/deflate) — the reference
+  // advertises and decodes all encodings via CURLOPT_ACCEPT_ENCODING ""
+  // (fludownloader.c:748); callers always receive identity bytes.
+  z_stream zs;
+  bool z_inited = false;        // inflate stream live
+  bool z_first = true;          // raw-deflate retry still possible
+  bool z_deflate = false;       // header said "deflate" (not gzip)
+  bool z_done = false;          // Z_STREAM_END seen; drop trailing bytes
+
+  void end_decoder() {
+    if (z_inited) inflateEnd(&zs);
+    z_inited = false;
+  }
+
+  bool start_decoder(bool is_deflate) {
+    end_decoder();
+    memset(&zs, 0, sizeof(zs));
+    // 15+32: zlib auto-detects gzip vs zlib wrappers. Raw deflate (some
+    // servers send it for "deflate", as curl also tolerates) is retried
+    // with -15 on the first data error.
+    if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;
+    z_inited = true;
+    z_first = true;
+    z_deflate = is_deflate;
+    z_done = false;
+    return true;
+  }
+
   void close_transport() {
     delete tls;
     tls = nullptr;
     if (sock >= 0) close(sock);
     sock = -1;
+    end_decoder();
   }
 };
 
@@ -404,7 +435,8 @@ bool prepare_http(Session* s, Task* t, int* outcome) {
   std::string req = std::string(head ? "HEAD " : "GET ") + target +
                     " HTTP/1.1\r\nHost: " + host_hdr +
                     "\r\nUser-Agent: " + s->user_agent +
-                    "\r\nConnection: close\r\n";
+                    "\r\nAccept-Encoding: gzip, deflate\r\n"
+                    "Connection: close\r\n";
   if (!t->range.empty() && !head)
     req += "Range: bytes=" + t->range + "\r\n";
   if (!s->cookies.empty()) req += "Cookie: " + s->cookies + "\r\n";
@@ -446,7 +478,16 @@ void maybe_pipeline_next(Session* s, Task* current) {
   prepare_http(s, next, &outcome);  // best-effort; retried at execution
 }
 
+bool emit(Session* s, Task* t, const char* buf, size_t n) {
+  if (s->data_cb != nullptr) {
+    if (!s->data_cb(buf, n, t->user_data, t)) return false;
+  }
+  return true;
+}
+
 bool deliver(Session* s, Task* t, const char* buf, size_t n) {
+  // wire-level accounting: downloaded/bwmeter/pipelining thresholds all
+  // track transfer bytes (what the link carried), like curl's progress
   t->downloaded += n;
   uint64_t discard = s->discard_window.load();
   if (discard > 0) {
@@ -456,8 +497,45 @@ bool deliver(Session* s, Task* t, const char* buf, size_t n) {
   } else {
     flu_bwmeter_data(n);
   }
-  if (s->data_cb != nullptr) {
-    if (!s->data_cb(buf, n, t->user_data, t)) return false;
+  if (!t->z_inited) return emit(s, t, buf, n);
+  if (t->z_done) return true;  // bytes after the compressed stream end
+  t->zs.next_in = (Bytef*)buf;
+  t->zs.avail_in = (uInt)n;
+  bool first_call = t->z_first;
+  t->z_first = false;
+  char out[64 * 1024];
+  for (;;) {
+    t->zs.next_out = (Bytef*)out;
+    t->zs.avail_out = sizeof(out);
+    int rc = inflate(&t->zs, Z_NO_FLUSH);
+    if (rc == Z_DATA_ERROR && first_call && t->z_deflate &&
+        t->zs.total_out == 0) {
+      // some servers send RAW deflate for "deflate" (no zlib wrapper);
+      // curl tolerates it — retry this first buffer with windowBits -15
+      first_call = false;
+      inflateEnd(&t->zs);
+      memset(&t->zs, 0, sizeof(t->zs));
+      if (inflateInit2(&t->zs, -15) != Z_OK) {
+        t->z_inited = false;
+        t->outcome = TASK_DECODE_ERROR;
+        return false;
+      }
+      t->zs.next_in = (Bytef*)buf;
+      t->zs.avail_in = (uInt)n;
+      continue;
+    }
+    if (rc != Z_OK && rc != Z_STREAM_END && rc != Z_BUF_ERROR) {
+      t->outcome = TASK_DECODE_ERROR;
+      return false;
+    }
+    size_t got = sizeof(out) - t->zs.avail_out;
+    if (got > 0 && !emit(s, t, out, got)) return false;
+    if (rc == Z_STREAM_END) {
+      t->z_done = true;
+      return true;
+    }
+    if (got == 0) break;  // need more input (Z_BUF_ERROR or drained)
+    if (t->zs.avail_in == 0 && got < sizeof(out)) break;
   }
   return true;
 }
@@ -539,6 +617,10 @@ void run_http_transfer(Session* s, Task* t, std::string* redirect) {
   const int kPoll = 100;
 
   auto finish = [&](int oc) {
+    // a compressed body that ended without its stream terminator is a
+    // truncated/corrupt payload, not a success (zero-byte bodies pass)
+    if (oc == TASK_OK && t->z_inited && !t->z_done && t->zs.total_in > 0)
+      oc = TASK_DECODE_ERROR;
     t->close_transport();
     if (t->outcome.load() == TASK_PENDING) t->outcome = oc;
   };
@@ -623,6 +705,16 @@ void run_http_transfer(Session* s, Task* t, std::string* redirect) {
       }
       if (t->http_status >= 400) return finish(TASK_HTTP_ERROR);
       if (t->range == "HEAD") return finish(TASK_OK);
+      // transparent decode of compressed bodies (we advertise
+      // Accept-Encoding like CURLOPT_ACCEPT_ENCODING "" — reference
+      // fludownloader.c:748; callers always see identity bytes)
+      std::string ce = find_hdr("content-encoding");
+      for (char& c : ce) c = (char)tolower(c);
+      if (ce.find("gzip") != std::string::npos ||
+          ce.find("deflate") != std::string::npos) {
+        if (!t->start_decoder(ce.find("gzip") == std::string::npos))
+          return finish(TASK_DECODE_ERROR);
+      }
       // leftover bytes after the header block are body
       body_carry = headers.substr(hdr_end + 4);
       data = body_carry.data();

@@ -206,6 +206,47 @@ def http_server(tmp_path_factory):
             if self.path.startswith("/rto/"):
                 self._redirect(302, self.path[4:])
                 return
+            if self.path.startswith("/enc/"):
+                # Content-Encoding endpoints. A well-behaved server only
+                # compresses when the client advertises support — so the
+                # native client (which sends Accept-Encoding like
+                # CURLOPT_ACCEPT_ENCODING "") gets compressed bytes and
+                # decodes them, while the urllib fallback gets identity.
+                import gzip as _gzip
+                import zlib as _zlib
+                kind = self.path[5:]
+                raw = (root / ("big.bin" if kind == "gzipbig"
+                               else "hello.txt")).read_bytes()
+                ae = self.headers.get("Accept-Encoding", "")
+                if "gzip" not in ae:
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(raw)))
+                    self.end_headers()
+                    self.wfile.write(raw)
+                    return
+                if kind in ("gzip", "gzipbig"):
+                    body, enc = _gzip.compress(raw), "gzip"
+                elif kind == "deflate":
+                    body, enc = _zlib.compress(raw), "deflate"
+                elif kind == "deflraw":
+                    co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+                    body, enc = co.compress(raw) + co.flush(), "deflate"
+                elif kind == "trunc":
+                    full = _gzip.compress(raw)
+                    body, enc = full[:len(full) // 2], "gzip"
+                elif kind == "bad":
+                    full = bytearray(_gzip.compress(raw))
+                    full[len(full) // 2] ^= 0xFF
+                    body, enc = bytes(full), "gzip"
+                else:
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Encoding", enc)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path == "/cookiecheck":
                 body = self.headers.get("Cookie", "").encode()
                 self.send_response(200)
@@ -419,6 +460,86 @@ class TestRedirects:
             data, outcome, _ = h.download(f"{base}/rcookie")
         assert outcome == TaskOutcome.OK
         assert data == b"sid=abc123"
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+class TestContentEncoding:
+    """Transparent gzip/deflate decode (reference: CURLOPT_ACCEPT_ENCODING
+    "", fludownloader.c:748 — libcurl advertises all built-in codings and
+    decompresses before the write callback). The native client advertises
+    and decodes; the urllib fallback doesn't advertise, so the server
+    sends identity — either way callers receive identity bytes."""
+
+    @pytest.mark.parametrize("kind", ["gzip", "deflate", "deflraw",
+                                      "gzipbig"])
+    def test_roundtrip_is_identity(self, http_server, force_python, kind):
+        base, root = http_server
+        name = "big.bin" if kind == "gzipbig" else "hello.txt"
+        with DownloadHelper(force_python=force_python) as h:
+            data, outcome, status = h.download(f"{base}/enc/{kind}")
+        assert outcome == TaskOutcome.OK
+        assert status == 200
+        assert data == (root / name).read_bytes()
+
+    def test_truncated_gzip_is_decode_error(self, http_server,
+                                            force_python):
+        if force_python:
+            pytest.skip("urllib arm never receives compressed bytes")
+        base, _ = http_server
+        with DownloadHelper() as h:
+            data, outcome, _ = h.download(f"{base}/enc/trunc")
+        assert data is None
+        assert outcome == TaskOutcome.DECODE_ERROR
+
+    def test_corrupt_gzip_is_decode_error(self, http_server, force_python):
+        if force_python:
+            pytest.skip("urllib arm never receives compressed bytes")
+        base, _ = http_server
+        with DownloadHelper() as h:
+            data, outcome, _ = h.download(f"{base}/enc/bad")
+        assert data is None
+        assert outcome == TaskOutcome.DECODE_ERROR
+
+    def test_chunked_gzip_composes(self, http_server, force_python):
+        """Transfer-Encoding: chunked carrying a gzip Content-Encoding —
+        the chunked framing is removed first, then the payload inflates
+        (RFC 9110 ordering)."""
+        if force_python:
+            pytest.skip("urllib arm never receives compressed bytes")
+        import gzip as _gzip
+        import socket
+
+        base, root = http_server
+        raw = (root / "hello.txt").read_bytes()
+        gz = _gzip.compress(raw)
+
+        def serve(conn):
+            conn.recv(65536)
+            out = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+                   b"Transfer-Encoding: chunked\r\n\r\n")
+            # adversarial framing: 7-byte chunks split the gzip header
+            for i in range(0, len(gz), 7):
+                piece = gz[i:i + 7]
+                out += f"{len(piece):x}\r\n".encode() + piece + b"\r\n"
+            out += b"0\r\n\r\n"
+            conn.sendall(out)
+            conn.close()
+
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        t = threading.Thread(
+            target=lambda: serve(srv.accept()[0]), daemon=True)
+        t.start()
+        try:
+            with DownloadHelper() as h:
+                data, outcome, _ = h.download(
+                    f"http://127.0.0.1:{port}/x", timeout=30)
+        finally:
+            srv.close()
+        assert outcome == TaskOutcome.OK
+        assert data == raw
 
 
 class TestRedirectedImageThroughRenderer:
