@@ -113,3 +113,33 @@ class TestKernelLowering:
         ovp = (jnp.zeros((h, w), jnp.uint8),) * 4 if overlay else None
         _lower(lambda r, g, b, o=None: front_end_pallas(
             r, g, b, qy, qc, overlay_planes=o), p, p, p, ovp)
+
+    @pytest.mark.parametrize("frames", [16, 32], ids=["gop16", "gop32"])
+    def test_batched_dispatch_program(self, frames):
+        """The FLUTPU_BENCH_GOP batched-dispatch arms (16/32 frames per
+        program, amortizing the per-round-trip link cost) lower for TPU
+        end to end: source → fused front end → segmented entropy pack at
+        the 1080p product shape."""
+        from flutpu.codec.ops.entropy import (encode_gop_scans_segmented,
+                                              mcu_layout)
+        from flutpu.codec.ops.frontend_pallas import front_end_pallas
+        from flutpu.codec.ops.quant import (CHROMA_QTABLE, LUMA_QTABLE,
+                                            scale_qtable)
+        from flutpu.codec.ops.testsrc import gradient_ball_planes
+
+        ph, pw = 1088, 1920
+        layout = mcu_layout(pw // 8, ph // 8, pw // 16, ph // 16, True)
+        qy = jnp.asarray(scale_qtable(LUMA_QTABLE, 85))
+        qc = jnp.asarray(scale_qtable(CHROMA_QTABLE, 85))
+        from flutpu.codec.jpeg import (blockize, zigzag_flatten)
+
+        def prog(start):
+            r, g, b = gradient_ball_planes(ph, pw, frames, start)
+            yp, cbp, crp = front_end_pallas(r, g, b, qy, qc)
+            yq, cbq, crq = (zigzag_flatten(blockize(p))
+                            for p in (yp, cbp, crp))
+            return encode_gop_scans_segmented(
+                yq, cbq, crq, layout=layout, prefix_words=4096,
+                seg_words=64)
+
+        _lower(prog, jnp.float32(0))
