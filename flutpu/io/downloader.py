@@ -73,6 +73,8 @@ class Task:
     downloaded: int = 0
     content_length: int = 0
     ssl_status: SslStatus = SslStatus.OK
+    raw_headers: str = ""  # full response header block (task_get_header)
+    date: str = ""         # Date response header (task_get_date analog)
     _native_handle: Optional[int] = None
     _session: object = None
     _forced: bool = False
@@ -148,6 +150,12 @@ class Downloader:
             self._lib.flu_dl_task_get_length(task_handle)) or task.downloaded
         task.ssl_status = SslStatus(int(
             self._lib.flu_dl_task_get_ssl_status(task_handle)))
+        # capture header snapshot while the native task is still alive
+        # (reference fludownloader_task_get_header / _get_date)
+        hdr = self._lib.flu_dl_task_get_header(task_handle)
+        task.raw_headers = hdr.decode("latin-1") if hdr else ""
+        date = self._lib.flu_dl_task_get_date(task_handle)
+        task.date = date.decode("latin-1") if date else ""
         task._native_handle = None
         if self.done_cb is not None:
             if self.done_cb(task.outcome, http_status, size, task):
@@ -315,6 +323,9 @@ class _PythonWorker:
                         if hasattr(resp, "headers") else None
                     if length:
                         task.content_length = int(length)
+                    if hasattr(resp, "headers"):
+                        task.raw_headers = str(resp.headers)
+                        task.date = resp.headers.get("Date", "") or ""
                     while not task._abort:
                         self.barrier.trypass_for(4000)
                         chunk = resp.read(64 * 1024)

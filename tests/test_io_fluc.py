@@ -463,6 +463,35 @@ class TestRedirects:
 
 
 @pytest.mark.parametrize("force_python", [False, True])
+class TestHeaderCapture:
+    """Task.raw_headers / Task.date survive task completion (reference:
+    fludownloader_task_get_header / _get_date, fludownloader.h)."""
+
+    def test_headers_and_date_on_done(self, http_server, force_python):
+        base, _ = http_server
+        captured = {}
+
+        def done(outcome, status, size, task):
+            captured["headers"] = task.raw_headers
+            captured["date"] = task.date
+            return False
+
+        dl = Downloader(None, done, force_python=force_python)
+        try:
+            dl.new_task(f"{base}/hello.txt")
+            for _ in range(200):
+                if captured:
+                    break
+                time.sleep(0.05)
+        finally:
+            dl.destroy()
+        assert "hello.txt" not in captured["headers"]  # headers, not body
+        assert "Content-Length" in captured["headers"] \
+            or "content-length" in captured["headers"].lower()
+        assert captured["date"]  # SimpleHTTPRequestHandler sends Date
+
+
+@pytest.mark.parametrize("force_python", [False, True])
 class TestContentEncoding:
     """Transparent gzip/deflate decode (reference: CURLOPT_ACCEPT_ENCODING
     "", fludownloader.c:748 — libcurl advertises all built-in codings and
