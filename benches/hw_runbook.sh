@@ -47,5 +47,7 @@ say "bench.py gop=16 A/B (batched dispatch)"
 timeout 3000 env FLUTPU_BENCH_GOP=16 python bench.py >>"$LOG" 2>&1
 say "bench.py gop=32 A/B (batched dispatch)"
 timeout 3000 env FLUTPU_BENCH_GOP=32 python bench.py >>"$LOG" 2>&1
+say "bench_all full gop=16 (batched burn-in dispatch)"
+timeout 3000 env FLUTPU_BENCH_GOP=16 python benches/bench_all.py full >>"$LOG" 2>&1
 
 say "runbook done"
