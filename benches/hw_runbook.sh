@@ -16,13 +16,29 @@ LOG=/tmp/hw_runbook.log
 say() { echo "=== $(date +%H:%M:%S) $*" | tee -a "$LOG"; }
 
 say "runbook start"
-# 0. tiny probe — bail early if the link is still degraded
-if ! timeout 150 python -c "
+# 0. tiny probe — the link has minutes-long DEGRADED phases (CLAUDE.md), so
+# retry with backoff inside a bounded budget (mirrors bench.py's probe loop)
+# instead of aborting on the first slow window.
+PROBE_BUDGET=${FLUTPU_RUNBOOK_PROBE_BUDGET_S:-1500}
+PROBE_DEADLINE=$(( $(date +%s) + PROBE_BUDGET ))
+PROBE_OK=0
+DELAY=60
+while :; do
+  if timeout 150 python -c "
 import time, jax, jax.numpy as jnp, numpy as np
 t0=time.time(); x=jnp.ones((8,8))
 print('probe ok', float(np.asarray((x@x).sum())), round(time.time()-t0,1), 's')
 " >>"$LOG" 2>&1; then
-  say "probe FAILED — link still degraded, aborting runbook"
+    PROBE_OK=1; break
+  fi
+  NOW=$(date +%s)
+  if [ $(( NOW + DELAY )) -ge "$PROBE_DEADLINE" ]; then break; fi
+  say "probe failed — link degraded; retrying in ${DELAY}s ($(( PROBE_DEADLINE - NOW ))s budget left)"
+  sleep "$DELAY"
+  DELAY=$(( DELAY * 2 > 300 ? 300 : DELAY * 2 ))
+done
+if [ "$PROBE_OK" != 1 ]; then
+  say "probe FAILED for ${PROBE_BUDGET}s — link down, aborting runbook"
   exit 1
 fi
 
