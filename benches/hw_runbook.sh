@@ -24,7 +24,7 @@ PROBE_DEADLINE=$(( $(date +%s) + PROBE_BUDGET ))
 PROBE_OK=0
 DELAY=60
 while :; do
-  if timeout 150 python -c "
+  if timeout -k 15 150 python -c "
 import time, jax, jax.numpy as jnp, numpy as np
 t0=time.time(); x=jnp.ones((8,8))
 print('probe ok', float(np.asarray((x@x).sum())), round(time.time()-t0,1), 's')
@@ -44,26 +44,26 @@ fi
 
 # 1. headline capture (driver shape; best-of-2 + device_ms_per_gop built in)
 say "bench.py headline"
-timeout 2400 python bench.py >>"$LOG" 2>&1
+timeout -k 15 2400 python bench.py >>"$LOG" 2>&1
 
 # 2. secondary configs at the kernel front end (cached shapes; cheap)
 say "bench_all full (encode+burn-in)"
-timeout 2400 python benches/bench_all.py full >>"$LOG" 2>&1
+timeout -k 15 2400 python benches/bench_all.py full >>"$LOG" 2>&1
 say "bench_all fvc (v1 + motion)"
-timeout 2400 python benches/bench_all.py fvc >>"$LOG" 2>&1
+timeout -k 15 2400 python benches/bench_all.py fvc >>"$LOG" 2>&1
 
 # 3. 4K margin (bigger shapes last)
 say "bench_all full4k (encode+burn-in at 4K; warm-cache shapes)"
-timeout 3000 python benches/bench_all.py full4k >>"$LOG" 2>&1
+timeout -k 15 3000 python benches/bench_all.py full4k >>"$LOG" 2>&1
 
 # 4. batched-dispatch A/B (NEW static shapes — first-time compiles, so
 # last): 16/32 frames per dispatch amortize the ~25 ms per-RTT link cost;
 # device ms/frame should be flat, wall fps is the question.
 say "bench.py gop=16 A/B (batched dispatch)"
-timeout 3000 env FLUTPU_BENCH_GOP=16 python bench.py >>"$LOG" 2>&1
+timeout -k 15 3000 env FLUTPU_BENCH_GOP=16 python bench.py >>"$LOG" 2>&1
 say "bench.py gop=32 A/B (batched dispatch)"
-timeout 3000 env FLUTPU_BENCH_GOP=32 python bench.py >>"$LOG" 2>&1
+timeout -k 15 3000 env FLUTPU_BENCH_GOP=32 python bench.py >>"$LOG" 2>&1
 say "bench_all full gop=16 (batched burn-in dispatch)"
-timeout 3000 env FLUTPU_BENCH_GOP=16 python benches/bench_all.py full >>"$LOG" 2>&1
+timeout -k 15 3000 env FLUTPU_BENCH_GOP=16 python benches/bench_all.py full >>"$LOG" 2>&1
 
 say "runbook done"
