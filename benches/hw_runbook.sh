@@ -15,6 +15,19 @@ cd "$(dirname "$0")/.."
 LOG=/tmp/hw_runbook.log
 say() { echo "=== $(date +%H:%M:%S) $*" | tee -a "$LOG"; }
 
+# Measurement discipline (CLAUDE.md): CPU-heavy local work (pytest, CPU
+# baselines) running concurrently silently drops TPU wall-clock numbers
+# 20-40%. Anyone starting such work touches /tmp/flutpu_cpu_busy; every
+# measurement step waits (bounded) for it to clear.
+cpu_gate() {
+  local waited=0
+  while [ -e /tmp/flutpu_cpu_busy ] && [ "$waited" -lt 2400 ]; do
+    [ "$waited" = 0 ] && say "cpu_gate: waiting for /tmp/flutpu_cpu_busy to clear"
+    sleep 30; waited=$(( waited + 30 ))
+  done
+  [ -e /tmp/flutpu_cpu_busy ] && say "cpu_gate: flag stuck after ${waited}s — proceeding (numbers may be contended)"
+}
+
 say "runbook start"
 # 0. tiny probe — the link has minutes-long DEGRADED phases (CLAUDE.md), so
 # retry with backoff inside a bounded budget (mirrors bench.py's probe loop)
@@ -43,26 +56,33 @@ if [ "$PROBE_OK" != 1 ]; then
 fi
 
 # 1. headline capture (driver shape; best-of-2 + device_ms_per_gop built in)
+cpu_gate
 say "bench.py headline"
 timeout -k 15 2400 python bench.py >>"$LOG" 2>&1
 
 # 2. secondary configs at the kernel front end (cached shapes; cheap)
+cpu_gate
 say "bench_all full (encode+burn-in)"
 timeout -k 15 2400 python benches/bench_all.py full >>"$LOG" 2>&1
+cpu_gate
 say "bench_all fvc (v1 + motion)"
 timeout -k 15 2400 python benches/bench_all.py fvc >>"$LOG" 2>&1
 
 # 3. 4K margin (bigger shapes last)
+cpu_gate
 say "bench_all full4k (encode+burn-in at 4K; warm-cache shapes)"
 timeout -k 15 3000 python benches/bench_all.py full4k >>"$LOG" 2>&1
 
 # 4. batched-dispatch A/B (NEW static shapes — first-time compiles, so
 # last): 16/32 frames per dispatch amortize the ~25 ms per-RTT link cost;
 # device ms/frame should be flat, wall fps is the question.
+cpu_gate
 say "bench.py gop=16 A/B (batched dispatch)"
 timeout -k 15 3000 env FLUTPU_BENCH_GOP=16 python bench.py >>"$LOG" 2>&1
+cpu_gate
 say "bench.py gop=32 A/B (batched dispatch)"
 timeout -k 15 3000 env FLUTPU_BENCH_GOP=32 python bench.py >>"$LOG" 2>&1
+cpu_gate
 say "bench_all full gop=16 (batched burn-in dispatch)"
 timeout -k 15 3000 env FLUTPU_BENCH_GOP=16 python benches/bench_all.py full >>"$LOG" 2>&1
 
