@@ -358,16 +358,29 @@ def main():
         done = None
 
     import jax
+    from flutpu.benchlock import hold_tpu_lock
     backend = jax.devices()[0].platform
     # keep the measured frame count constant (~320) across GOP knobs
     n_gops = max(4, (40 * 8) // GOP) if backend != "cpu" else 3
+    device_ms = None
     try:
-        fps = run_pipeline(n_gops, report)
-        if backend != "cpu":
-            # best-of-2: the shared link has minutes-long degraded phases
-            # (CLAUDE.md); a second measured round costs ~3 s warm and
-            # mirrors the CPU baseline's best-of-3 contract
-            fps = max(fps, run_pipeline(n_gops, report))
+        # TPU-measurement mutex (round-5): BENCH_r04 was captured while
+        # the builder's runbook ran on the same chip and understated the
+        # clean band by ~13%; wall-clock TPU measurements are exclusive
+        # now. Bounded wait — a wedged holder never hangs the driver.
+        with hold_tpu_lock("bench.py", timeout_s=2400.0):
+            fps = run_pipeline(n_gops, report)
+            if backend != "cpu":
+                # best-of-2: the shared link has minutes-long degraded
+                # phases (CLAUDE.md); a second measured round costs ~3 s
+                # warm and mirrors the CPU baseline's best-of-3 contract
+                fps = max(fps, run_pipeline(n_gops, report))
+                # load-independent device-time companion (verdict r3
+                # #7); never let its failure take down the headline
+                try:
+                    device_ms = round(measure_device_ms_per_gop(), 1)
+                except Exception as e:
+                    report(f"device_ms_per_gop failed: {e}")
     except Exception as e:  # keep the one-JSON-line contract on link death
         if done is not None:
             done.set()
@@ -377,24 +390,19 @@ def main():
                           "error": f"{type(e).__name__}: {e}"[:200]}))
         return
     report(f"{backend} fps: {fps:.1f}")
-
-    # load-independent device-time companion (verdict r3 #7); never let
-    # its failure take down the headline record
-    device_ms = None
-    if backend != "cpu":
-        try:
-            device_ms = round(measure_device_ms_per_gop(), 1)
-        except Exception as e:
-            report(f"device_ms_per_gop failed: {e}")
     report(f"device_ms_per_gop: {device_ms}")
 
-    # measured CPU baseline (same contracts, CPU backend) in a subprocess
+    # measured CPU baseline (same contracts, CPU backend) in a subprocess;
+    # flag the host as CPU-busy so a concurrent TPU measurement's
+    # cpu_gate sees the contention (CLAUDE.md convention)
+    from flutpu.benchlock import hold_cpu_busy
     cpu_fps = None
     try:
         env = dict(os.environ, JAX_PLATFORMS="cpu")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpu-child"],
-            capture_output=True, timeout=900, env=env, text=True)
+        with hold_cpu_busy():
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpu-child"],
+                capture_output=True, timeout=900, env=env, text=True)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 cpu_fps = json.loads(line)["cpu_fps"]

@@ -193,4 +193,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from flutpu.benchlock import hold_tpu_lock
+    with hold_tpu_lock('ab_motion.py', timeout_s=2400.0):
+        main()

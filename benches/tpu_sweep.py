@@ -435,4 +435,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from flutpu.benchlock import hold_tpu_lock
+    with hold_tpu_lock('tpu_sweep.py', timeout_s=2400.0):
+        main()
