@@ -75,7 +75,79 @@ ARMS = {
     # (half the frames pay two searches); compare against kernel_full.
     "kernel_bframes1": (False, False, {"_AB_BFRAMES": "1"}),
     "kernel_bframes2": (False, False, {"_AB_BFRAMES": "2"}),
+    # Round-5 arms:
+    # kernel_full_dxmajor — full chunk encode with the dy-major/static-dx
+    #   search kernel (FLUTPU_SEARCH_DXMAJOR=1); compare to kernel_full.
+    "kernel_full_dxmajor": (False, False, {"FLUTPU_SEARCH_DXMAJOR": "1"}),
+    # search-only arms (stage isolation, 7 pairs/GOP at 1088x1920):
+    #   search_kernel_full    — fused candidate-major kernel (search+pred)
+    #   search_kernel_dxmajor — dy-major/static-dx kernel (search+pred)
+    #   search_mxu_ssd        — the verdict's MXU GEMM formulation
+    #                           (search ONLY — no prediction, so it gets
+    #                           a head start and still has to win)
+    "search_kernel_full": (False, False, {"_AB_SEARCH_ONLY": "kernel"}),
+    "search_kernel_dxmajor": (False, False,
+                              {"_AB_SEARCH_ONLY": "dxmajor"}),
+    "search_mxu_ssd": (False, False, {"_AB_SEARCH_ONLY": "mxu_ssd"}),
 }
+
+
+def measure_search_only_ms(which: str, reps: int = 4) -> float:
+    """Device ms/GOP of the SEARCH stage alone — 7 frame pairs of an
+    8-frame 1088x1920 GOP, rep loop inside one program reduced to a
+    scalar checksum. Isolates the formulation question (verdict r4 #3:
+    can the MXU beat the VPU roll kernel at block matching?)."""
+    import jax
+    import jax.numpy as jnp
+    from flutpu.codec.ops.testsrc import gradient_ball_planes
+
+    H, W, gop = 1088, 1920, 8
+
+    def search(cy, ref):
+        if which == "kernel":
+            from flutpu.codec.ops.motion_pallas import \
+                motion_search_mc_pallas
+            mv, pred = motion_search_mc_pallas(cy, ref, search_range=7)
+            return (jnp.abs(mv).astype(jnp.uint32).sum()
+                    + jnp.abs(pred).astype(jnp.uint32).sum())
+        if which == "dxmajor":
+            from flutpu.codec.ops.motion_pallas import \
+                motion_search_mc_dxmajor_pallas
+            mv, pred = motion_search_mc_dxmajor_pallas(cy, ref,
+                                                       search_range=7)
+            return (jnp.abs(mv).astype(jnp.uint32).sum()
+                    + jnp.abs(pred).astype(jnp.uint32).sum())
+        assert which == "mxu_ssd"
+        from flutpu.codec.ops.motion import motion_search_ssd_mxu
+        mv = motion_search_ssd_mxu(cy, ref, search_range=7)
+        return jnp.abs(mv).astype(jnp.uint32).sum()
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def loop(start, reps=reps):
+        def body(i, acc):
+            y, _, _ = gradient_ball_planes(
+                H, W, gop, start + i.astype(jnp.float32) * gop)
+            def pair(j, a):
+                return a + search(y[j + 1], y[j])
+            return jax.lax.fori_loop(0, gop - 1, pair, acc)
+        return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
+    @jax.jit
+    def tiny(x):
+        return (x @ x).sum()
+
+    x8 = jnp.ones((8, 8), jnp.float32)
+    float(tiny(x8))
+    int(loop(jnp.float32(0)))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(tiny(x8))
+        rtt = time.time() - t0
+        t0 = time.time()
+        int(loop(jnp.float32(0)))
+        best = min(best, max(0.0, time.time() - t0 - rtt) / reps * 1000.0)
+    return best
 
 
 def measure_device_ms(hier: bool, subpel: bool, reps: int = 4) -> float:
@@ -176,7 +248,9 @@ def main():
     if arm:
         hier, subpel, _ = ARMS[arm]
         try:
-            ms = round(measure_device_ms(hier, subpel), 1)
+            so = os.environ.get("_AB_SEARCH_ONLY")
+            ms = round(measure_search_only_ms(so) if so
+                       else measure_device_ms(hier, subpel), 1)
         except Exception as e:  # keep one-line-per-arm on kernel rejections
             print(json.dumps({"metric": f"fvc_motion_{arm}_device_ms_per_gop",
                               "error": f"{type(e).__name__}: {e}"[:160]}),
@@ -187,7 +261,11 @@ def main():
         return
     which = sys.argv[1:] or list(ARMS)
     for arm in which:
-        env = dict(os.environ, _AB_ARM=arm, **ARMS[arm][2])
+        # the parent already holds the TPU-measurement lock around all
+        # arms; mark it held so the child's own acquisition doesn't
+        # nest-wait on its parent (flock is not re-entrant)
+        env = dict(os.environ, _AB_ARM=arm, FLUTPU_TPU_LOCK_HELD="1",
+                   **ARMS[arm][2])
         subprocess.run([sys.executable, os.path.abspath(__file__)],
                        env=env, check=False)
 

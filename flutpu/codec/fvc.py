@@ -206,16 +206,22 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
         if use_kernel:
             from .ops.motion_pallas import (chroma_mc_fits,
                                             chroma_mc_pallas,
+                                            motion_search_mc_dxmajor_pallas,
                                             motion_search_mc_dygrid_pallas,
                                             motion_search_mc_hier_pallas,
                                             motion_search_mc_pallas)
             # FLUTPU_SEARCH_DYGRID=0/1 A/Bs the dy-grid restructure of the
-            # full-search kernel (one lane roll per candidate; bit-identical)
+            # full-search kernel (one lane roll per candidate;
+            # bit-identical); FLUTPU_SEARCH_DXMAJOR=0/1 A/Bs the round-5
+            # dy-major/static-dx restructure (default decided by the
+            # hardware A/B in benches/ab_motion.py — see PERF.md)
             from ..core.env import env_flag
             dygrid = env_flag("FLUTPU_SEARCH_DYGRID", False)
+            dxmajor = env_flag("FLUTPU_SEARCH_DXMAJOR", False)
             ksearch = motion_search_mc_hier_pallas if hier \
                 else (motion_search_mc_dygrid_pallas if dygrid
-                      else motion_search_mc_pallas)
+                      else (motion_search_mc_dxmajor_pallas if dxmajor
+                            else motion_search_mc_pallas))
             mv, pred_p_y = ksearch(cy, rec_y, search_range=search_range)
             # both chroma planes in ONE VMEM kernel (64 in-VMEM rolls
             # instead of 2x64 HBM whole-plane rolls; bit-identical).
@@ -429,15 +435,18 @@ def fvc_mc_encode_chunk_b(frames, qy, qc, pad_h: int, pad_w: int,
                   and not os.environ.get("FLUTPU_NO_MOTION_KERNEL"))
     if use_kernel:
         from .ops.motion_pallas import (chroma_mc_fits, chroma_mc_pallas,
+                                        motion_search_mc_dxmajor_pallas,
                                         motion_search_mc_hier_pallas,
                                         motion_search_mc_pallas)
         from ..core.env import env_flag
         chroma_kernel_ok = (not env_flag("FLUTPU_NO_CHROMA_KERNEL", False)
                             and chroma_mc_fits(pad_h // 2, pad_w // 2))
+        dxmajor = env_flag("FLUTPU_SEARCH_DXMAJOR", False)
 
         def search_mc(cy, ref):
             k = motion_search_mc_hier_pallas if hier \
-                else motion_search_mc_pallas
+                else (motion_search_mc_dxmajor_pallas if dxmajor
+                      else motion_search_mc_pallas)
             return k(cy, ref, search_range=search_range)
 
         if chroma_kernel_ok:

@@ -381,3 +381,80 @@ def subpel_refine(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
             best_cost = jnp.where(better, cost, best_cost)
             best_mv = jnp.where(better[..., None], 2 * base + off, best_mv)
     return best_mv
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "mb"))
+def motion_search_ssd_mxu(cur_y: jnp.ndarray, prev_y: jnp.ndarray,
+                          search_range: int = 7, mb: int = MB):
+    """Block matching as an MXU GEMM — the round-5 verdict's measured
+    reference formulation (NOT a product path; see the PERF.md roofline).
+
+    SSD expansion: argmin_c ||a - b_c||^2 = argmin_c (||b_c||^2 - 2 a.b_c)
+    (||a||^2 is candidate-independent). The cross term rides the MXU as a
+    true GEMM per macroblock row: A_y (mbw, mb*mb) bf16 x B_y' (mb*mb,
+    n^2*mbw) bf16 -> f32, where B_y' is the im2col of the shifted-
+    candidate basis (every candidate patch of every block in the row).
+    Only the block-diagonal (x == x') of the (mbw, n^2, mbw) product is
+    wanted: the GEMM computes mbw times the useful FLOPs (the
+    "one big dot" of the verdict prescription has no smaller dense
+    form — there is no operand shared across blocks or candidates, so a
+    GEMM must either replicate data ~n^2x (im2col) or compute ~mbw x
+    dense waste; this arm does both halves honestly and is measured by
+    benches/ab_motion.py).
+
+    Selection metric is SSD (not the product SAD), bf16 cross term: mv
+    fields are NOT bit-identical to motion_search — this function exists
+    to measure the MXU formulation's speed ceiling, per the verdict.
+    Candidate order (dy-major) and first-win ties match motion_search.
+    """
+    h, w = cur_y.shape
+    rng = search_range
+    n = 2 * rng + 1
+    mbh, mbw = h // mb, w // mb
+    k = mb * mb
+
+    prevp = jnp.pad(prev_y.astype(jnp.float32), ((rng, rng), (rng, rng)),
+                    mode="wrap")
+    # per-mb-row reference bands: rows [y*mb - rng, y*mb + mb + rng)
+    idx = (jnp.arange(mbh) * mb)[:, None] + jnp.arange(mb + 2 * rng)[None]
+    bands = prevp[idx]                     # (mbh, mb+2r, w+2r)
+    # A blocks: (mbh, mbw, k)
+    ablk = (cur_y.astype(jnp.float32)
+            .reshape(mbh, mb, mbw, mb).transpose(0, 2, 1, 3)
+            .reshape(mbh, mbw, k))
+
+    def per_band(carry, xs):
+        band, a = xs                       # (mb+2r, w+2r), (mbw, k)
+        # im2col the shifted-candidate basis with static slices. Sign
+        # convention: motion_search's candidate (dy,dx) is
+        # roll(prev, (dy,dx)) — output pixel p sources prev[p - (dy,dx)]
+        # — so the patch of block x is band[r-dy : r-dy+mb,
+        # r-dx+16x : r-dx+16x+mb]
+        pats = []
+        for dy in range(-rng, rng + 1):
+            rowslab = band[rng - dy:rng - dy + mb, :]       # (mb, w+2r)
+            for dx in range(-rng, rng + 1):
+                sl = rowslab[:, rng - dx:rng - dx + w]      # (mb, w)
+                pats.append(sl.reshape(mb, mbw, mb)
+                            .transpose(1, 0, 2).reshape(mbw, k))
+        basis = jnp.stack(pats)            # (n*n, mbw, k)
+        # ||b_c||^2 per (block, candidate) — exact f32, VPU
+        bb = (basis * basis).sum(axis=-1).T            # (mbw, n*n)
+        # cross term: ONE GEMM (mbw, k) x (k, n*n*mbw) on the MXU (bf16
+        # in, f32 out); keep only the block diagonal
+        dense = jax.lax.dot_general(
+            a.astype(jnp.bfloat16),
+            basis.astype(jnp.bfloat16).transpose(2, 0, 1).reshape(
+                k, n * n * mbw),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (mbw, n*n*mbw)
+        xs_i = jnp.arange(mbw)
+        cross = dense.reshape(mbw, n * n, mbw)[
+            xs_i[:, None], jnp.arange(n * n)[None, :], xs_i[:, None]]
+        cost = bb - 2.0 * cross
+        c = jnp.argmin(cost, axis=-1).astype(jnp.int32)   # first-win ties
+        mv_row = jnp.stack([c // n - rng, c % n - rng], axis=-1)
+        return carry, mv_row
+
+    _, mv = jax.lax.scan(per_band, 0, (bands, ablk))
+    return mv                                # (mbh, mbw, 2) int32

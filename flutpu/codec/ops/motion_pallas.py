@@ -218,6 +218,158 @@ def motion_search_mc_pallas(cur_y: jax.Array, prev_y: jax.Array,
     return mv, pred.reshape(h, w)[:, :w_real]
 
 
+def _search_mc_dxmajor_kernel(cur_ref, prevp_ref, ones_ref, onest_ref,
+                              mvy_ref, mvx_ref, pred_ref,
+                              *, rows, w, rng, mb):
+    """dy-major restructure of _search_mc_kernel (round 5): the sublane
+    (dy) roll hoists OUT of the candidate loop — one dynamic axis-0 roll
+    per dy value (15 total instead of 225) — and the lane (dx) loop is
+    Python-UNROLLED so every axis-1 roll amount is a compile-time
+    constant (Mosaic lowers a static lane rotate far cheaper than
+    tpu.dynamic_rotate, and can software-pipeline the unrolled bodies).
+    Candidate visit order stays dy-major row-major — (dy, dx) ascending,
+    exactly the fused kernel's c = (dy+r)*n + (dx+r) order — so argmin
+    tie-breaking (first win) and the integer-scaled center bias keep the
+    bit-identical contract of motion_search + motion_compensate.
+
+    Roll algebra: axis-0 and axis-1 rolls commute, so
+    roll(roll(P, a0, 0), a1, 1)[:rows, :w] == the fused kernel's
+    per-candidate pair; hoisting the axis-0 roll changes nothing."""
+    n = 2 * rng + 1
+    mbr = rows // mb
+    mbr_p = mvy_ref.shape[0]
+    mbw = ones_ref.shape[1]
+    p0, p1 = prevp_ref.shape
+    cur = cur_ref[:]
+
+    def dy_body(j, state):
+        best, by, bx = state
+        dy = j - rng
+        # one dynamic sublane roll per dy: shift right by p0-(rng-dy),
+        # reduced mod p0 (at dy=+rng the raw shift equals p0; pltpu.roll
+        # needs NON-NEGATIVE shifts and in-range is the safe contract —
+        # the round-2 notes record traced out-of-contract shifts
+        # silently mis-rotating on hardware)
+        rdy = pltpu.roll(prevp_ref[:], (p0 - (2 * rng - j)) % p0, axis=0)
+        for dx in range(-rng, rng + 1):       # STATIC unroll
+            sh = pltpu.roll(rdy, (p1 - (rng - dx)) % p1,
+                            axis=1)[:rows, :w]
+            d = jnp.abs(cur - sh)
+            s1 = d.reshape(mbr, mb, w).sum(axis=1)
+            sadv = jnp.dot(s1, ones_ref[:],
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+            cost = sadv * 64 + (jnp.abs(dy) + abs(dx))
+            better = cost < best
+            best = jnp.where(better, cost, best)
+            by = jnp.where(better, dy, by)
+            bx = jnp.where(better, dx, bx)
+            bet_rows = jnp.dot(better.astype(jnp.float32), onest_ref[:],
+                               preferred_element_type=jnp.float32)
+            bet_map = jnp.broadcast_to(bet_rows[:, None, :],
+                                       (mbr, mb, w)).reshape(rows, w)
+            pred_ref[:] = jnp.where(bet_map > 0, sh, pred_ref[:])
+        return best, by, bx
+
+    zero = jnp.zeros((mbr, mbw), jnp.int32)
+    best, by, bx = jax.lax.fori_loop(
+        0, n, dy_body,
+        (jnp.full((mbr, mbw), jnp.inf, jnp.float32), zero, zero))
+    if mbr_p > mbr:
+        padrows = jnp.zeros((mbr_p - mbr, mbw), jnp.int32)
+        by = jnp.concatenate([by, padrows], axis=0)
+        bx = jnp.concatenate([bx, padrows], axis=0)
+    mvy_ref[:] = by
+    mvx_ref[:] = bx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("search_range", "mb", "interpret"))
+def motion_search_mc_dxmajor_pallas(cur_y: jax.Array, prev_y: jax.Array,
+                                    search_range: int = 7, mb: int = 16,
+                                    interpret: bool = False):
+    """Full-search motion + prediction with the dy-major/static-dx kernel
+    (round 5). Same contract as motion_search_mc_pallas: bit-identical
+    mv and prediction to ops.motion.motion_search + motion_compensate.
+    Host-side setup (band split, wrap padding, tiling pads, ones
+    matrices) is identical to the fused kernel so A/Bs isolate the roll
+    structure."""
+    h, w_real = cur_y.shape
+    rng = search_range
+    w = -(-w_real // 128) * 128
+    cur_pad = cur_y.astype(jnp.float32)
+    if w != w_real:
+        cur_pad = jnp.pad(cur_pad, ((0, 0), (0, w - w_real)))
+    mbh, mbw = h // mb, w // mb
+    mbw_real = w_real // mb
+
+    prevp = jnp.pad(prev_y.astype(jnp.float32),
+                    ((rng, rng), (rng, rng)), mode="wrap")
+    if w != w_real:
+        prevp = jnp.pad(prevp, ((0, 0), (0, w - w_real)))
+
+    g = mbh
+    for cand in range(1, mbh + 1):
+        if mbh % cand == 0 and \
+                (h // cand) * (w + 2 * rng) * 4 * 3 < 10 * 2 ** 20:
+            g = cand
+            break
+    rows = h // g
+    cur_b = cur_pad.reshape(g, rows, w)
+    idx = (jnp.arange(g) * rows)[:, None] + jnp.arange(rows + 2 * rng)[None]
+    prevp_b = prevp[idx]                       # (g, rows+2R, w+2R)
+    pr = -(rows + 2 * rng) % 8
+    pc = -(w + 2 * rng) % 128
+    if pr or pc:
+        prevp_b = jnp.pad(prevp_b, ((0, 0), (0, pr), (0, pc)))
+    prows, pcols = rows + 2 * rng + pr, w + 2 * rng + pc
+
+    mbw_p = -(-mbw // 128) * 128
+    mbr = rows // mb
+    mbr_p = -(-mbr // 8) * 8
+    ones_np = _ones_blockdiag(w, mb)
+    ones = jnp.asarray(np.pad(ones_np, ((0, 0), (0, mbw_p - mbw))))
+    onest = jnp.asarray(np.pad(ones_np.T, ((0, mbw_p - mbw), (0, 0))))
+
+    kernel = functools.partial(_search_mc_dxmajor_kernel, rows=rows, w=w,
+                               rng=rng, mb=mb)
+    grid_spec = pl.GridSpec(
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, prows, pcols), lambda i: (i, 0, 0)),
+            pl.BlockSpec((w, mbw_p), lambda i: (0, 0)),
+            pl.BlockSpec((mbw_p, w), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, mbr_p, mbw_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0)),
+        ],
+    )
+
+    def kernel3d(cur_ref, prevp_ref, ones_ref, onest_ref,
+                 mvy_ref, mvx_ref, pred_ref):
+        kernel(cur_ref.at[0], prevp_ref.at[0], ones_ref, onest_ref,
+               mvy_ref.at[0], mvx_ref.at[0], pred_ref.at[0])
+
+    mvy, mvx, pred = pl.pallas_call(
+        kernel3d,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((g, mbr_p, mbw_p), jnp.int32),
+            jax.ShapeDtypeStruct((g, mbr_p, mbw_p), jnp.int32),
+            jax.ShapeDtypeStruct((g, rows, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cur_b, prevp_b, ones, onest)
+
+    mv = jnp.stack([mvy[:, :mbr, :mbw_real].reshape(mbh, mbw_real),
+                    mvx[:, :mbr, :mbw_real].reshape(mbh, mbw_real)],
+                   axis=-1)
+    return mv, pred.reshape(h, w)[:, :w_real]
+
+
 def _refine_mc_kernel(cur_ref, prevp_ref, by_ref, bx_ref, ones_ref,
                       onest_ref, mvy_ref, mvx_ref, pred_ref,
                       *, rows, w, rng, mb):

@@ -480,7 +480,15 @@ class TTMLBase(Element):
             if restored_type is None:
                 break
             if node_type == NodeType.SET and replaced is not None \
-                    and _is_styling(restored_type):
+                    and _is_styling(restored_type) \
+                    and (current_end is None
+                         or current_end > (current_begin or 0)):
+                # an EMPTY active window (begin == end, e.g. a
+                # zero-duration SET) must have no effect: the end event
+                # is written at end-1, which would sort BEFORE the begin
+                # event and leave the SET value applied to the cue's end
+                # (round-5 corpus Animation027 caught exactly this —
+                # red from 1s onward plus a 1 ns sliver interval)
                 # raw dict access: a value-None placeholder (animated
                 # attribute with no base value) must be REUSED so repeated
                 # SETs share one timeline — Style.get hides placeholders

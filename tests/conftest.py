@@ -21,3 +21,39 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long sharded/mesh tests (>15 s each) — excluded from the "
+        "default run; enable with FLUTPU_FULL_TESTS=1 or -m slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Round-5 verdict #5: the suite tripled to 23+ min, almost all of it
+    in a handful of 18-41 s sharded FVC/adaptive-grow/multihost tests.
+    Default `pytest -q` skips @slow (keeping the run under ~10 min and
+    the cpu_busy hold bounded); the FULL suite still runs via
+    FLUTPU_FULL_TESTS=1 (CI/nightly and before driver captures)."""
+    if os.environ.get("FLUTPU_FULL_TESTS"):
+        return
+    if config.getoption("-m"):
+        return  # explicit marker selection wins
+    skip = pytest.mark.skip(
+        reason="slow suite: set FLUTPU_FULL_TESTS=1 (or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _cpu_busy_flag():
+    """Hold the CLAUDE.md CPU-busy flag for the whole session so TPU
+    wall-clock measurements' cpu_gate sees pytest without every caller
+    having to remember the convention."""
+    from flutpu.benchlock import hold_cpu_busy
+    with hold_cpu_busy():
+        yield

@@ -280,6 +280,33 @@ def test_motion_dygrid_pallas_matches_xla():
         np.testing.assert_array_equal(np.asarray(pred), pred_ref)
 
 
+def test_motion_dxmajor_pallas_matches_xla():
+    """Round-5 dy-major/static-dx restructure (sublane roll hoisted out
+    of the candidate loop, lane rolls unrolled to compile-time shifts)
+    is bit-identical to motion_search + motion_compensate, including
+    non-128-multiple widths."""
+    import jax.numpy as jnp
+    from flutpu.codec.ops.motion import motion_compensate, motion_search
+    from flutpu.codec.ops.motion_pallas import motion_search_mc_dxmajor_pallas
+    rng = np.random.default_rng(11)
+    for (h, w) in ((64, 128), (48, 256), (64, 96)):
+        prev = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        cur = np.roll(prev, (rng.integers(-7, 8), rng.integers(-7, 8)),
+                      axis=(0, 1)) + \
+            rng.normal(0, 2, (h, w)).astype(np.float32)
+        mv_ref = np.asarray(motion_search(jnp.asarray(cur),
+                                          jnp.asarray(prev),
+                                          search_range=7))
+        pred_ref = np.asarray(motion_compensate(jnp.asarray(prev),
+                                                jnp.asarray(mv_ref),
+                                                search_range=7))
+        mv, pred = motion_search_mc_dxmajor_pallas(
+            jnp.asarray(cur), jnp.asarray(prev), search_range=7,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(mv), mv_ref)
+        np.testing.assert_array_equal(np.asarray(pred), pred_ref)
+
+
 def test_chroma_mc_pallas_matches_xla():
     """Interpret-mode fused two-plane chroma MC kernel is bit-identical
     to motion_compensate(..., mb=8) across shapes and search ranges."""

@@ -55,6 +55,15 @@ class TestKernelLowering:
 
     @pytest.mark.parametrize("shape", [(1088, 1920), (2160, 3840)],
                              ids=["1080p", "4k"])
+    def test_dxmajor_motion_kernel(self, shape):
+        from flutpu.codec.ops.motion_pallas import \
+            motion_search_mc_dxmajor_pallas
+        z = jnp.zeros(shape, jnp.float32)
+        _lower(motion_search_mc_dxmajor_pallas, z, z,
+               static=("search_range", "mb", "interpret"), search_range=7)
+
+    @pytest.mark.parametrize("shape", [(1088, 1920), (2160, 3840)],
+                             ids=["1080p", "4k"])
     def test_hier_motion_kernel(self, shape):
         from flutpu.codec.ops.motion_pallas import \
             motion_search_mc_hier_pallas

@@ -104,6 +104,125 @@ DOCS["Animation"] = {
         '\n      <set begin="0.5s" end="1.5s" tts:color="red"/>'
         '\n      <set begin="1s" end="2s" tts:backgroundColor="navy"/>',
         extra='tts:color="white"')),
+    # ---- round-5 rebalance (verdict r4 #6): SET coverage across every
+    # animatable styling attribute, overlapping SETs on ONE attribute,
+    # container-relative animation times, and animated regions that
+    # survive ttmlsegmentedparse re-serialization (the area where the
+    # round-3 duplicate-XML-attribute bug hid).
+    # SET on fontWeight
+    "Animation011": doc(body=p(
+        'Bolden\n      <set begin="1s" end="2s" tts:fontWeight="bold"/>',
+        end="3s", extra='tts:fontWeight="normal"')),
+    # SET on fontStyle
+    "Animation012": doc(body=p(
+        'Slant\n      <set begin="0.5s" end="1.5s" '
+        'tts:fontStyle="italic"/>',
+        extra='tts:fontStyle="normal"')),
+    # SET on textDecoration
+    "Animation013": doc(body=p(
+        'Underline\n      <set begin="1s" end="2s" '
+        'tts:textDecoration="underline"/>',
+        end="3s", extra='tts:textDecoration="none"')),
+    # SET on textOutline
+    "Animation014": doc(body=p(
+        'Outline\n      <set begin="0.5s" end="1.5s" '
+        'tts:textOutline="red 2px"/>',
+        extra='tts:color="white"')),
+    # SET on opacity (region-level fade pattern)
+    "Animation015": doc(
+        head=layout(region("r1", extra='tts:opacity="1"')
+                    .replace("/>", '>\n        <set begin="1s" end="2s" '
+                                   'tts:opacity="0.3"/>\n'
+                             '      </region>\n')),
+        body=p('fading region', end="3s", extra='region="r1"')),
+    # SET on textAlign
+    "Animation016": doc(body=p(
+        'Shift\n      <set begin="1s" end="2s" tts:textAlign="end"/>',
+        end="3s", extra='tts:textAlign="start"')),
+    # SET on display (content disappears entirely)
+    "Animation017": doc(body=p(
+        'Vanish\n      <set begin="1s" end="1.5s" tts:display="none"/>',
+        extra='tts:display="auto"')),
+    # SET on lineHeight on multi-row content
+    "Animation018": doc(body=p(
+        'rows<br/>grow'
+        '\n      <set begin="1s" end="2s" tts:lineHeight="200%"/>',
+        end="3s", extra='tts:lineHeight="100%"')),
+    # SET animating region origin (moving region)
+    "Animation019": doc(
+        head=layout(region("r1")
+                    .replace("/>", '>\n        <set begin="1s" end="2s" '
+                                   'tts:origin="10% 10%"/>\n'
+                             '      </region>\n')),
+        body=p('mover', end="3s", extra='region="r1"')),
+    # SET animating region extent (resizing region)
+    "Animation020": doc(
+        head=layout(region("r1")
+                    .replace("/>", '>\n        <set begin="1s" end="2s" '
+                                   'tts:extent="40% 20%"/>\n'
+                             '      </region>\n')),
+        body=p('resizer', end="3s", extra='region="r1"')),
+    # OVERLAPPING SETs on the SAME attribute: the second begins before
+    # the first ends — per-attribute event merge order decides the
+    # mid-window winner (gstttmlattribute.c:1260-1272 analog)
+    "Animation021": doc(body=p(
+        'Overlap'
+        '\n      <set begin="0.5s" end="1.5s" tts:color="red"/>'
+        '\n      <set begin="1s" end="2s" tts:color="blue"/>',
+        end="3s", extra='tts:color="white"')),
+    # overlapping SETs, second fully INSIDE the first's window
+    "Animation022": doc(body=p(
+        'Nested'
+        '\n      <set begin="0.5s" end="2.5s" tts:color="red"/>'
+        '\n      <set begin="1s" end="1.5s" tts:color="lime"/>',
+        end="3s", extra='tts:color="white"')),
+    # three-deep overlap on one attribute
+    "Animation023": doc(body=p(
+        'Triple'
+        '\n      <set begin="0.5s" end="3s" tts:color="red"/>'
+        '\n      <set begin="1s" end="2.5s" tts:color="lime"/>'
+        '\n      <set begin="1.5s" end="2s" tts:color="blue"/>',
+        end="4s", extra='tts:color="white"')),
+    # container-relative times: cue inside a div with begin offset —
+    # the SET's 0.5s is relative to the cue, the cue to the div
+    "Animation024": doc(body=(
+        '    <div begin="1s" end="5s">\n'
+        '      <p begin="1s" end="3s" tts:color="white">Offset'
+        '\n      <set begin="0.5s" end="1s" tts:color="aqua"/></p>\n'
+        '    </div>\n')),
+    # SET with begin only — runs to the cue's end
+    "Animation025": doc(body=p(
+        'OpenEnd\n      <set begin="1s" tts:color="red"/>',
+        end="3s", extra='tts:color="white"')),
+    # SET with neither begin nor end — active for the whole cue
+    "Animation026": doc(body=p(
+        'Whole\n      <set tts:color="fuchsia"/>',
+        extra='tts:color="white"')),
+    # zero-duration SET (begin == end) — must not emit an interval
+    "Animation027": doc(body=p(
+        'Zero\n      <set begin="1s" end="1s" tts:color="red"/>',
+        extra='tts:color="white"')),
+    # SET clipped by the cue's end (animation window exceeds the cue)
+    "Animation028": doc(body=p(
+        'Clipped\n      <set begin="1.5s" end="10s" tts:color="red"/>',
+        extra='tts:color="white"')),
+    # SETs on two nested spans animating independently
+    "Animation029": doc(body=p(
+        '<span tts:color="silver">outer'
+        '<set begin="0.5s" end="1s" tts:color="red"/>'
+        '<span tts:color="gray">inner'
+        '<set begin="1s" end="1.5s" tts:color="lime"/>'
+        '</span></span>')),
+    # animated region + animated span TOGETHER (re-serialization
+    # through segmentedparse exercises both markup paths at once)
+    "Animation030": doc(
+        head=layout(region("r1", extra='tts:backgroundColor="black"')
+                    .replace("/>", '>\n        <set begin="1s" end="2s" '
+                                   'tts:backgroundColor="gray"/>\n'
+                             '      </region>\n')),
+        body=p('combo'
+               '\n      <set begin="0.5s" end="1.5s" tts:color="red"/>',
+               end="3s", extra='region="r1" tts:color="white"')),
 }
 
 # ------------------------------------------------------------------ Content
@@ -688,6 +807,126 @@ DOCS["EbuTtD"] = {
                 'tts:color="white" tts:textOutline="black 1px"/>\n') +
         layout(region("bottom", origin="5% 75%", extent="90% 20%")),
         p('styled bundle<br/>second row',
+          extra='region="bottom" style="s0"')),
+    # ---- round-5 rebalance (verdict r4 #6): linePadding variants,
+    # multiRowAlign x textAlign, and cell-resolution interactions.
+    # linePadding in whole cells on the STYLE (vs EbuTtD006's 0.5c)
+    "EbuTtD010": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:color="white" '
+                'tts:backgroundColor="black" ebutts:linePadding="1c"/>\n') +
+        layout(region("bottom", origin="10% 80%", extent="80% 15%")),
+        p('whole-cell pad', extra='region="bottom" style="s0"')),
+    # linePadding directly on the region (not via style)
+    "EbuTtD011": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        layout(region("bottom", origin="10% 80%", extent="80% 15%",
+                      extra='ebutts:linePadding="0.5c" '
+                            'tts:backgroundColor="black"')),
+        p('region pad', extra='region="bottom"')),
+    # linePadding on the p element itself
+    "EbuTtD012": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        layout(region("bottom", origin="10% 80%", extent="80% 15%")),
+        p('inline pad', extra='region="bottom" '
+          'ebutts:linePadding="0.5c" tts:backgroundColor="black"')),
+    # multiRowAlign=center under textAlign=start
+    "EbuTtD013": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:textAlign="start" '
+                'ebutts:multiRowAlign="center"/>\n') +
+        layout(region("bottom", origin="10% 70%", extent="80% 25%")),
+        p('a very long first row<br/>short',
+          extra='region="bottom" style="s0"')),
+    # multiRowAlign=end under textAlign=center
+    "EbuTtD014": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:textAlign="center" '
+                'ebutts:multiRowAlign="end"/>\n') +
+        layout(region("bottom", origin="10% 70%", extent="80% 25%")),
+        p('a very long first row<br/>tail',
+          extra='region="bottom" style="s0"')),
+    # multiRowAlign=auto (explicit) must follow textAlign
+    "EbuTtD015": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:textAlign="end" '
+                'ebutts:multiRowAlign="auto"/>\n') +
+        layout(region("bottom", origin="10% 70%", extent="80% 25%")),
+        p('first row of text<br/>row two',
+          extra='region="bottom" style="s0"')),
+    # cell fontSize at a COARSE cell resolution (10x10: 1c is huge)
+    "EbuTtD016": ebu_doc(
+        'ttp:cellResolution="10 10" ttp:timeBase="media"',
+        layout(region("r1", origin="5% 5%", extent="90% 90%")),
+        p('<span tts:fontSize="1c">coarse cells</span>',
+          extra='region="r1"')),
+    # cell fontSize at a FINE cell resolution (80x48: 1c is small)
+    "EbuTtD017": ebu_doc(
+        'ttp:cellResolution="80 48" ttp:timeBase="media"',
+        layout(region("r1", origin="5% 5%", extent="90% 90%")),
+        p('<span tts:fontSize="2c">fine cells</span>',
+          extra='region="r1"')),
+    # fractional cell fontSize
+    "EbuTtD018": ebu_doc(
+        'ttp:cellResolution="32 15" ttp:timeBase="media"',
+        layout(region("r1", origin="5% 60%", extent="90% 35%")),
+        p('<span tts:fontSize="1.5c">one and a half</span>',
+          extra='region="r1"')),
+    # anamorphic two-length cell fontSize (width c != height c)
+    "EbuTtD019": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        layout(region("r1", origin="5% 60%", extent="90% 35%")),
+        p('<span tts:fontSize="0.5c 1c">anamorphic cells</span>',
+          extra='region="r1"')),
+    # lineHeight in cell units interacting with cell fontSize
+    "EbuTtD020": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:fontSize="1c" '
+                'tts:lineHeight="2c"/>\n') +
+        layout(region("r1", origin="5% 40%", extent="90% 55%")),
+        p('double-spaced<br/>cell rows', extra='region="r1" style="s0"')),
+    # region extent/origin in cell units (EBU-TT-D allows c lengths)
+    "EbuTtD021": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        layout(region("r1", origin="4c 18c", extent="32c 5c",
+                      extra='tts:backgroundColor="black"')),
+        p('cell-placed region', extra='region="r1"')),
+    # percent fontSize against the DEFAULT cell resolution (32x15)
+    "EbuTtD022": ebu_doc(
+        'ttp:timeBase="media"',
+        layout(region("r1", origin="5% 70%", extent="90% 25%")),
+        p('<span tts:fontSize="200%">double default cell</span>',
+          extra='region="r1"')),
+    # fillLineGap (tolerated EBU extension) with row backgrounds
+    "EbuTtD023": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:backgroundColor="black" '
+                'tts:color="white" ebutts:fillLineGap="true"/>\n') +
+        layout(region("bottom", origin="10% 70%", extent="80% 25%")),
+        p('gap filled<br/>rows', extra='region="bottom" style="s0"')),
+    # ebuttm document metadata block must parse and not affect output
+    "EbuTtD024": ebu_doc(
+        'ttp:cellResolution="40 24" ttp:timeBase="media"',
+        ('    <metadata>\n'
+         '      <ebuttm:documentMetadata>\n'
+         '        <ebuttm:conformsToStandard>urn:ebu:tt:distribution:2014'
+         '-01</ebuttm:conformsToStandard>\n'
+         '      </ebuttm:documentMetadata>\n'
+         '    </metadata>\n') +
+        layout(region("bottom", origin="10% 80%", extent="80% 15%")),
+        p('metadata tolerated', extra='region="bottom"')),
+    # the full IRT distribution bundle: cell sizing + linePadding +
+    # multiRowAlign + two rows + background, at 50x30 cells
+    "EbuTtD025": ebu_doc(
+        'ttp:cellResolution="50 30" ttp:timeBase="media"',
+        styling('      <style xml:id="s0" tts:fontFamily="sansSerif" '
+                'tts:fontSize="2c" tts:lineHeight="120%" '
+                'tts:color="white" tts:backgroundColor="black" '
+                'tts:textAlign="center" ebutts:linePadding="0.5c" '
+                'ebutts:multiRowAlign="start"/>\n') +
+        layout(region("bottom", origin="10% 76%", extent="80% 20%")),
+        p('distribution bundle first row<br/>and the second',
+          begin="00:00:00.000", end="00:00:02.000",
           extra='region="bottom" style="s0"')),
 }
 
