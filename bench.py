@@ -43,11 +43,16 @@ W, H = 1920, 1080
 PH, PW = 1088, 1920  # padded to macroblock multiples
 # Frames per device dispatch. JPEG is intra-only, so the "GOP" here is
 # purely a dispatch batch: a bigger batch amortizes the axon link's
-# ~25 ms per-round-trip cost over more frames (device ms/frame is linear
-# in the batch) at the price of a new static shape (one-time compile,
-# cached). FLUTPU_BENCH_GOP=16/32 A/Bs it on hardware; 8 is the product
-# GOP contract and stays the default.
-GOP = int(os.environ.get("FLUTPU_BENCH_GOP", "8"))
+# ~25 ms per-round-trip cost over more frames at the price of a new
+# static shape (one-time compile, cached). Round-5 hardware A/B
+# (health-gated, locked): 16-frame dispatch measured 13.5-13.7 device
+# ms per 8 frames vs 16.6-16.7 for 8-frame dispatch in the same-day
+# windows (fewer per-dispatch overheads), and 334.1 wall fps in the one
+# clean-fetch window (vs 308.4/220.5 for 16/32 in the round-4 runbook
+# session; 32 wins no further device time and loses wall) — 16 is the
+# default dispatch batch. The product hype GOP contract stays 8; this
+# knob batches dispatches, not the bitstream. FLUTPU_BENCH_GOP overrides.
+GOP = int(os.environ.get("FLUTPU_BENCH_GOP", "16"))
 QUALITY = 85
 
 

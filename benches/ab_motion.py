@@ -56,7 +56,9 @@ _enable_compile_cache()
 
 ARMS = {
     # name: (hier, subpel, extra env)
-    "kernel_full": (False, False, {}),
+    # dxmajor is the round-5 DEFAULT — kernel_full pins it OFF so the
+    # arm keeps measuring the candidate-major formulation it names
+    "kernel_full": (False, False, {"FLUTPU_SEARCH_DXMAJOR": "0"}),
     "kernel_hier": (True, False, {}),
     "kernel_full_dygrid": (False, False, {"FLUTPU_SEARCH_DYGRID": "1"}),
     "xla_full_rolls": (False, False, {"FLUTPU_NO_MOTION_KERNEL": "1",

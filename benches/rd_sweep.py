@@ -44,10 +44,28 @@ def contents(w=640, h=384):
                      for i in range(GOP)])
     noisy = np.clip(ball.astype(np.int16)
                     + rng.normal(0, 6, ball.shape), 0, 255).astype(np.uint8)
+    # camera pan over detail — the classic MC case: every pixel moves
+    # coherently by an integer vector, so v1's coefficient residuals are
+    # dense while one motion vector per macroblock captures it all.
+    # Texture = smoothed noise (detail at DCT-relevant scales).
+    base = make_test_frame("noise", w, h, 0).astype(np.float32)
+    k = np.ones((3, 3)) / 9.0
+    for c in range(base.shape[-1]):
+        from numpy.lib.stride_tricks import sliding_window_view
+        pad = np.pad(base[..., c], 1, mode="wrap")
+        base[..., c] = (sliding_window_view(pad, (3, 3)) * k).sum((-1, -2))
+    base = base.astype(np.uint8)
+    pan = np.stack([np.roll(base, (2 * i, 3 * i), axis=(0, 1))
+                    for i in range(GOP)])
+    pan_noisy = np.clip(pan.astype(np.int16)
+                        + rng.normal(0, 4, pan.shape), 0,
+                        255).astype(np.uint8)
     return {
         "static": grad,    # global luma step, zero spatial motion
-        "moving": ball,    # large coherent motion, noise-free
-        "noisy": noisy,    # coherent motion + sensor-like noise
+        "moving": ball,    # small object, subpixel motion, noise-free
+        "noisy": noisy,    # object motion + sensor-like noise
+        "pan": pan,        # integer global pan over texture
+        "pan_noisy": pan_noisy,  # pan + sensor noise
     }
 
 

@@ -213,11 +213,13 @@ def fvc_mc_encode_chunk(frames: jax.Array, qy: jax.Array, qc: jax.Array,
             # FLUTPU_SEARCH_DYGRID=0/1 A/Bs the dy-grid restructure of the
             # full-search kernel (one lane roll per candidate;
             # bit-identical); FLUTPU_SEARCH_DXMAJOR=0/1 A/Bs the round-5
-            # dy-major/static-dx restructure (default decided by the
-            # hardware A/B in benches/ab_motion.py — see PERF.md)
+            # dy-major/static-dx restructure — default ON: hardware A/B
+            # measured the search stage 10.0 vs 22.5 ms/GOP and the full
+            # chunk encode 27.1 vs 41.6 (ab_motion 2026-08-20; verified
+            # bit-identical on hardware at 1080p)
             from ..core.env import env_flag
             dygrid = env_flag("FLUTPU_SEARCH_DYGRID", False)
-            dxmajor = env_flag("FLUTPU_SEARCH_DXMAJOR", False)
+            dxmajor = env_flag("FLUTPU_SEARCH_DXMAJOR", True)
             ksearch = motion_search_mc_hier_pallas if hier \
                 else (motion_search_mc_dygrid_pallas if dygrid
                       else (motion_search_mc_dxmajor_pallas if dxmajor
@@ -441,7 +443,7 @@ def fvc_mc_encode_chunk_b(frames, qy, qc, pad_h: int, pad_w: int,
         from ..core.env import env_flag
         chroma_kernel_ok = (not env_flag("FLUTPU_NO_CHROMA_KERNEL", False)
                             and chroma_mc_fits(pad_h // 2, pad_w // 2))
-        dxmajor = env_flag("FLUTPU_SEARCH_DXMAJOR", False)
+        dxmajor = env_flag("FLUTPU_SEARCH_DXMAJOR", True)
 
         def search_mc(cy, ref):
             k = motion_search_mc_hier_pallas if hier \

@@ -58,7 +58,12 @@ class TpuHype(VideoEncoder):
         PropertySpec("codec", "jpeg", "jpeg | fvc | fvc-motion: MJPEG "
                                       "per-frame buffers, or FVC GOP chunks "
                                       "(one container buffer per chunk; "
-                                      "fvc-motion = v2 hybrid loop)"),
+                                      "fvc-motion = v2 hybrid loop — pick "
+                                      "by content per docs/GUIDE.md "
+                                      "'Choosing a codec' / PERF.md RD "
+                                      "table: fvc for static/noisy/"
+                                      "subpixel, fvc-motion + bframes for "
+                                      "coherent pans)"),
         PropertySpec("search-range", 7, "fvc-motion full-search window"),
         PropertySpec("search", "full", "full | hier fvc-motion estimation"),
         PropertySpec("subpel", False, "half-pel fvc-motion refinement "
