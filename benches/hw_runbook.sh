@@ -114,4 +114,9 @@ cpu_gate
 say "bench_all full4k (encode+burn-in at 4K; warm-cache shapes)"
 tpu_step timeout -k 15 3000 python benches/bench_all.py full4k >>"$LOG" 2>&1
 
+# 5. 4K motion stage table (device-time; needs only the compute gate)
+cpu_gate
+say "stage_split_fvc 4K"
+tpu_step timeout -k 15 3600 env STAGE_4K=1 python benches/stage_split_fvc.py >>"$LOG" 2>&1
+
 say "runbook done"

@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RTT_MS_MAX = 250.0       # normal warm tiny-op fetch ~25-60 ms
 COMPUTE_MS_MAX = 400.0   # normal warm 100x(256x256 matmul) loop well under
-FETCH_MBPS_MIN = 20.0    # bulk device->host fetch; tunnel is ~50 MB/s
+# bulk device->host fetch; tunnel is ~50 MB/s healthy. Overridable:
+# capture scripts hunting a CLEAN window set 40; 20 = merely functional
+FETCH_MBPS_MIN = float(os.environ.get("FLUTPU_FETCH_MBPS_MIN", "20"))
 #                          healthy and the finalize path needs ~0.6 MB/GOP
 #                          (round-5 saw RTT/compute healthy at 25 ms while
 #                          bulk fetch degraded and wall fps halved)

@@ -732,20 +732,27 @@ def _chroma_mc_kernel(prevp_ref, dyh_ref, dxh_ref, onest_ref, pred_ref,
     cand_map = jnp.broadcast_to(cand_rows[:, None, :],
                                 (mbh, 8, wcp)).reshape(hc, wcp)
 
-    def body(c, _):
-        sdy = c // m + lo
-        sdx = c % m + lo
-        p0, p1 = prevp_ref.shape
+    # STATIC unroll (round 5, after the dx-major search win): with the
+    # shift loop as Python iteration every roll amount is a compile-time
+    # constant — Mosaic lowers constant rolls far cheaper than
+    # tpu.dynamic_rotate (measured 2.25x on the search kernel's lane
+    # rolls). m*m = 64 small bodies keeps compile size modest. The dy
+    # roll is hoisted per distinct sdy (8 axis-0 rolls instead of 64
+    # roll pairs). Every real macroblock matches exactly ONE shift, so
+    # pred_ref is fully covered; pad lanes keep garbage and are sliced
+    # by the caller.
+    p0, p1 = prevp_ref.shape
+    for i in range(m):
+        sdy = i + lo
         # roll left by (R - shift) ≡ roll right by p - (R - shift):
         # pltpu.roll needs NON-NEGATIVE shifts (see _search_mc_kernel)
-        r = pltpu.roll(prevp_ref[:], (p0 - (R - sdy)) % p0, axis=0)
-        r = pltpu.roll(r, (p1 - (R - sdx)) % p1, axis=1)
-        pred_ref[:] = jnp.where(cand_map == c, r[:hc, :wcp], pred_ref[:])
-        return 0
-
-    # every real macroblock matches exactly ONE shift, so pred_ref is
-    # fully covered; pad lanes keep garbage and are sliced by the caller
-    jax.lax.fori_loop(0, m * m, body, 0)
+        rdy = pltpu.roll(prevp_ref[:], (p0 - (R - sdy)) % p0, axis=0)
+        for j in range(m):
+            c = i * m + j
+            sdx = j + lo
+            r = pltpu.roll(rdy, (p1 - (R - sdx)) % p1, axis=1)
+            pred_ref[:] = jnp.where(cand_map == c, r[:hc, :wcp],
+                                    pred_ref[:])
 
 
 def chroma_mc_fits(hc: int, wc: int) -> bool:

@@ -57,3 +57,15 @@ def _cpu_busy_flag():
     from flutpu.benchlock import hold_cpu_busy
     with hold_cpu_busy():
         yield
+
+
+# Persistent XLA compile cache (round 5): on this 1-core host the suite
+# is compile-dominated; cached recompiles cut repeat runs drastically.
+# Keyed on HLO hash, so stale-cache correctness is jax's contract.
+_cache = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/flutpu-jax-test-cache")
+try:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass

@@ -34,6 +34,7 @@ def _gop(n=2, seed=3, noisy=False):
 
 
 class TestAsyncGrow:
+    @pytest.mark.slow
     def test_grow_defers_then_adopts(self, monkeypatch):
         """With async growth on, a dispatch after usage outgrows the
         capacity keeps riding the OLD sizes (pending warm), and a later
@@ -84,6 +85,7 @@ class TestAsyncGrow:
         _, sw2 = enc2._maybe_adopt_or_warm(lambda p, s: None)
         assert sw2 == enc2.SEG_WORDS0
 
+    @pytest.mark.slow
     def test_overflow_prefers_covering_pending_warm(self, monkeypatch):
         """A true overflow whose need is covered by the pending
         background warm must WAIT for that compile and reuse its sizes
@@ -121,6 +123,7 @@ class TestAsyncGrow:
 
 
 class TestOverflowRedispatch:
+    @pytest.mark.slow
     def test_segment_overflow_redispatches_same_family(self):
         """A segment-capacity overflow must be healed by ONE redispatch of
         the same fused program at grown sizes — never via the interleaved
@@ -162,6 +165,7 @@ class TestOverflowRedispatch:
         assert not calls, "overflow fell back to the cap ladder"
         assert (enc._prefix_window or 0) > 8
 
+    @pytest.mark.slow
     def test_fvc_overflow_redispatch(self):
         """FVC's device finalize heals overflow through the same-family
         redispatch (no interleaved re-encode, no estimate reset)."""

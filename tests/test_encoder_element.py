@@ -108,6 +108,7 @@ def test_flushing_seek_drops_pending_frames():
     assert dec.shape[0] == 4 and info["types"][0] == 0
 
 
+@pytest.mark.slow
 def test_mid_stream_resolution_change_splits_chunks():
     """A caps change closes the open chunk; each resolution gets its own
     independently decodable chunks (no mixed-size batches)."""

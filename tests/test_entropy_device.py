@@ -107,6 +107,7 @@ def test_scan_planes_matches_host_coder():
     assert enc.scan_planes(coefs) == enc._scans_host(coefs)
 
 
+@pytest.mark.slow
 def test_concat_v2_matches_v1_adversarial():
     """Random block bit-lengths including word-boundary-exact starts and
     many tiny blocks packed into single words."""

@@ -135,6 +135,7 @@ class TestSegmentLayout:
         return (sparse(shape(ybh, ybw)), sparse(shape(ybh // 2, ybw // 2)),
                 sparse(shape(ybh // 2, ybw // 2)))
 
+    @pytest.mark.slow
     def test_segmented_scan_byte_identical(self):
         from flutpu.codec.ops import entropy as E
         yq, cbq, crq = self._planes()
@@ -159,6 +160,7 @@ class TestSegmentLayout:
                     == E.stuff_and_finalize(np.asarray(packed)[i],
                                             int(np.asarray(bits)[i])))
 
+    @pytest.mark.slow
     def test_encoder_segmented_matches_standard(self):
         frames = make_test_frame("gradient", 32, 32, 2)[None].repeat(2, 0)
         std = JpegEncoder(quality=85, engine="device",
@@ -211,6 +213,7 @@ class TestSegmentLayout:
             got = E.compact_segments_finalize(seg_bits, words)
             assert got == want, f"trial {trial}"
 
+    @pytest.mark.slow
     def test_capacity_overflow_grows_and_stays_correct(self):
         """A GOP whose densest segment exceeds the staging capacity must
         fall back (same bytes) and grow the capacity for the next GOP."""

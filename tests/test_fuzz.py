@@ -54,6 +54,7 @@ class TestFvcFuzz:
             with pytest.raises(ValueError):
                 FvcDecoder().decode_chunk(chunk[:cut])
 
+    @pytest.mark.slow
     def test_bframes_bitflips_contained(self):
         """Single-byte corruptions of a B stream either raise ValueError
         or decode to the right shape — zlib'd vector/mode fields and the
@@ -102,6 +103,7 @@ class TestFvcFuzz:
         return (chunk[:5] + bytes([flags | 16]) + chunk[6:off]
                 + struct.pack(">HH", pw, ph) + chunk[off:])
 
+    @pytest.mark.slow
     def test_coded_size_extension_roundtrip(self):
         """bit4 with the natural macroblock padding decodes identically to
         the same stream without the extension (v1 and v2 header offsets)."""
@@ -224,6 +226,7 @@ class TestCoreFuzz:
         from flutpu.core import FlowReturn
         assert ret == FlowReturn.OK, ret
 
+    @pytest.mark.slow
     def test_ttml_corpus_mutations_contained(self):
         """Structured mutations of REAL corpus documents (byte flips,
         truncation, slice delete/duplicate) through both ttmlparse and

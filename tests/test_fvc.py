@@ -113,6 +113,7 @@ class TestFvcMotion:
         with pytest.raises(ValueError):
             FvcEncoder(motion=True, subsample=False).encode_chunk(video(2))
 
+    @pytest.mark.slow
     def test_device_decode_matches_numpy_mirror(self):
         """The jitted decode scan and the numpy reference reconstruction
         must agree (both mirror the encoder's in-loop state)."""
@@ -210,6 +211,7 @@ class TestFvcElement:
 
 
 class TestFvcRateControl:
+    @pytest.mark.slow
     def test_bitrate_converges(self):
         """Per-chunk controller steers chunk sizes toward the budget."""
         from flutpu.codec.fvc import FvcEnc
@@ -266,6 +268,7 @@ def test_motion_compensate_gather_equals_rolls():
         np.asarray(_motion_compensate_rolls(chroma, mv, 7, 8)))
 
 
+@pytest.mark.slow
 def test_hier_search_mode_roundtrips():
     """Coarse-to-fine search produces a valid v2 stream with near-full
     compression on moving content."""
@@ -278,6 +281,7 @@ def test_hier_search_mode_roundtrips():
     assert len(hier) < len(full) * 1.25, (len(hier), len(full))
 
 
+@pytest.mark.slow
 def test_decode_stream_parallel_matches_serial():
     """Chunk-concurrent decode must equal serial decode exactly (chunks
     are independent; order preserved)."""
@@ -318,6 +322,7 @@ def test_mid_chunk_scene_cut_gets_i_frame():
         assert psnr(frames[i], dec[i]) > 30, i
 
 
+@pytest.mark.slow
 def test_quality_monotonic_size_and_psnr():
     """Higher quality → larger chunks and better reconstruction, for both
     FVC modes (the quality knob must actually steer the RD point)."""
@@ -335,6 +340,7 @@ def test_quality_monotonic_size_and_psnr():
         assert quals[0] < quals[1] < quals[2], (motion, quals)
 
 
+@pytest.mark.slow
 def test_halfpel_beats_integer_on_fractional_motion():
     """Content translating by half-pixel steps: half-pel compensation must
     shrink the residual payload vs integer-only vectors."""
@@ -397,6 +403,7 @@ def test_pipelined_dispatch_matches_sync_encode():
     assert got == expect
 
 
+@pytest.mark.slow
 def test_src_fused_dispatch_matches_array_dispatch():
     """encode_chunk_dispatch_src (on-device source fused into the GOP
     program — the config-5/6 bench shape) produces byte-identical chunks
@@ -495,6 +502,7 @@ class TestSegmentedLayout:
         seg._scan_coder.segmented = True
         assert std.encode_chunk(frames) == seg.encode_chunk(frames)
 
+    @pytest.mark.slow
     def test_segmented_capacity_overflow_grows(self):
         frames = (np.random.default_rng(7)
                   .integers(0, 256, size=(2, 32, 32, 3)).astype(np.uint8))
@@ -574,6 +582,7 @@ class TestPlanarSourcePath:
                        axis=-1)
         assert np.array_equal(want, got)
 
+    @pytest.mark.slow
     def test_jpeg_planar_src_dispatch_byte_identical(self):
         import jax.numpy as jnp
         from flutpu.codec.jpeg import JpegEncoder

@@ -138,6 +138,7 @@ class TestBframeRoundtrip:
         assert info["types"] == [0]
         assert psnr(frames[0], dec[0]) > 30
 
+    @pytest.mark.slow
     def test_stitch_and_split_stream(self):
         frames = video(12, w=96, h=64)
         enc = FvcEncoder(quality=85, motion=True, bframes=1)

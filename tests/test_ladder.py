@@ -1,6 +1,7 @@
 """ABR ladder encoding: one input, N rung streams."""
 
 import numpy as np
+import pytest
 
 from flutpu.codec import FvcDecoder, parse_rungs
 from flutpu.codec.jpeg import psnr
@@ -50,6 +51,7 @@ def test_ladder_element_three_rungs():
     assert sum(map(len, lo_chunks)) < sum(map(len, hi_chunks))
 
 
+@pytest.mark.slow
 def test_ladder_bframes_rungs_decode_and_shrink():
     """bframes=1 on the ladder (the serving case B frames exist for):
     every rung stream carries the B structure (header flags bit 5),

@@ -1,6 +1,7 @@
 """Multi-host chunk assignment logic (topology faked; real DCN runs are
 out of scope for single-host CI)."""
 
+import pytest
 from flutpu.parallel.multihost import ChunkAssignment, stitch_order
 
 
@@ -57,6 +58,7 @@ def test_simulated_two_host_encode_stitches_bit_exact():
     assert stitched == single  # bit-exact across the host split
 
 
+@pytest.mark.slow
 def test_two_process_distributed_smoke():
     """REAL two-process jax.distributed run (VERDICT r1 #9): two separate
     Python processes bootstrap via a local coordinator, see the global

@@ -45,6 +45,7 @@ class TestShardedEncode:
         for a, b in zip(sharded, single):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_planar_input_matches_interleaved(self, qtabs):
         """Channel-planar sharded encode (round 4: tile-dense upload +
         kernel front end per shard on TPU) is bit-identical to the
@@ -147,6 +148,7 @@ class TestGraftEntry:
         assert out[0].shape == (8, 16, 16, 64)
         assert out[0].dtype == jnp.int16
 
+    @pytest.mark.slow
     def test_dryrun_8(self, capsys):
         import __graft_entry__ as g
         g.dryrun_multichip(8)
@@ -254,6 +256,7 @@ class TestTpuHypeFvc:
         h.teardown()
         return frames, chunks
 
+    @pytest.mark.slow
     def test_fvc_chunks_ordered_decodable(self):
         from flutpu.codec.fvc import FvcDecoder
         from flutpu.codec.jpeg import psnr
@@ -266,6 +269,7 @@ class TestTpuHypeFvc:
         for i in (0, 4, 9):
             assert psnr(np.asarray(frames[i]), dec[i]) > 30, i
 
+    @pytest.mark.slow
     def test_fvc_motion_chunks(self):
         from flutpu.codec.fvc import FvcDecoder
         from flutpu.codec.jpeg import psnr
@@ -278,6 +282,7 @@ class TestTpuHypeFvc:
         assert dec.shape == (8, 48, 64, 3)
         assert psnr(np.asarray(frames[5]), dec[5]) > 30
 
+    @pytest.mark.slow
     def test_fvc_motion_bframes_chunks(self):
         """Chunk-parallel B frames: every full chunk carries a type-2
         frame; the stream decodes in order at quality."""
@@ -296,6 +301,7 @@ class TestTpuHypeFvc:
         for i in (0, 3, 5, 7):
             assert psnr(np.asarray(frames[i]), dec[i]) > 30, i
 
+    @pytest.mark.slow
     def test_fvc_motion_bframes_tail_chunk_self_contained(self):
         """A truncated final chunk must not end on a B frame whose next
         anchor was cut — the tail re-encodes with the real-count
@@ -344,6 +350,7 @@ class TestSpatialFvcMotion:
                 for i in range(f)]))
         return jnp.asarray(np.stack(vids))
 
+    @pytest.mark.slow
     def test_striped_motion_matches_unsharded(self, qtabs):
         from flutpu.codec.fvc import fvc_mc_encode_chunk
         from flutpu.parallel.gop import fvc_chunks_sharded
@@ -366,6 +373,7 @@ class TestSpatialFvcMotion:
             np.testing.assert_array_equal(np.asarray(rcb[c]),
                                           np.asarray(e[1]))
 
+    @pytest.mark.slow
     def test_striped_bframes_matches_unsharded(self, qtabs):
         """bframes + spatial (round 4 final): the anchor scan AND the
         parallel B pass stripe with halo ppermutes; every output field
@@ -414,6 +422,7 @@ class TestTpuHypeFvcSpatial:
     virtual mesh); streams must decode like any other fvc stream."""
     CAPS = "video/x-raw, format=RGB, width=64, height=48, framerate=30/1"
 
+    @pytest.mark.slow
     def test_fvc_motion_spatial_chunks_decode(self):
         from flutpu.codec.fvc import FvcDecoder
         from flutpu.codec.jpeg import psnr
@@ -438,6 +447,7 @@ class TestTpuHypeFvcSpatial:
         for i in (0, 3, 7):
             assert psnr(np.asarray(frames[i]), dec[i]) > 30, i
 
+    @pytest.mark.slow
     def test_fvc_motion_spatial_bframes_decode(self):
         """spatial=2 + bframes=1 through the element: streams carry both
         the coded-size extension (bit 4) and the B structure (bit 5) and
@@ -465,6 +475,7 @@ class TestTpuHypeFvcSpatial:
         for i in (0, 1, 5, 7):
             assert psnr(np.asarray(frames[i]), dec[i]) > 30, i
 
+    @pytest.mark.slow
     def test_fvc_v1_spatial_chunks_decode(self):
         from flutpu.codec.fvc import FvcDecoder
         from flutpu.codec.jpeg import psnr

@@ -112,6 +112,7 @@ def test_segmented_chain_to_render():
     assert any((img[..., 3] > 0).sum() > 20 for _, img in frames)
 
 
+@pytest.mark.slow
 def test_randomized_docs_roundtrip_property():
     """Property test: for randomized cue sets, re-parsing the segmented
     output yields the same (pts, duration, text) intervals as parsing the
