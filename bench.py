@@ -417,8 +417,14 @@ def main():
             if backend != "cpu":
                 # best-of-2: the shared link has minutes-long degraded
                 # phases (CLAUDE.md); a second measured round costs ~3 s
-                # warm and mirrors the CPU baseline's best-of-3 contract
-                fps = max(fps, run_pipeline(n_gops, report))
+                # warm and mirrors the CPU baseline's best-of-3 contract.
+                # If the two rounds disagree >15% the link is swinging
+                # mid-capture (round-5 measured 12-50 MB/s fetch swings
+                # on minute timescales) — buy a third round.
+                fps2 = run_pipeline(n_gops, report)
+                if abs(fps2 - fps) > 0.15 * max(fps, fps2):
+                    fps2 = max(fps2, run_pipeline(n_gops, report))
+                fps = max(fps, fps2)
                 # load-independent device-time companion (verdict r3
                 # #7); never let its failure take down the headline
                 try:

@@ -20,6 +20,13 @@ trace time):
   kernel_full_4k / xla_chroma_4k — 2160x3840 pair: banded chroma kernel
                        vs the XLA chroma arm
   kernel_bframes1/2  — anchors scan + parallel B pass (bframes=1/2)
+  kernel_full_dxmajor — full chunk encode with the round-5 dy-major/
+                       static-dx kernel (now the product default;
+                       kernel_full pins the candidate-major arm)
+  search_kernel_full / search_kernel_dxmajor / search_mxu_ssd — the
+                       search stage in isolation; the mxu arm measures
+                       the verdict-prescribed GEMM formulation (lost
+                       27x — PERF.md roofline)
 
 Run on the TPU host: python benches/ab_motion.py
 Prints one JSON line per arm: {"metric": ..., "value": ms/GOP}.

@@ -213,7 +213,9 @@ def bench_4k_convert(frames=4, reps=5):
 # frames per dispatch: JPEG is intra-only, so this is purely a device
 # batch — FLUTPU_BENCH_GOP=16/32 amortizes the ~25 ms per-round-trip link
 # cost over more frames (per-frame JFIF output is byte-identical)
-GOPF = int(os.environ.get("FLUTPU_BENCH_GOP", "8"))
+# default 16 per the round-5 hardware A/B (device 13.5-13.7 vs 16.6-16.7
+# ms per 8 frames; see bench.py and PERF.md dispatch-batching table)
+GOPF = int(os.environ.get("FLUTPU_BENCH_GOP", "16"))
 
 
 def _ball_src8(ph, pw, start):
