@@ -293,13 +293,27 @@ def bench_fvc(gops=6, motion=False, bframes=0):
         from flutpu.codec.ops.testsrc import gradient_ball_planes
         return gradient_ball_planes(ph, pw, n, start)
 
+    # FLUTPU_FVC_BATCH=B packs B independent chunks per dispatch (one
+    # RTT + one fetch per B*8 frames; byte-identical streams — round-5
+    # encode_chunk_batch_dispatch_src). Default 1 until the hardware A/B
+    # decides.
+    batch = int(os.environ.get("FLUTPU_FVC_BATCH", "1"))
+
     def dispatch(g):
         # the on-device testsrc traces INTO the chunk program: one dispatch
         # + one compressed fetch per GOP, nothing else crosses the link
+        if batch > 1:
+            return enc.encode_chunk_batch_dispatch_src(
+                planar_src, jnp.float32(g * 8), 8, 1080, 1920, batch=batch)
         return enc.encode_chunk_dispatch_src(
             planar_src, jnp.float32(g * 8), 8, 1080, 1920)
-    enc.encode_chunk_finalize(dispatch(0))   # compile + learn the estimate
-    enc.encode_chunk_finalize(dispatch(0))   # compile the adaptive window
+
+    def finalize(h):
+        if batch > 1:
+            return b"".join(enc.encode_chunk_batch_finalize(h))
+        return enc.encode_chunk_finalize(h)
+    finalize(dispatch(0))   # compile + learn the estimate
+    finalize(dispatch(0))   # compile the adaptive window
     from concurrent.futures import ThreadPoolExecutor
     # chunks in flight + finalize on worker threads (fetch overlaps remote
     # execution when issued concurrently); 3x8 per the round-4 sweep
@@ -309,8 +323,8 @@ def bench_fvc(gops=6, motion=False, bframes=0):
     t0 = time.time()
     total = 0
     futs = []
-    for g in range(gops):
-        futs.append(pool.submit(enc.encode_chunk_finalize, dispatch(g)))
+    for g in range(0, gops, batch):
+        futs.append(pool.submit(finalize, dispatch(g)))
         if len(futs) >= depth:
             total += len(futs.pop(0).result())
     for fu in futs:

@@ -786,6 +786,45 @@ def _fvc_gop_program_v2_src(start, qy, qc, src_fn, n, pad_h, pad_w,
                                qy_b=qy_b, qc_b=qc_b)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "src_fn", "n", "batch", "pad_h", "pad_w", "subsample", "search_range",
+    "layout", "prefix_words", "use_pallas", "hier", "subpel", "planar",
+    "seg_words", "bframes", "motion"))
+def _fvc_gop_program_batched_src(start, qy, qc, src_fn, n, batch, pad_h,
+                                 pad_w, subsample, layout, prefix_words,
+                                 use_pallas, motion=False, search_range=7,
+                                 hier=False, subpel=False, planar=None,
+                                 seg_words=None, bframes=0, qy_b=None,
+                                 qc_b=None):
+    """``batch`` independent chunks in ONE device program → ONE dispatch
+    and ONE fetch for batch*n frames (round 5). Each dispatch costs a
+    link round trip (~25-40 ms on the axon tunnel — measured 3.7 s in a
+    degraded window), and FVC's 8-frame bitstream GOP cannot grow the
+    way the JPEG dispatch batch can (16-frame batching, bench.py), so
+    batching whole chunks is the remaining RTT-amortization lever.
+    Chunks stay bitstream-independent (an I frame starts each), so the
+    output is byte-identical to ``batch`` separate dispatches.
+    Output: (batch, F, X) — rows are the per-chunk combined arrays."""
+    rows = []
+    for b in range(batch):
+        s_b = start + jnp.float32(b * n)
+        if motion:
+            rows.append(_fvc_gop_program_v2_src(
+                s_b, qy, qc, src_fn, n, pad_h=pad_h, pad_w=pad_w,
+                search_range=search_range, layout=layout,
+                prefix_words=prefix_words, use_pallas=use_pallas,
+                hier=hier, subpel=subpel, planar=planar,
+                seg_words=seg_words, bframes=bframes, qy_b=qy_b,
+                qc_b=qc_b))
+        else:
+            rows.append(_fvc_gop_program_v1_src(
+                s_b, qy, qc, src_fn, n, pad_h=pad_h, pad_w=pad_w,
+                subsample=subsample, layout=layout,
+                prefix_words=prefix_words, use_pallas=use_pallas,
+                seg_words=seg_words))
+    return jnp.stack(rows)
+
+
 class FvcEncoder:
     """Encode GOP chunks of RGB frames into FVC bitstream chunks.
 
@@ -933,6 +972,74 @@ class FvcEncoder:
                 out = jnp.stack(out, axis=-1)
             return np.asarray(out)
         return ("dev", combined, prefix, sw, lazy, n, h, w, ph, pw, build)
+
+    def encode_chunk_batch_dispatch_src(self, src_fn, start, n: int,
+                                        h: int, w: int, batch: int = 2):
+        """``batch`` chunks of ``n`` frames in ONE dispatch + ONE fetch
+        (see _fvc_gop_program_batched_src). Bitstreams are byte-identical
+        to ``batch`` separate encode_chunk_dispatch_src calls; use when
+        throughput matters more than one-GOP latency. Finalize with
+        encode_chunk_batch_finalize -> list of ``batch`` chunk bytes."""
+        mult = 16 if self.subsample else 8
+        ph, pw = _pad_to(h, mult), _pad_to(w, mult)
+        sc = self._scan_coder
+        layout, cap = self._layout_cap(ph, pw)
+
+        def build(prefix_w, sw_w):
+            p = min(cap, prefix_w or cap)
+            s = sw_w if sc.segmented else None
+            return _fvc_gop_program_batched_src(
+                start, self._qy_dev, self._qc_dev, src_fn, n, batch,
+                pad_h=ph, pad_w=pw, subsample=self.subsample,
+                layout=layout, prefix_words=p, use_pallas=sc.use_pallas,
+                motion=self.motion, search_range=self.search_range,
+                hier=self.hier, subpel=self.subpel, planar=self.planar,
+                seg_words=s, bframes=self.bframes, qy_b=self._qyb_dev,
+                qc_b=self._qcb_dev), p, s
+
+        build.prefix_cap = cap
+        win, sw = sc._maybe_adopt_or_warm(build)
+        combined, prefix, sw = build(win, sw)
+
+        def lazy_b(b):
+            def lazy():
+                out = src_fn(ph, pw, n, start + b * n)
+                if isinstance(out, (tuple, list)):
+                    out = jnp.stack(out, axis=-1)
+                return np.asarray(out)
+            return lazy
+        lazies = [lazy_b(b) for b in range(batch)]
+        return ("devb", combined, prefix, sw, lazies, n, h, w, ph, pw,
+                build)
+
+    def encode_chunk_batch_finalize(self, handle):
+        """Blocking half of the batched dispatch: ONE fetch for the
+        whole batch, then the standard per-chunk finalize (overflow
+        redispatch included — a grown redispatch rebuilds the batched
+        program, so it too is one dispatch)."""
+        tag, combined, prefix, sw, lazies, n, h, w, ph, pw, build = handle
+        assert tag == "devb"
+        arr = np.asarray(combined)          # the one transfer
+        batch = arr.shape[0]
+
+        def row_build(b):
+            def rb(p, s):
+                c, p2, s2 = build(p, s)
+                return c[b], p2, s2
+            rb.prefix_cap = getattr(build, "prefix_cap", None)
+            return rb
+
+        out = []
+        for b in range(batch):
+            payloads, mvs, itypes = self._device_finalize(
+                arr[b], prefix, sw, lazies[b], ph, pw, build=row_build(b))
+            if payloads is None:
+                if self.engine == "device":
+                    raise OverflowError("device entropy cap exceeded")
+                payloads, mvs, itypes = self._encode_host(
+                    lazies[b](), ph, pw)
+            out.append(self._build_chunk(payloads, mvs, itypes, n, h, w))
+        return out
 
     def _encode_device(self, frames: np.ndarray, ph: int, pw: int):
         """Fused single-dispatch + single-fetch GOP encode. Returns

@@ -654,3 +654,50 @@ class TestPlanarSourcePath:
                                              ph, pw, ph, pw)
         got = enc.encode_gop_finalize(handle)
         assert got == expect
+
+
+class TestBatchedChunkDispatch:
+    """Round 5: B independent chunks per device dispatch (one RTT + one
+    fetch per B*n frames). Streams must be byte-identical to separate
+    dispatches — chunks stay independently decodable."""
+
+    def test_v1_batch_matches_singles(self):
+        import jax.numpy as jnp
+        from flutpu.codec.ops.testsrc import gradient_ball_planes
+
+        def src(ph, pw, n, start):
+            return gradient_ball_planes(ph, pw, n, start)
+
+        enc = FvcEncoder(quality=85)
+        singles = []
+        for b in range(2):
+            h = enc.encode_chunk_dispatch_src(src, jnp.float32(b * 4),
+                                              4, 48, 64)
+            singles.append(enc.encode_chunk_finalize(h))
+        enc2 = FvcEncoder(quality=85)
+        hb = enc2.encode_chunk_batch_dispatch_src(src, jnp.float32(0),
+                                                  4, 48, 64, batch=2)
+        batched = enc2.encode_chunk_batch_finalize(hb)
+        assert batched == singles
+        dec, _ = FvcDecoder().decode_chunk(batched[1])
+        assert dec.shape == (4, 48, 64, 3)
+
+    @pytest.mark.slow
+    def test_motion_and_bframes_batch_match_singles(self):
+        import jax.numpy as jnp
+        from flutpu.codec.ops.testsrc import gradient_ball_planes
+
+        def src(ph, pw, n, start):
+            return gradient_ball_planes(ph, pw, n, start)
+
+        for kw in (dict(motion=True), dict(motion=True, bframes=1)):
+            enc = FvcEncoder(quality=85, **kw)
+            singles = []
+            for b in range(2):
+                h = enc.encode_chunk_dispatch_src(src, jnp.float32(b * 8),
+                                                  8, 64, 128)
+                singles.append(enc.encode_chunk_finalize(h))
+            enc2 = FvcEncoder(quality=85, **kw)
+            hb = enc2.encode_chunk_batch_dispatch_src(
+                src, jnp.float32(0), 8, 64, 128, batch=2)
+            assert enc2.encode_chunk_batch_finalize(hb) == singles
