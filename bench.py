@@ -343,7 +343,11 @@ def main():
         import threading
 
         done = threading.Event()
-        wd_budget = float(os.environ.get("FLUTPU_BENCH_WATCHDOG_S", "3600"))
+        # 2 h: must cover the bounded waits (cpu_busy 2400 s + clean
+        # window 600 s + lock 2400 s worst case) PLUS a cold-cache
+        # compile run — the watchdog exists to bound a WEDGED link, not
+        # to race legitimate queueing
+        wd_budget = float(os.environ.get("FLUTPU_BENCH_WATCHDOG_S", "7200"))
 
         def _watchdog():
             if done.is_set():
