@@ -363,6 +363,10 @@ def main():
                 break
             _time.sleep(15)
             waited += 15
+        if waited:
+            # settle: interpreter shutdown of the flag holder still
+            # burns the 1-core host after the flag clears (see bench.py)
+            _time.sleep(75)
 
     which = sys.argv[1:] or ["ttml", "inject", "4k", "full", "fvc"]
     if "ttml" in which:
